@@ -1,0 +1,149 @@
+"""End-to-end BFS tier (SURVEY.md §5.2 tier 2): Spark engine vs the
+pure-Python reference simulator, plus UDF byte-parity and resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikifrontier import synth
+from wikifrontier.frontier import CrawlConfig, run_crawl
+from wikifrontier.simulator import simulate_crawl
+from wikifrontier.udfs import parse_page_udf
+
+N = 303  # covers all corner-case residues (mod 101) ≥ twice
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = synth.corpus_df(spark, N, partitions=4).cache()
+    df.count()
+    return df
+
+
+def _assert_state_matches(state, sim):
+    pages = {r["url"]: r.asDict() for r in state.pages.collect()}
+    assert set(pages) == set(sim["pages"])
+    for url, want in sim["pages"].items():
+        got = pages[url]
+        for key in (
+            "last_crawl_status",
+            "http_status_code",
+            "url_hash",
+            "html_content_hash",
+            "compressed_filepath",
+            "total_crawl_attempts",
+            "failed_crawl_attempts",
+            "depth",
+            "first_crawled_round",
+        ):
+            assert got[key] == want[key], (url, key, got[key], want[key])
+
+    content = {r["source_page_url"]: r.asDict() for r in state.page_content.collect()}
+    assert set(content) == set(sim["content"])
+    for url, want in sim["content"].items():
+        got = content[url]
+        assert got["title"] == want["title"], url
+        assert got["categories"] == want["categories"], url
+        assert got["text_content"] == want["text_content"], url
+        assert got["text_content_hash"] == want["text_content_hash"], url
+
+    links = {
+        (r["source_page_url"], r["url"]): r.asDict() for r in state.links.collect()
+    }
+    want_links = {(l["source_page_url"], l["url"]): l for l in sim["links"]}
+    assert set(links) == set(want_links)
+    for key, want in want_links.items():
+        got = links[key]
+        for field in (
+            "depth",
+            "is_internal",
+            "anchor_text",
+            "title_attribute",
+            "rel_attribute",
+            "id_attribute",
+            "link_type",
+            "discovered_round",
+        ):
+            assert got[field] == want[field], (key, field)
+
+    seen = {r["url"]: r.asDict() for r in state.seen.collect()}
+    assert set(seen) == set(sim["seen"])
+    for url, want in sim["seen"].items():
+        got = seen[url]
+        assert got["depth"] == want["depth"], url
+        assert got["claimed_round"] == want["claimed_round"], url
+        assert got["source_page_url"] == want["source_page_url"], url
+
+    metrics = {r["round"]: r.asDict() for r in state.metrics.collect()}
+    assert len(metrics) == len(sim["rounds"])
+    for want in sim["rounds"]:
+        got = metrics[want["round"]]
+        for key, val in want.items():
+            assert got[key] == val, (want["round"], key, got[key], val)
+
+
+class TestCorpusGeneration:
+    def test_corpus_matches_python_generator(self, spark, corpus):
+        rows = {r["url"]: r for r in corpus.collect()}
+        assert len(rows) == N
+        for i in (0, 1, 7, 11, 13, 17, 19, 23, 101, 300):
+            want = synth.gen_page_row(i, N)
+            got = rows[want["url"]]
+            assert bytes(got["html"]) == want["html"], i
+            assert got["text"] == want["text"], i
+            assert got["lang"] == want["lang"], i
+
+    def test_parse_udf_byte_parity_with_ground_truth(self, spark, corpus):
+        """input_hint invariant through the Spark path: UDF text_content
+        equals the generator's pre-rendered `text` column for every url."""
+        parsed = corpus.withColumn(
+            "p", parse_page_udf(F.col("url"), F.col("html"), F.lit(0))
+        )
+        mismatches = parsed.filter(
+            ~(
+                (F.col("p.text_content") == F.col("text"))
+                | (F.col("p.text_content").isNull() & F.col("text").isNull())
+            )
+        ).count()
+        assert mismatches == 0
+
+
+class TestCrawlVsSimulator:
+    def test_unbudgeted_bfs(self, spark, corpus):
+        cfg = CrawlConfig(robots_txt=synth.ROBOTS_TXT, max_rounds=10)
+        state = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        sim = simulate_crawl(N, max_rounds=10)
+        _assert_state_matches(state, sim)
+
+    def test_budgeted_crawl(self, spark, corpus):
+        cfg = CrawlConfig(robots_txt=synth.ROBOTS_TXT, budget_per_round=40, max_rounds=8)
+        state = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        sim = simulate_crawl(N, budget=40, max_rounds=8)
+        _assert_state_matches(state, sim)
+
+    def test_per_host_cap(self, spark, corpus):
+        cfg = CrawlConfig(
+            robots_txt=synth.ROBOTS_TXT, budget_per_round=50, per_host_cap=25, max_rounds=6
+        )
+        state = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        sim = simulate_crawl(N, budget=50, per_host_cap=25, max_rounds=6)
+        _assert_state_matches(state, sim)
+
+
+class TestCheckpointResume:
+    def test_resume_no_refetch(self, spark, corpus, tmp_path):
+        """North-rule: kill after round k, resume, identical final state and
+        zero re-fetches (attempt counters prove no re-fetch happened)."""
+        ckpt = str(tmp_path / "ckpt")
+        cfg_partial = CrawlConfig(
+            robots_txt=synth.ROBOTS_TXT, max_rounds=2, checkpoint_dir=ckpt
+        )
+        run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg_partial)
+
+        cfg_resume = CrawlConfig(
+            robots_txt=synth.ROBOTS_TXT, max_rounds=10, checkpoint_dir=ckpt
+        )
+        state = run_crawl(
+            spark, corpus, [synth.page_url(synth.SEED_ID)], cfg_resume, resume=True
+        )
+        sim = simulate_crawl(N, max_rounds=10)
+        _assert_state_matches(state, sim)

@@ -1,0 +1,324 @@
+"""Pure-Python content + link extraction (no Spark imports).
+
+Re-implements, with the standard library only, the per-page extraction
+semantics of the reference parser:
+
+* content extraction — reference
+  ``components/parser/core/wiki_content_extractor.py:30-159`` (X1–X5, X7 in
+  SURVEY.md §2.3)
+* link extraction — reference
+  ``components/parser/core/wiki_link_extractor.py:28-181`` (X6, P4–P6)
+
+The sandbox has neither ``lxml`` nor ``readability-lxml``, so the clean-text
+step (reference ``wiki_content_extractor.py:141-159``: readability summary →
+``text_content()`` → line-normalize) is re-specified as: take the main
+content container (``<div id="mw-content-text">`` — which is exactly the node
+readability selects on wiki-shaped pages), concatenate its text nodes in
+document order (lxml ``text_content()`` semantics: no separators inserted),
+strip, then ``'\n'.join(line.strip() for line in text.splitlines() if
+line.strip())`` — the reference's own normalization, byte-for-byte.
+
+URL canonicalization uses the stdlib ``urllib.parse`` exactly as the
+reference does (``wiki_link_extractor.py:110-120``): ``urljoin`` against the
+configured base URL (NOT the source page), then strip fragment AND query.
+This gives bit-parity with the reference for every href shape.
+
+These functions are deliberately Spark-free so they can be unit-tested (and
+compared against generator ground truth) without a JVM; ``udfs.py`` wraps
+them in Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from html.parser import HTMLParser
+from urllib.parse import urljoin, urlparse, urlunparse
+
+# --- constants mirroring the reference configs -----------------------------
+# components/parser/configs/parser_base_config.yml:1-3,123-128
+BASE_URL = "https://en.wikipedia.org"
+DOMAIN_SUBSTR = "wikipedia.org"  # substring check, wiki_link_extractor.py:123-133
+IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".gif", ".svg")
+
+TITLE_BLANK_SENTINEL = "Page is blank - skipped"  # wiki_content_extractor.py:40
+TITLE_MISSING_SENTINEL = "Page is missing title"  # wiki_content_extractor.py:51
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+# --- minimal DOM ------------------------------------------------------------
+class _Node:
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict[str, str | None]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[object] = []  # _Node | str
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant HTML → tiny tree. convert_charrefs=True decodes entities."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#document", {})
+        self._stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, dict(attrs))
+        self._stack[-1].children.append(node)
+        if tag not in VOID_ELEMENTS:
+            self._stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self._stack[-1].children.append(_Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag):
+        # pop to the nearest matching open tag; ignore stray end tags
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self._stack[-1].children.append(data)
+
+
+def parse_html(html: str) -> _Node:
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def _iter_nodes(node: _Node):
+    for child in node.children:
+        if isinstance(child, _Node):
+            yield child
+            yield from _iter_nodes(child)
+
+
+def _find_first_by_id(root: _Node, element_id: str) -> _Node | None:
+    for node in _iter_nodes(root):
+        if node.attrs.get("id") == element_id:
+            return node
+    return None
+
+
+def _find_first_tag(root: _Node, tag: str) -> _Node | None:
+    for node in _iter_nodes(root):
+        if node.tag == tag:
+            return node
+    return None
+
+
+def _text_nodes(node: _Node):
+    """All text chunks under node in document order (lxml text() semantics)."""
+    for child in node.children:
+        if isinstance(child, str):
+            yield child
+        else:
+            yield from _text_nodes(child)
+
+
+def text_content(node: _Node) -> str:
+    """lxml ``.text_content()``: concatenation, no separators inserted."""
+    return "".join(_text_nodes(node))
+
+
+# --- scalar helpers (P1, P4, P5, P6) ---------------------------------------
+def sha256_hex(content: str) -> str:
+    """P1 — shared/utils.py:6-14 (sha256 of UTF-8, hexdigest)."""
+    return hashlib.sha256(content.encode("utf-8")).hexdigest()
+
+
+def normalize_url(href: str) -> str:
+    """P4 — wiki_link_extractor.py:110-120.
+
+    urljoin against the configured base (not the source page!), then strip
+    fragment and query. Host case is NOT touched (reference parity).
+    """
+    full_url = urljoin(BASE_URL, href)
+    parsed = urlparse(full_url)
+    return urlunparse(parsed._replace(fragment="", query=""))
+
+
+def is_internal_link(href: str) -> bool:
+    """P5 — wiki_link_extractor.py:123-133 (substring netloc check)."""
+    parsed = urlparse(href)
+    return parsed.scheme in ("http", "https") and DOMAIN_SUBSTR in parsed.netloc
+
+
+def determine_link_type(
+    is_internal: bool, norm_url: str, raw_href: str, text: str, rel: str
+) -> str:
+    """P6 — wiki_link_extractor.py:136-181."""
+    try:
+        path = urlparse(norm_url).path.lower()
+        raw_href = raw_href.lower()
+        text = text.lower()
+        rel = rel.lower()
+
+        if is_internal:
+            if path.startswith("/wiki/category:"):
+                return "category_link"
+            if path.startswith("/wiki/file:"):
+                return "file_link"
+            if path.startswith("/wiki/") and not path.endswith(IMAGE_EXTENSIONS):
+                return "wikilink"
+            return "internal_other"
+
+        if raw_href.endswith(IMAGE_EXTENSIONS) or text.endswith(IMAGE_EXTENSIONS):
+            return "external_image_link"
+        if "nofollow" in rel:
+            return "external_link_nofollow"
+        return "external_link"
+    except Exception:
+        return "error_determining_type"
+
+
+# --- content extraction (X1–X5, X7) ----------------------------------------
+def _extract_title(root: _Node) -> str | None:
+    """X1 — first text node of the first <title>, stripped; None if absent."""
+    title_el = _find_first_tag(root, "title")
+    if title_el is None:
+        return None
+    for chunk in _text_nodes(title_el):
+        return chunk.strip()
+    return None
+
+
+def _extract_categories(root: _Node) -> list[str]:
+    """X2 — wiki_content_extractor.py:109-138.
+
+    Text nodes of <a> descendants of the first div#mw-normal-catlinks; skip
+    the literal 'Categories'; strip a 'Category:' prefix. (Reference compares
+    the raw text node — no strip().)
+    """
+    catlinks = _find_first_by_id(root, "mw-normal-catlinks")
+    if catlinks is None:
+        return []
+    categories: list[str] = []
+    for node in _iter_nodes(catlinks):
+        if node.tag != "a":
+            continue
+        for text in _text_nodes(node):
+            if text == "Categories":
+                continue
+            if text.startswith("Category:"):
+                categories.append(text[len("Category:"):])
+            else:
+                categories.append(text)
+    return categories
+
+
+def _extract_clean_text(content_div: _Node) -> str | None:
+    """X4 — text_content of the main container, line-normalized.
+
+    Reference: readability summary → text_content → '\n'.join(stripped
+    non-blank lines) (wiki_content_extractor.py:141-159). See module
+    docstring for the readability→content-div substitution.
+    """
+    text = text_content(content_div).strip()
+    return "\n".join(line.strip() for line in text.splitlines() if line.strip())
+
+
+def extract_content(url: str, html: str) -> dict:
+    """Fused X1–X5 + X7. Returns the SaveParsedContent-shaped dict.
+
+    Mirrors wiki_content_extractor.py:30-75 exactly: blank page short-circuit,
+    missing-title sentinel, missing-main-content → text_content None.
+    """
+    if not html.strip():
+        return {
+            "source_page_url": url,
+            "title": TITLE_BLANK_SENTINEL,
+            "categories": [],
+            "text_content": None,
+            "text_content_hash": None,
+        }
+    root = parse_html(html)
+
+    title = _extract_title(root)
+    if not title:
+        title = TITLE_MISSING_SENTINEL
+
+    categories = _extract_categories(root)
+    content_div = _find_first_by_id(root, "mw-content-text")
+    if content_div is None:
+        return {
+            "source_page_url": url,
+            "title": title,
+            "categories": categories,
+            "text_content": None,
+            "text_content_hash": None,
+        }
+
+    text = _extract_clean_text(content_div)
+    return {
+        "source_page_url": url,
+        "title": title,
+        "categories": categories,
+        "text_content": text,
+        "text_content_hash": sha256_hex(text) if text else None,
+    }
+
+
+# --- link extraction (X6) ---------------------------------------------------
+def extract_links(source_page_url: str, html: str, depth: int) -> list[dict]:
+    """X6 — wiki_link_extractor.py:28-107.
+
+    All <a> descendants of the first div#mw-content-text, document order;
+    href-less anchors dropped; per-link failures dropped; depth = parent + 1.
+    """
+    if not html.strip():
+        return []
+    root = parse_html(html)
+    content_div = _find_first_by_id(root, "mw-content-text")
+    if content_div is None:
+        return []
+
+    links: list[dict] = []
+    seq = 0
+    for node in _iter_nodes(content_div):
+        if node.tag != "a":
+            continue
+        href = node.attrs.get("href")
+        if not href:
+            continue
+        try:
+            norm = normalize_url(href)
+            internal = is_internal_link(norm)
+            anchor_text = text_content(node).strip()
+            rel_attr = node.attrs.get("rel") or ""
+            title_attr = node.attrs.get("title") or ""
+            id_attr = node.attrs.get("id") or ""
+            link_type = determine_link_type(internal, norm, href, anchor_text, rel_attr)
+            links.append(
+                {
+                    "source_page_url": source_page_url,
+                    "url": norm,
+                    "depth": depth + 1,
+                    "is_internal": internal,
+                    "anchor_text": anchor_text,
+                    "title_attribute": title_attr,
+                    "rel_attribute": rel_attr,
+                    "id_attribute": id_attr,
+                    "link_type": link_type,
+                    "in_page_seq": seq,
+                }
+            )
+            seq += 1
+        except Exception:
+            continue
+    return links
+
+
+def parse_page(url: str, html: str, depth: int) -> dict:
+    """One-pass fused parse: content struct + links array for one page."""
+    content = extract_content(url, html)
+    content["links"] = extract_links(url, html, depth)
+    return content

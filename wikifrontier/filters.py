@@ -1,0 +1,109 @@
+"""Scheduler filter chain F1–F6 as native Column expressions.
+
+Reference: /root/reference/components/scheduler/core/filter.py:43-110.
+The chain is a short-circuit OR evaluated in this order: depth → domain →
+prefix → home_page → robots (``is_filtered``, filter.py:51-57). We encode it
+as a single CASE expression yielding the *first matching filter reason*
+(NULL = link passes), which reproduces both the pass/drop decision and the
+per-filter-type Prometheus counters (FILTERED_LINKS_TOTAL labels) as a
+groupBy — all inside whole-stage codegen, no Python per row.
+
+robots.txt rules are parsed once on the driver (the reference also fetches
+robots once at service init, filter.py:33-41) and compiled into a broadcast
+CASE chain of prefix tests — longest-rule-first, Allow wins ties, default
+allow, mirroring urllib.robotparser decision semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# scheduler_base_config.yml:14-33 / scheduler_prod.yml:9
+MAX_DEPTH = 4
+ALLOWED_DOMAINS = ("en.wikipedia.org",)
+EXCLUDED_PREFIXES = (
+    "/wiki/Special:",
+    "/wiki/Help:",
+    "/wiki/Portal:",
+    "/wiki/File:",
+    "/wiki/Template:",
+    "/wiki/Template_talk:",
+    "/wiki/Wikipedia:",
+    "/wiki/Talk:",
+    "/wiki/Category:",
+    "/wiki/Book:",
+    "/wiki/User:",
+    "/wiki/Module:",
+    "/wiki/Project:",
+    "/wiki/Main_Page",
+)
+
+
+def parse_robots(robots_txt: str) -> list[tuple[str, bool]]:
+    """Compile a robots.txt (User-agent: * section) into (prefix, allow)
+    rules ordered longest-first (urllib.robotparser precedence)."""
+    rules: list[tuple[str, bool]] = []
+    in_star = False
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            in_star = value == "*"
+        elif in_star and key in ("allow", "disallow") and value:
+            rules.append((value, key == "allow"))
+    # longest prefix first; Allow before Disallow on equal length
+    rules.sort(key=lambda r: (-len(r[0]), not r[1]))
+    return rules
+
+
+def robots_denied_expr(path: Column, rules: list[tuple[str, bool]]) -> Column:
+    """First (longest) matching rule decides; default allow. F5."""
+    denied = F.lit(False)
+    # build CASE from the *last* (shortest) rule outward so the first rule
+    # in precedence order ends up as the outermost WHEN
+    expr = F.lit(False)
+    for prefix, allow in reversed(rules):
+        expr = F.when(path.startswith(prefix), F.lit(not allow)).otherwise(expr)
+    return expr if rules else denied
+
+
+def filter_reason(
+    url: Column,
+    depth: Column,
+    max_depth: int = MAX_DEPTH,
+    allowed_domains: tuple[str, ...] = ALLOWED_DOMAINS,
+    excluded_prefixes: tuple[str, ...] = EXCLUDED_PREFIXES,
+    robots_rules: list[tuple[str, bool]] | None = None,
+) -> Column:
+    """First matching filter reason, NULL if the link passes all filters.
+
+    Reason labels match the reference metric labels
+    (filter.py:63,71,100,108,87): depth, domain, prefix, home_page,
+    robots_txt.
+    """
+    host = F.parse_url(url, F.lit("HOST"))
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+
+    prefix_hit = F.lit(False)
+    for p in excluded_prefixes:
+        prefix_hit = prefix_hit | path.startswith(p)
+
+    # F4 — filter.py:105-110: path.strip('/') == '' and netloc in ['', 'en.wikipedia.org']
+    home_page = (F.regexp_replace(path, r"^/+|/+$", "") == "") & (
+        F.coalesce(host, F.lit("")).isin("", "en.wikipedia.org")
+    )
+
+    robots = robots_denied_expr(path, robots_rules or [])
+
+    return (
+        F.when(depth > F.lit(max_depth), F.lit("depth"))
+        .when(~F.coalesce(host, F.lit("")).isin(*allowed_domains), F.lit("domain"))
+        .when(prefix_hit, F.lit("prefix"))
+        .when(home_page, F.lit("home_page"))
+        .when(robots, F.lit("robots_txt"))
+    )

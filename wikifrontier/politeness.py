@@ -1,0 +1,54 @@
+"""Politeness: per-host batch caps + skew-aware pop (SURVEY.md §2.9).
+
+The reference enforces 1 req/s per crawler process via a @limits decorator
+(components/crawler/core/http_fetcher.py:29-41) and paces dispatch at
+75 URLs/s (dispatcher_prod.yml:6-9). In the batch-rounds model the
+equivalent is: each round may fetch at most ``budget`` URLs overall (the
+dispatch budget) and at most ``per_host_cap`` URLs per registered host (the
+politeness budget).
+
+Scale design: the global pop is a distributed top-k
+(``orderBy(...).limit(n)`` → TakeOrderedAndProject: per-partition top-k then
+a single merge — NO global sort of 10^10 pending rows). The per-host window
+runs only on the already-popped batch (≤ budget rows), so the
+single-dominant-host skew of a wiki crawl (en.wikipedia ≫ everything else)
+never funnels the full frontier through one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# deterministic pop order — stands in for the reference's autoincrement id
+# FIFO (db_reader.py:53-77): rounds preserve insertion order across rounds,
+# (depth, source, url) linearizes the racy within-round order (SURVEY §3.4).
+POP_ORDER = ("scheduled_round", "depth", "source_page_url", "url")
+
+
+def pop_frontier(pending: DataFrame, budget: int | None) -> DataFrame:
+    """T1: global FIFO pop of up to ``budget`` URLs."""
+    if budget is None:
+        return pending
+    return pending.orderBy(*POP_ORDER).limit(budget)
+
+
+def cap_per_host(batch: DataFrame, per_host_cap: int | None) -> DataFrame:
+    """Keep at most per_host_cap rows per host, FIFO order within host."""
+    if per_host_cap is None:
+        return batch
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    w = Window.partitionBy(host).orderBy(*POP_ORDER)
+    return (
+        batch.withColumn("_hrn", F.row_number().over(w))
+        .filter(F.col("_hrn") <= per_host_cap)
+        .drop("_hrn")
+    )
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 64) -> DataFrame:
+    """Spread a skewed single-host batch across executors:
+    repartition on (host, xxhash64(url) % salt) — north_rule skew handling."""
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    return df.repartition(num_partitions, host, salt)

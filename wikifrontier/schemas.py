@@ -1,0 +1,79 @@
+"""Schemas for every state table (SURVEY.md §1.2 Postgres→Spark mapping).
+
+Reference schema source: /root/reference/database/db_models/models.py
+(pages :34-105, links :108-158, scheduled_links :162-183,
+page_content :203-253, categories :192-200,256-275). Surrogate bigserial ids
+are dropped; natural keys (`url`, `(source_page_url, url)`) rule, and the
+categories M:N collapses to ``array<string>`` on page_content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# input corpus (BASELINE.json input_hint)
+WEB_PAGES_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+# pending frontier (reference scheduled_links, models.py:162-183; the
+# bigserial insertion-order id becomes the deterministic ordering key
+# (scheduled_round, depth, source_page_url, url) — SURVEY.md §3.4)
+FRONTIER_DDL = (
+    "url string, depth int, scheduled_round int, source_page_url string"
+)
+
+# URL-seen claim set (reference Redis keyspace, shared/redis/cache_service.py)
+SEEN_DDL = "url string, depth int, claimed_round int, source_page_url string"
+
+# link graph — only filter-passing, claim-winning links are stored
+# (scheduler publishes valid_links only: schedule_service.py:114-121)
+LINKS_DDL = (
+    "source_page_url string, url string, depth int, is_internal boolean, "
+    "anchor_text string, title_attribute string, rel_attribute string, "
+    "id_attribute string, link_type string, discovered_round int, "
+    "discovered_at timestamp"
+)
+
+# crawl outcomes (reference pages, models.py:34-105; `depth` /
+# `first_crawled_round` added for BFS-layer lineage)
+PAGES_DDL = (
+    "url string, last_crawl_status string, http_status_code int, "
+    "url_hash string, html_content_hash string, compressed_filepath string, "
+    "last_crawled_at timestamp, next_crawl_at timestamp, "
+    "total_crawl_attempts int, failed_crawl_attempts int, "
+    "last_error_seen string, depth int, first_crawled_round int"
+)
+
+# parsed content (reference page_content, models.py:203-253; `summary` is
+# never written by the reference db_writer (db_writer.py:199-207) — dropped)
+PAGE_CONTENT_DDL = (
+    "source_page_url string, title string, categories array<string>, "
+    "text_content string, text_content_hash string, parsed_at timestamp"
+)
+
+# per-round counters (reference Prometheus metrics, components/*/monitoring)
+METRICS_DDL = (
+    "round int, urls_popped long, fetch_success long, fetch_failed long, "
+    "pages_parsed long, links_extracted long, links_dedup_dropped long, "
+    "filtered_depth long, filtered_domain long, filtered_prefix long, "
+    "filtered_home_page long, filtered_robots long, links_claimed long"
+)
+
+PARSED_LINK_FIELDS = (
+    "source_page_url:string,url:string,depth:int,is_internal:boolean,"
+    "anchor_text:string,title_attribute:string,rel_attribute:string,"
+    "id_attribute:string,link_type:string,in_page_seq:int"
+)
+
+# return struct of the fused parse UDF (X1–X7)
+PARSED_DDL = (
+    "title string, categories array<string>, text_content string, "
+    f"text_content_hash string, links array<struct<{PARSED_LINK_FIELDS}>>"
+)
+
+
+def ddl_to_schema(ddl: str) -> T.StructType:
+    return T.StructType.fromDDL(ddl)
+
+
+def empty_df(spark, ddl: str):
+    return spark.createDataFrame([], ddl_to_schema(ddl))

@@ -1,0 +1,98 @@
+"""Durable round checkpoint / resume (north_rule; SURVEY.md §4.2 item 3).
+
+Plain-parquet stand-in for Iceberg snapshots: each round writes every state
+table under ``{dir}/round={N}/{table}/`` and commits by writing
+``_MANIFEST.json`` last (atomic rename on a real object store would be the
+commit point; here manifest-presence is the marker). Resume loads the
+highest round with a manifest — a killed job restarts mid-crawl with zero
+URL re-fetches because pending/seen are part of the snapshot.
+
+The manifest carries per-round counters (fetch/parse/dedup — north_rule's
+lineage + metrics requirement); per-partition row counts are recorded for
+the frontier table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import SparkSession
+
+from wikifrontier import schemas
+
+TABLE_DDLS = {
+    "pending": schemas.FRONTIER_DDL,
+    "seen": schemas.SEEN_DDL,
+    "pages": schemas.PAGES_DDL,
+    "page_content": schemas.PAGE_CONTENT_DDL,
+    "links": schemas.LINKS_DDL,
+    "metrics": schemas.METRICS_DDL,
+}
+
+
+def write_checkpoint(spark: SparkSession, state, ckpt_dir: str):
+    """Write all state tables for state.round; return state re-backed by the
+    parquet files (which truncates lineage for the next round)."""
+    from wikifrontier.frontier import CrawlState
+
+    round_dir = os.path.join(ckpt_dir, f"round={state.round}")
+    os.makedirs(round_dir, exist_ok=True)
+    tables = state.tables()
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(round_dir, name))
+
+    reloaded = {
+        name: spark.read.schema(schemas.ddl_to_schema(TABLE_DDLS[name])).parquet(
+            os.path.join(round_dir, name)
+        )
+        for name in tables
+    }
+
+    manifest = {
+        "round": state.round,
+        "tables": sorted(tables),
+        "pending_partition_rows": [
+            int(n)
+            for n in reloaded["pending"]
+            .rdd.glom()
+            .map(len)
+            .collect()
+        ],
+    }
+    tmp = os.path.join(round_dir, "_MANIFEST.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(round_dir, "_MANIFEST.json"))
+
+    return CrawlState(round=state.round, **reloaded)
+
+
+def latest_round(ckpt_dir: str) -> int | None:
+    best = None
+    if not os.path.isdir(ckpt_dir):
+        return None
+    for entry in os.listdir(ckpt_dir):
+        if entry.startswith("round=") and os.path.exists(
+            os.path.join(ckpt_dir, entry, "_MANIFEST.json")
+        ):
+            n = int(entry.split("=", 1)[1])
+            best = n if best is None else max(best, n)
+    return best
+
+
+def load_checkpoint(spark: SparkSession, ckpt_dir: str):
+    """Load the newest complete round snapshot, or None."""
+    from wikifrontier.frontier import CrawlState
+
+    n = latest_round(ckpt_dir)
+    if n is None:
+        return None
+    round_dir = os.path.join(ckpt_dir, f"round={n}")
+    tables = {
+        name: spark.read.schema(schemas.ddl_to_schema(ddl)).parquet(
+            os.path.join(round_dir, name)
+        )
+        for name, ddl in TABLE_DDLS.items()
+    }
+    return CrawlState(round=n, **tables)
