@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship end-to-end BFS crawl (frontier round loop) on
+the sf0.001 documents-derived corpus. ``queries`` exposes one entry per
+operator family from SURVEY.md §2 plus the training-data-pipeline tier
+(dedup / similarity / text analysis / multimodal); ``oracle_sql`` gives
+the DuckDB-dialect ground truth for each. Implementations live in
+``wikifrontier/queries.py`` — this module is the thin adapter.
+
+Oracle-SQL parity rules observed throughout:
+* identical column aliases and value-affecting operation order as the
+  Spark side (the driver hashes values after sorting columns by name);
+* only engine-portable primitives: sha256 hex, string min/instr, double
+  left-folds with round(…, 6), exact decimal sums — never engine-native
+  64-bit hashes or order-sensitive double aggregation.
 """
 
 from __future__ import annotations
@@ -13,26 +21,469 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wikifrontier import queries as Q
+from wikifrontier.corpus import bfs_layers_oracle_sql
+from wikifrontier.dedup import LSH_BANDS, MINHASH_PERMS, SIMHASH_BITS
+from wikifrontier.textops import BPE_RE, LANG_PROFILES, STOPWORDS, TOKEN_RE
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full BFS crawl of the sf0.001 corpus; returns the BFS
+    layer table (url, depth, status, first_crawled_round)."""
+    return Q.q10_bfs_crawl(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(Q.ALL_QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect)
+# --------------------------------------------------------------------------
+TOKS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+CAND = """
+cand AS (
+  SELECT doc_id,
+    'https://'
+      || (CASE WHEN doc_id % 20 = 0 THEN 'example.com' ELSE 'en.wikipedia.org' END)
+      || (CASE WHEN doc_id % 7 = 0 THEN '/wiki/Special:Doc_'
+               WHEN doc_id % 11 = 0 THEN '/wiki/Help:Doc_'
+               ELSE '/wiki/Doc_' END)
+      || doc_id
+      || (CASE WHEN doc_id % 3 = 0 THEN '#frag'
+               WHEN doc_id % 3 = 1 THEN '?q=1'
+               ELSE '' END) AS url,
+    CAST(doc_id % 6 AS INT) AS depth
+  FROM documents
+)"""
+
+CANON = """
+canon AS (
+  SELECT doc_id, url, regexp_replace(url, '[#?].*$', '') AS canonical_url, depth
+  FROM cand
+)"""
+
+PARSED = """
+parsed AS (
+  SELECT *,
+    regexp_extract(canonical_url, '^https://([^/]+)', 1) AS host,
+    regexp_extract(canonical_url, '^https://[^/]+(/.*)$', 1) AS path
+  FROM canon
+)"""
+
+_PREFIXES = (
+    "/wiki/Special:", "/wiki/Help:", "/wiki/Portal:", "/wiki/File:",
+    "/wiki/Template:", "/wiki/Template_talk:", "/wiki/Wikipedia:",
+    "/wiki/Talk:", "/wiki/Category:", "/wiki/Book:", "/wiki/User:",
+    "/wiki/Module:", "/wiki/Project:", "/wiki/Main_Page",
+)
+PREFIX_HIT = " OR ".join(f"starts_with(path, '{p}')" for p in _PREFIXES)
+
+FILTER_REASON = f"""
+  CASE WHEN depth > 4 THEN 'depth'
+       WHEN host NOT IN ('en.wikipedia.org') THEN 'domain'
+       WHEN {PREFIX_HIT} THEN 'prefix'
+       WHEN regexp_replace(path, '^/+|/+$', '', 'g') = ''
+            AND host IN ('', 'en.wikipedia.org') THEN 'home_page'
+       ELSE NULL END
+"""
+
+EVENT_FRONTIER = """
+pending AS (
+  SELECT 'https://en.wikipedia.org/wiki/E' || event_id AS url,
+         CAST(user_id % 5 AS INT) AS depth,
+         CAST(event_id % 3 AS INT) AS scheduled_round,
+         event_type AS source_page_url
+  FROM events
+)"""
+
+# documents ∪ derived near-duplicates (queries.neardup_docs)
+NEARDUP = f"""
+toks0 AS (SELECT doc_id, text, lang, {TOKS} AS t FROM documents),
+docs AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(t[1:greatest(len(t)-3, 1)], ' '),
+         lang
+  FROM toks0
+)"""
+
+SHINGLE3 = (
+    "CASE WHEN len(t) >= 3 THEN "
+    "list_transform(generate_series(1, CAST(len(t)-2 AS INT)), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) "
+    "ELSE [] END"
+)
+
+
+def _minhash_sig_sql(source: str) -> str:
+    """Signature CTE over `source` (needs doc_id, text)."""
+    mins = ",\n    ".join(
+        f"min(substr(sha256('{p}:' || shingle), 1, 16)) AS h{p}"
+        for p in range(MINHASH_PERMS)
+    )
+    return f"""
+tok AS (SELECT doc_id, {TOKS} AS t FROM {source}),
+sh AS (SELECT doc_id, unnest({SHINGLE3}) AS shingle FROM tok),
+sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+)"""
+
+
+def _band_exprs() -> list[str]:
+    rows = MINHASH_PERMS // LSH_BANDS
+    out = []
+    for b in range(LSH_BANDS):
+        parts = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        out.append(f"sha256('{b}' || '|' || {parts})")
+    return out
+
+
+def _simhash_sql(source: str) -> str:
+    votes = ",\n    ".join(
+        f"sum(((instr('0123456789abcdef', substr(h, {j + 1}, 1)) - 1) % 2) * 2 - 1) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+tok AS (SELECT doc_id, unnest(list_distinct({TOKS})) AS tk FROM {source}),
+th AS (SELECT doc_id, sha256(tk) AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes"""
+
+
+COSINE = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+SIGN_BUCKET = " + ".join(
+    f"(CASE WHEN CAST({{v}}[{i + 1}] AS DOUBLE) > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(6)
+)
+
+_MARKER_LIST = {
+    lang: ", ".join(f"'{m}'" for m in markers)
+    for lang, markers in LANG_PROFILES.items()
+}
+_STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qual = """
+f AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    CAST(length(text) AS DOUBLE) AS char_len,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tok_chars,
+    CAST(len(list_filter(toks, x -> x IN (%s))) AS DOUBLE) AS stops,
+    CAST(len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+'))) AS DOUBLE) AS digits
+  FROM (SELECT doc_id, text, %s AS toks FROM documents)
+)""" % (_STOP_LIST, TOKS)
+
+    lang_scores = ",\n    ".join(
+        f"CAST(len(list_filter(toks, x -> x IN ({_MARKER_LIST[lang]}))) AS INT) AS s_{lang}"
+        for lang in sorted(LANG_PROFILES)
+    )
+    # alphabetical priority: earlier lang wins ties
+    langs = sorted(LANG_PROFILES)
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{other}" for other in langs[i + 1 :])
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(whens) + f" ELSE '{langs[-1]}' END"
+
+    agree = " + ".join(
+        f"(CASE WHEN sa.h{p} = sb.h{p} THEN 1 ELSE 0 END)" for p in range(MINHASH_PERMS)
+    )
+    sig_cols_a = ", ".join(f"sa.h{p}" for p in range(MINHASH_PERMS))
+    bands = ",\n      ".join(_band_exprs())
+
+    return {
+        "q01_canonicalize": f"""
+WITH {CAND}, {CANON}, {PARSED}
+SELECT doc_id, url, canonical_url, host, path FROM parsed
+""",
+        "q02_filter_chain": f"""
+WITH {CAND}, {CANON}, {PARSED}
+SELECT doc_id, canonical_url, depth, {FILTER_REASON} AS filter_reason FROM parsed
+""",
+        "q03_filter_metrics": f"""
+WITH {CAND}, {CANON}, {PARSED}
+SELECT coalesce({FILTER_REASON}, 'passed') AS outcome, count(*) AS n
+FROM parsed GROUP BY 1
+""",
+        "q04_seen_antijoin": f"""
+WITH {CAND}
+SELECT doc_id, url, depth FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand s WHERE s.doc_id % 2 = 0 AND s.url = c.url
+)
+""",
+        "q05_claim_first_wins": """
+WITH cands AS (
+  SELECT 'https://en.wikipedia.org/wiki/U' || user_id AS url,
+         'https://en.wikipedia.org/wiki/E' || event_type AS source_page_url,
+         CAST(event_id AS INT) AS in_page_seq,
+         CAST(user_id % 5 AS INT) AS depth
+  FROM events
+)
+SELECT url, source_page_url, in_page_seq, depth FROM cands
+QUALIFY row_number() OVER (
+  PARTITION BY url ORDER BY source_page_url, in_page_seq) = 1
+""",
+        "q06_frontier_pop": f"""
+WITH {EVENT_FRONTIER}
+SELECT url, depth, scheduled_round, source_page_url FROM pending
+ORDER BY scheduled_round, depth, source_page_url, url LIMIT 100
+""",
+        "q07_politeness_cap": """
+WITH batch AS (
+  SELECT 'https://h' || (user_id % 10) || '.com/e/' || event_id AS url,
+         CAST(user_id % 5 AS INT) AS depth,
+         CAST(0 AS INT) AS scheduled_round,
+         event_type AS source_page_url
+  FROM events
+)
+SELECT url, depth, scheduled_round, source_page_url FROM batch
+QUALIFY row_number() OVER (
+  PARTITION BY regexp_extract(url, '^https://([^/]+)', 1)
+  ORDER BY scheduled_round, depth, source_page_url, url) <= 5
+""",
+        "q08_pages_merge": """
+WITH old AS (
+  SELECT 'https://en.wikipedia.org/wiki/O' || o_orderkey AS url,
+         CASE WHEN o_orderstatus = 'F' THEN 'SUCCESS' ELSE 'FAILED' END AS last_crawl_status,
+         CAST(200 AS INT) AS http_status_code,
+         sha256(CAST(o_orderkey AS VARCHAR)) AS url_hash,
+         CASE WHEN o_orderkey % 5 <> 0 THEN sha256('h' || o_orderkey) END AS html_content_hash,
+         CAST(1 AS INT) AS total_crawl_attempts,
+         CAST(0 AS INT) AS failed_crawl_attempts,
+         CAST(o_orderkey % 4 AS INT) AS depth,
+         CAST(0 AS INT) AS first_crawled_round
+  FROM orders WHERE o_orderkey % 3 <> 0
+), new AS (
+  SELECT 'https://en.wikipedia.org/wiki/O' || o_orderkey AS url,
+         CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2') THEN 'SUCCESS'
+              WHEN substr(o_orderpriority, 1, 1) IN ('3', '4') THEN 'FAILED'
+              ELSE 'SKIPPED' END AS last_crawl_status,
+         CAST(404 AS INT) AS http_status_code,
+         sha256(CAST(o_orderkey AS VARCHAR)) AS url_hash,
+         CASE WHEN o_orderkey % 5 <> 0 THEN sha256('h' || o_orderkey) END AS html_content_hash,
+         CAST(1 AS INT) AS total_crawl_attempts,
+         CAST(0 AS INT) AS failed_crawl_attempts,
+         CAST(o_orderkey % 4 AS INT) AS depth,
+         CAST(0 AS INT) AS first_crawled_round
+  FROM orders WHERE o_orderkey % 2 = 0
+)
+SELECT
+  coalesce(o.url, n.url) AS url,
+  CASE WHEN n.last_crawl_status IS NOT NULL THEN n.last_crawl_status
+       ELSE o.last_crawl_status END AS last_crawl_status,
+  CASE WHEN n.last_crawl_status IS NOT NULL THEN n.http_status_code
+       ELSE o.http_status_code END AS http_status_code,
+  CASE WHEN o.last_crawl_status IS NOT NULL THEN o.url_hash
+       ELSE n.url_hash END AS url_hash,
+  CASE WHEN n.last_crawl_status IS NOT NULL THEN n.html_content_hash
+       ELSE o.html_content_hash END AS html_content_hash,
+  CAST(coalesce(o.total_crawl_attempts, 0)
+       + (CASE WHEN n.last_crawl_status IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+    AS total_crawl_attempts,
+  CAST(coalesce(o.failed_crawl_attempts, 0)
+       + (CASE WHEN n.last_crawl_status IS NOT NULL
+                AND o.last_crawl_status IS NOT NULL
+                AND n.last_crawl_status IN ('FAILED', 'SKIPPED')
+           THEN 1 ELSE 0 END) AS INT) AS failed_crawl_attempts,
+  least(o.depth, n.depth) AS depth
+FROM old o FULL OUTER JOIN new n ON o.url = n.url
+""",
+        "q09_recrawl_due": """
+WITH pages AS (
+  SELECT 'https://en.wikipedia.org/wiki/O' || o_orderkey AS url,
+         o_orderkey AS okey
+  FROM orders WHERE o_orderdate < TIMESTAMP '1993-01-01'
+)
+SELECT p.url AS url,
+       CAST(coalesce(min(l.l_linenumber), 0) AS INT) AS depth
+FROM pages p LEFT JOIN lineitem l ON l.l_orderkey = p.okey
+GROUP BY p.url
+""",
+        "q10_bfs_crawl": bfs_layers_oracle_sql(max_depth=4),
+        "q11_events_rollup": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM events GROUP BY event_type
+""",
+        "q12_events_json": """
+SELECT event_type, count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS k_sum, CAST(max(k) AS BIGINT) AS k_max
+FROM (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+) GROUP BY event_type
+""",
+        "q13_dedup_exact": f"""
+WITH norm AS (
+  SELECT doc_id, array_to_string(({TOKS})[1:5], ' ') AS text FROM documents
+)
+SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM norm GROUP BY sha256(text)
+""",
+        "q14_dedup_minhash": f"""
+WITH {NEARDUP}, {_minhash_sig_sql('docs')}
+SELECT * FROM sig
+""",
+        "q15_dedup_minhash_lsh": f"""
+WITH {NEARDUP}, {_minhash_sig_sql('docs')},
+banded AS (
+  SELECT doc_id AS id, unnest([
+      {bands}]) AS band_key
+  FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, round(({agree}) / 12.0, 6) AS est_jaccard
+FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+WHERE round(({agree}) / 12.0, 6) >= 0.5
+""",
+        "q16_dedup_simhash": f"""
+WITH {_simhash_sql('documents').strip().rstrip()}
+""",
+        "q17_dedup_ngram_jaccard": f"""
+WITH {NEARDUP},
+sets AS (
+  SELECT doc_id, lang, list_distinct({SHINGLE3}) AS grams
+  FROM (SELECT doc_id, lang, {TOKS} AS t FROM docs)
+),
+joined AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS i,
+    CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS u
+  FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CASE WHEN u > 0 THEN i / u ELSE 0.0 END, 6) AS jaccard
+FROM joined
+WHERE round(CASE WHEN u > 0 THEN i / u ELSE 0.0 END, 6) >= 0.5
+""",
+        "q18_dedup_embedding": f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({COSINE.format(a='a.embedding', b='b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({COSINE.format(a='a.embedding', b='b.embedding')}, 6) >= 0.35
+""",
+        "q19_ann_bruteforce": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round({COSINE.format(a='q.qvec', b='v.embedding')}, 6) AS cos_sim
+  FROM q CROSS JOIN embeddings v
+  WHERE v.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10
+""",
+        "q20_ann_bucketed": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+         {SIGN_BUCKET.format(v='embedding')} AS bucket
+  FROM embeddings WHERE vec_id < 5
+),
+v AS (
+  SELECT vec_id AS neighbor_id, embedding AS vec,
+         {SIGN_BUCKET.format(v='embedding')} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, v.neighbor_id,
+         round({COSINE.format(a='q.qvec', b='v.vec')}, 6) AS cos_sim
+  FROM q JOIN v USING (bucket)
+  WHERE v.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10
+""",
+        "q21_lang_id": f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {lang_scores}
+  FROM (SELECT doc_id, lang, {TOKS} AS toks FROM documents)
+)
+SELECT doc_id, lang, {lang_case} AS pred_lang FROM s
+""",
+        "q22_quality": f"""
+WITH {qual}
+SELECT doc_id,
+  CAST(n AS INT) AS n_tokens,
+  char_len,
+  round(CASE WHEN n > 0 THEN tok_chars / n ELSE 0.0 END, 6) AS mean_tok_len,
+  round(CASE WHEN n > 0 THEN stops / n ELSE 0.0 END, 6) AS stop_ratio,
+  round(CASE WHEN n > 0 THEN digits / n ELSE 0.0 END, 6) AS digit_ratio,
+  round(least(n / 100.0, 1.0) * 0.4
+        + (CASE WHEN n > 0 THEN stops / n ELSE 0.0 END) * 0.3
+        + least((CASE WHEN n > 0 THEN tok_chars / n ELSE 0.0 END) / 8.0, 1.0) * 0.3,
+        6) AS quality_score
+FROM f
+""",
+        "q23_token_counts": f"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS INT) AS n_bpe_tokens
+FROM documents
+""",
+        "q24_fingerprints": f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, unnest({SHINGLE3}) AS s FROM tok),
+h AS (SELECT doc_id, sha256(s) AS hh FROM sh)
+SELECT DISTINCT doc_id, substr(hh, 1, 16) AS fingerprint
+FROM h WHERE starts_with(hh, '0')
+""",
+        "q25_multimodal_meta": """
+SELECT doc_id AS media_id,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       ELSE 'video' END AS kind,
+  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+  sha256(text) AS content_sha,
+  (['riff', 'png', 'jpeg', 'mp4'])[(ascii(substr(text, 1, 1)) % 4) + 1] AS format
+FROM documents
+""",
+        "q26_multimodal_features": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         ELSE 'video' END AS kind,
+    octet_length(encode(text)) AS n,
+    text
+  FROM documents
+)
+SELECT media_id, kind,
+  CAST(CASE WHEN kind = 'image' THEN 1 ELSE (n % 240) + 1 END AS INT) AS n_frames,
+  CAST(16 * ((n % 64) + 1) AS INT) AS width,
+  CAST(9 * ((n % 64) + 1) AS INT) AS height,
+  substr(sha256(substr(text, 1, 64)), 1, 16) AS feat_checksum
+FROM m
+""",
+    }

@@ -1,0 +1,173 @@
+"""Tests for the training-data-pipeline tier: dedup, similarity, text
+analysis, multimodal plumbing. Complements tests/test_extract.py (parser
+parity) and tests/test_spark_pipeline.py (BFS engine)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikifrontier import dedup, multimodal, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (2, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (3, "completely different text about spark engines here", "en"),
+        (4, "vector hash join merge sort stream window", "de"),
+        (5, "12 34 numbers only 56", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_tokens_and_shingles(spark):
+    df = spark.createDataFrame([("A b, c1 d!",)], "text string")
+    out = df.select(
+        textops.tokens(F.col("text")).alias("t"),
+        textops.shingles(textops.tokens(F.col("text")), 3).alias("s"),
+    ).first()
+    assert out["t"] == ["a", "b", "c1", "d"]
+    assert out["s"] == ["a b c1", "b c1 d"]
+    # below shingle width → empty, never a descending-sequence artifact
+    short = spark.createDataFrame([("one two",)], "text string")
+    assert short.select(
+        textops.shingles(textops.tokens(F.col("text")), 3).alias("s")
+    ).first()["s"] == []
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).collect()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep[0] == 2  # docs 0 and 1 identical
+    assert len(out) == 5  # 6 docs, one collision
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in found  # identical docs always collide in every band
+    for r in pairs:
+        if (r["id_a"], r["id_b"]) == (0, 1):
+            assert r["est_jaccard"] == 1.0
+
+
+def test_simhash_identical_and_distance(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text → identical sketch
+    assert 0 <= sh[0] < (1 << dedup.SIMHASH_BITS)
+    pairs = dedup.simhash_pairs(docs, max_hamming=3, block_col="lang").collect()
+    assert any((r["id_a"], r["id_b"]) == (0, 1) and r["hamming"] == 0 for r in pairs)
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # one-word change keeps most shingles
+    assert (0, 3) not in pairs
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 0),
+        (3, [-1.0, 0.0, 0.0, 0.0], 1),
+        (4, [1.0, 0.01, 0.0, 0.0], 1),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_embedding_dedup(vectors):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in dedup.embedding_dup_pairs(vectors, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs
+
+
+def test_brute_force_topk(vectors):
+    out = similarity.brute_force_topk(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=2
+    ).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in ranked] == [4, 1]
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_bucketed_topk_subset_of_bucket(spark):
+    rows = [
+        (0, [1.0, 1.0, 0.0, 0.0], 0),   # bucket 3
+        (1, [0.9, 0.1, 0.0, 0.0], 0),   # bucket 3
+        (2, [0.0, 1.0, 0.0, 0.0], 0),   # bucket 2 — excluded
+        (3, [-1.0, -1.0, 0.0, 0.0], 1),  # bucket 0 — excluded
+        (4, [1.0, 0.01, 0.0, 0.0], 1),  # bucket 3
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.bucketed_topk(
+        vecs, vecs.filter(F.col("vec_id") == 0), k=4, bits=2
+    ).collect()
+    # the probe only sees the query's own sign-bucket
+    assert {r["neighbor_id"] for r in out} == {1, 4}
+
+
+def test_lang_id_deterministic(docs):
+    out = {
+        r["doc_id"]: r["pred"]
+        for r in docs.select(
+            "doc_id", textops.predicted_lang(textops.tokens(F.col("text"))).alias("pred")
+        ).collect()
+    }
+    assert out[0] == "en"  # 'the' ×2, 'a'-profile hits
+    assert out[4] == "de"  # 'vector', 'hash' markers
+    assert set(out.values()) <= set(textops.LANG_PROFILES)
+
+
+def test_quality_features(docs):
+    feats = textops.quality_features(F.col("text"))
+    row = (
+        docs.filter(F.col("doc_id") == 5)
+        .select(*[c.alias(n) for n, c in feats.items()])
+        .first()
+    )
+    assert row["n_tokens"] == 5
+    assert row["digit_ratio"] == 0.6
+    assert 0.0 <= row["quality_score"] <= 1.0
+
+
+def test_fingerprints_stable_under_edit(spark):
+    a = "w%d" % 1
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = base.replace("tok100", "changed")
+    df = spark.createDataFrame([(0, base), (1, edited)], "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select(
+            "doc_id", textops.fingerprints(F.col("text")).alias("f")
+        ).collect()
+    }
+    overlap = len(fps[0] & fps[1]) / max(len(fps[0] | fps[1]), 1)
+    assert overlap > 0.7  # local edit perturbs only nearby shingles
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.attach_media(docs)
+    meta = {r["media_id"]: r for r in multimodal.media_metadata(media).collect()}
+    assert meta[0]["kind"] == "image" and meta[1]["kind"] == "audio"
+    assert meta[0]["byte_len"] == len("the quick brown fox jumps over the lazy dog")
+    feats = {r["media_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[0]["n_frames"] == 1  # images are single-frame
+    assert feats[0]["width"] % 16 == 0 and feats[0]["height"] % 9 == 0
+    assert len(feats[0]["feat_checksum"]) == 16
+
+
+def test_decode_media_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"bytes", "image")

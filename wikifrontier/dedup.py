@@ -1,0 +1,305 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference deduplicates only URLs (Redis seen-set,
+shared/redis/cache_service.py:53-96 → seen.py here). A training-data
+pipeline additionally needs *content* dedup at corpus scale; these five
+operators provide it, all as native DataFrame ops (no Python UDFs):
+
+* exact         — sha256 groupBy, the O(n) baseline.
+* MinHash+LSH   — shingle → 12-permutation signature → 4 bands → bucket
+                  join. Candidate pairs only ever meet inside a band bucket,
+                  so the join shuffles on band keys, never n².
+* SimHash       — 16-bit bitwise-majority sketch + Hamming-radius pairing.
+* n-gram Jaccard— exact set similarity, blocked to keep the self-join
+                  bounded.
+* embedding     — cosine near-dup within blocking keys.
+
+Hash portability: every hash here is sha256 (hex, lowercase) — identical
+in Spark (`sha2`) and DuckDB (`sha256`), so oracle parity is exact.
+MinHash needs only a total order on hash values; lexicographic order on
+hex strings is one, so `min(hex)` IS a valid minhash — no integer
+conversion, no cross-engine 64-bit-hash mismatch.
+
+At 100 TB: the LSH band join is the scale path (shuffle keyed on 16-byte
+band hashes, skew bounded by band width); the exact/Jaccard variants are
+correctness anchors and small-block tools.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wikifrontier.textops import SHINGLE_K, shingles, tokens
+
+MINHASH_PERMS = 12
+LSH_BANDS = 4  # 3 rows per band
+SIMHASH_BITS = 16
+HEX_ALPHABET = "0123456789abcdef"
+
+
+# --- exact -------------------------------------------------------------------
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on sha256(text): one surviving (min-id) row per distinct
+    text + the duplicate count. Map-side partial agg → one shuffle on the
+    32-hex-char hash, never on the text payload itself."""
+    return (
+        df.groupBy(F.sha2(F.col(text), 256).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+# --- MinHash -----------------------------------------------------------------
+def minhash_component(shingle: Column, perm: int) -> Column:
+    """One signature component: sha256 of the seeded shingle, first 16 hex
+    chars. min() over these (string order) = minhash under permutation
+    `perm`."""
+    return F.substring(F.sha2(F.concat(F.lit(f"{perm}:"), shingle), 256), 1, 16)
+
+
+def minhash_signatures(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, h0..h{P-1}) signature table.
+
+    Computed by explode→groupBy (shingle rows, P min-aggregates) rather than
+    P array-min passes: one shuffle on id, map-side combine shrinks each
+    partition to one partial row per doc before the exchange.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(tokens(F.col(text)))).alias("shingle")
+    )
+    aggs = [
+        F.min(minhash_component(F.col("shingle"), p)).alias(f"h{p}")
+        for p in range(MINHASH_PERMS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_keys(sig_cols: list[Column]) -> list[Column]:
+    """Band key b = sha256(band index ++ its signature rows)."""
+    rows_per_band = MINHASH_PERMS // LSH_BANDS
+    keys = []
+    for b in range(LSH_BANDS):
+        parts = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        keys.append(
+            F.sha2(F.concat_ws("|", F.lit(str(b)), *parts), 256).alias(f"band{b}")
+        )
+    return keys
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, scored by signature
+    agreement (the MinHash Jaccard estimate), filtered at `threshold`.
+
+    Plan shape: signatures (1 shuffle) → explode to (band_key, id) →
+    self-join on band_key (shuffle on 16-byte keys) → distinct pairs →
+    estimate. No step touches n² rows; bucket skew is bounded because a
+    band key collides only for near-identical signature slices.
+    """
+    sigs = minhash_signatures(df, text, id_col).persist()
+    sig_cols = [F.col(f"h{p}") for p in range(MINHASH_PERMS)]
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*lsh_band_keys(sig_cols))).alias("band_key"),
+    )
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), *[c.alias(f"a_h{p}") for p, c in enumerate(sig_cols)]
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), *[c.alias(f"b_h{p}") for p, c in enumerate(sig_cols)]
+    )
+    agree = sum(
+        F.when(F.col(f"a_h{p}") == F.col(f"b_h{p}"), 1).otherwise(0)
+        for p in range(MINHASH_PERMS)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(MINHASH_PERMS)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over the distinct-token set.
+
+    Bit j is the majority vote of token-hash nibble parities: nibble j of
+    sha256(token) is mapped to ±1 via `instr` into the hex alphabet (the
+    one hex→int primitive spelled identically in Spark and DuckDB), summed
+    per document, thresholded at > 0.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text)))).alias("tok")
+    ).withColumn("th", F.sha2(F.col("tok"), 256))
+    def vote(j: int) -> Column:
+        nibble = F.instr(F.lit(HEX_ALPHABET), F.substring(F.col("th"), j + 1, 1)) - 1
+        return (nibble % 2) * 2 - 1
+
+    votes = [F.sum(vote(j)).alias(f"v{j}") for j in range(SIMHASH_BITS)]
+    agg = toks.groupBy(id_col).agg(*votes)
+    bits = sum(
+        F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(SIMHASH_BITS)
+    )
+    return agg.select(F.col(id_col), bits.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ `max_hamming`.
+
+    Block on `block_col` (e.g. lang) to bound the self-join; at real scale
+    the block key would be simhash prefix bands (pigeonhole: d≤3 over 16
+    bits ⇒ one of 4 nibble-bands equal), same join shape as LSH.
+    """
+    sh = simhash(df, text, id_col)
+    if block_col is not None:
+        sh = sh.join(df.select(id_col, block_col), id_col)
+    a = sh.select(
+        *[F.col(c).alias(f"a_{c}") for c in sh.columns]
+    )
+    b = sh.select(*[F.col(c).alias(f"b_{c}") for c in sh.columns])
+    cond = F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
+    if block_col is not None:
+        join_on = F.col(f"a_{block_col}") == F.col(f"b_{block_col}")
+        joined = a.join(b, join_on)
+    else:
+        joined = a.crossJoin(b)
+    ham = F.bit_count(
+        F.col("a_simhash").bitwiseXOR(F.col("b_simhash"))
+    )
+    return (
+        joined.filter(cond)
+        .select(
+            F.col(f"a_{id_col}").alias("id_a"),
+            F.col(f"b_{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    threshold: float = 0.2,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-shingle sets, within blocks.
+
+    The block key bounds the self-join (per-block n², not global n²); the
+    set algebra is native array_intersect/array_union — codegen'd, no UDF.
+    """
+    sets = df.select(
+        F.col(id_col),
+        F.col(block_col),
+        F.array_distinct(shingles(tokens(F.col(text)), k)).alias("grams"),
+    )
+    a = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("blk"),
+        F.col("grams").alias("grams_a"),
+    )
+    b = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("blk"),
+        F.col("grams").alias("grams_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(union > 0, inter.cast("double") / union.cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- embedding cosine --------------------------------------------------------
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, double math,
+    sequential left-fold — the same evaluation order as the oracle's
+    list_sum, so results agree to rounding."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ threshold within blocks.
+
+    Blocking on a cluster/label key keeps the join per-block; the 100 TB
+    path swaps the block key for an ANN bucket (similarity.py)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,382 @@
+"""Driver-facing query suite: every SURVEY.md §2 operator family plus the
+training-data-pipeline tier, each as (spark, sf_dir) -> DataFrame.
+
+Each query exercises a *package operator* (filters.py, seen.py,
+politeness.py, frontier.py, dedup.py, similarity.py, textops.py,
+multimodal.py) over the driver's parquet tables; `__spark_entry__.py`
+pairs each with an equivalent DuckDB oracle SQL string. Crawl-dataflow
+operators that need URL-shaped input derive a deterministic URL column
+from doc_id/event_id arithmetic — closed-form, so the oracle reproduces it
+exactly.
+
+Column aliases here and in the oracle SQL must stay identical — the
+driver's comparator hashes values after sorting columns by name.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikifrontier import corpus as corpus_mod
+from wikifrontier import dedup, filters, frontier, multimodal, politeness, seen
+from wikifrontier import similarity as sim
+from wikifrontier import textops
+
+NEARDUP_OFFSET = 1_000_000  # id offset for derived near-duplicate docs
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- derived URL corpora (shared with oracle SQL) ---------------------------
+def candidate_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic raw candidate links from doc_id arithmetic: a mix of
+    wiki articles, namespace pages (F3), external hosts (F2), deep depths
+    (F1), and fragment/query suffixes (P4)."""
+    host = F.when(F.col("doc_id") % 20 == 0, F.lit("example.com")).otherwise(
+        F.lit("en.wikipedia.org")
+    )
+    prefix = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/wiki/Special:Doc_"))
+        .when(F.col("doc_id") % 11 == 0, F.lit("/wiki/Help:Doc_"))
+        .otherwise(F.lit("/wiki/Doc_"))
+    )
+    suffix = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("#frag"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?q=1"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, prefix, F.col("doc_id"), suffix).alias("url"),
+        (F.col("doc_id") % 6).cast("int").alias("depth"),
+    )
+
+
+def event_frontier(events: DataFrame) -> DataFrame:
+    """events → a frontier-shaped table (url unique per event)."""
+    return events.select(
+        F.concat(F.lit("https://en.wikipedia.org/wiki/E"), F.col("event_id")).alias("url"),
+        (F.col("user_id") % 5).cast("int").alias("depth"),
+        (F.col("event_id") % 3).cast("int").alias("scheduled_round"),
+        F.col("event_type").alias("source_page_url"),
+    )
+
+
+def neardup_docs(docs: DataFrame) -> DataFrame:
+    """documents ∪ derived near-duplicates (last 3 tokens dropped, id
+    offset) — gives the similarity operators true positives to find."""
+    toks = textops.tokens(F.col("text"))
+    trunc = F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))))
+    dups = docs.select(
+        (F.col("doc_id") + NEARDUP_OFFSET).alias("doc_id"),
+        trunc.alias("text"),
+        F.col("lang"),
+    )
+    return docs.select("doc_id", "text", "lang").unionByName(dups)
+
+
+# --- crawl-dataflow queries (SURVEY §2) -------------------------------------
+def q01_canonicalize(spark, sf_dir):
+    """P4 — fragment/query strip + host/path split (wiki_link_extractor.py:110-120)."""
+    cand = candidate_urls(load(spark, sf_dir, "documents"))
+    canonical = F.regexp_replace(F.col("url"), "[#?].*$", "")
+    return cand.select(
+        "doc_id",
+        "url",
+        canonical.alias("canonical_url"),
+        F.parse_url(canonical, F.lit("HOST")).alias("host"),
+        F.parse_url(canonical, F.lit("PATH")).alias("path"),
+    )
+
+
+def q02_filter_chain(spark, sf_dir):
+    """F1–F4 — scheduler filter chain (filter.py:43-110) as one CASE expr."""
+    cand = candidate_urls(load(spark, sf_dir, "documents"))
+    canonical = F.regexp_replace(F.col("url"), "[#?].*$", "")
+    return cand.select(
+        "doc_id",
+        canonical.alias("canonical_url"),
+        "depth",
+        filters.filter_reason(canonical, F.col("depth")).alias("filter_reason"),
+    )
+
+
+def q03_filter_metrics(spark, sf_dir):
+    """A6 — per-filter-type counters (FILTERED_LINKS_TOTAL labels) as a
+    groupBy over the filter CASE output."""
+    return (
+        q02_filter_chain(spark, sf_dir)
+        .groupBy(F.coalesce(F.col("filter_reason"), F.lit("passed")).alias("outcome"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q04_seen_antijoin(spark, sf_dir):
+    """D1 — the Redis batch seen-check (cache_service.py:53-74) as a
+    left-anti join; seen = even doc_ids."""
+    cand = candidate_urls(load(spark, sf_dir, "documents")).select("doc_id", "url", "depth")
+    seen_df = cand.filter(F.col("doc_id") % 2 == 0).select("url")
+    return seen.drop_seen(cand, seen_df)
+
+
+def q05_claim_first_wins(spark, sf_dir):
+    """D2 — SET-NX claim (cache_service.py:77-96) as a deterministic
+    first-wins window over event-derived candidates."""
+    events = load(spark, sf_dir, "events")
+    cands = events.select(
+        F.concat(F.lit("https://en.wikipedia.org/wiki/U"), F.col("user_id")).alias("url"),
+        F.concat(F.lit("https://en.wikipedia.org/wiki/E"), F.col("event_type")).alias(
+            "source_page_url"
+        ),
+        F.col("event_id").cast("int").alias("in_page_seq"),
+        (F.col("user_id") % 5).cast("int").alias("depth"),
+    )
+    return seen.claim_first_wins(cands)
+
+
+def q06_frontier_pop(spark, sf_dir):
+    """T1 — the global FIFO pop (db_reader.py:53-77) as a distributed
+    top-k over the deterministic POP_ORDER."""
+    pending = event_frontier(load(spark, sf_dir, "events"))
+    return politeness.pop_frontier(pending, budget=100)
+
+
+def q07_politeness_cap(spark, sf_dir):
+    """§2.9 — per-host politeness budget: ≤5 URLs per host per round."""
+    events = load(spark, sf_dir, "events")
+    batch = events.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 10),
+            F.lit(".com/e/"),
+            F.col("event_id"),
+        ).alias("url"),
+        (F.col("user_id") % 5).cast("int").alias("depth"),
+        F.lit(0).cast("int").alias("scheduled_round"),
+        F.col("event_type").alias("source_page_url"),
+    )
+    return politeness.cap_per_host(batch, per_host_cap=5)
+
+
+def q08_pages_merge(spark, sf_dir):
+    """A1 — the attempts-accumulating page upsert (db_writer.py:42-102) as
+    a full-outer-join rewrite over two orders-derived snapshots."""
+    orders = load(spark, sf_dir, "orders")
+
+    def snapshot(df, status_col, http):
+        return df.select(
+            F.concat(F.lit("https://en.wikipedia.org/wiki/O"), F.col("o_orderkey")).alias(
+                "url"
+            ),
+            status_col.alias("last_crawl_status"),
+            F.lit(http).cast("int").alias("http_status_code"),
+            F.sha2(F.col("o_orderkey").cast("string"), 256).alias("url_hash"),
+            F.when(
+                F.col("o_orderkey") % 5 != 0,
+                F.sha2(F.concat(F.lit("h"), F.col("o_orderkey")), 256),
+            ).alias("html_content_hash"),
+            F.lit(None).cast("string").alias("compressed_filepath"),
+            F.lit(None).cast("timestamp").alias("last_crawled_at"),
+            F.lit(None).cast("timestamp").alias("next_crawl_at"),
+            F.lit(1).cast("int").alias("total_crawl_attempts"),
+            F.lit(0).cast("int").alias("failed_crawl_attempts"),
+            F.lit(None).cast("string").alias("last_error_seen"),
+            (F.col("o_orderkey") % 4).cast("int").alias("depth"),
+            F.lit(0).cast("int").alias("first_crawled_round"),
+        )
+
+    old = snapshot(
+        orders.filter(F.col("o_orderkey") % 3 != 0),
+        F.when(F.col("o_orderstatus") == "F", F.lit("SUCCESS")).otherwise(F.lit("FAILED")),
+        200,
+    )
+    prio = F.substring(F.col("o_orderpriority"), 1, 1)
+    new = snapshot(
+        orders.filter(F.col("o_orderkey") % 2 == 0),
+        F.when(prio.isin("1", "2"), F.lit("SUCCESS"))
+        .when(prio.isin("3", "4"), F.lit("FAILED"))
+        .otherwise(F.lit("SKIPPED")),
+        404,
+    )
+    merged = frontier._merge_pages(old, new)
+    return merged.select(
+        "url",
+        "last_crawl_status",
+        "http_status_code",
+        "url_hash",
+        "html_content_hash",
+        "total_crawl_attempts",
+        "failed_crawl_attempts",
+        "depth",
+    )
+
+
+def q09_recrawl_due(spark, sf_dir):
+    """A5/S7 — recrawl-due scan with depth-recovery join
+    (db_reader.py:109-151): effective predicate is next_crawl < cutoff."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    pages = orders.select(
+        F.concat(F.lit("https://en.wikipedia.org/wiki/O"), F.col("o_orderkey")).alias("url"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").alias("next_crawl_at"),
+    ).filter(F.col("next_crawl_at") < F.lit("1993-01-01").cast("timestamp"))
+    links = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_linenumber").alias("ldepth")
+    )
+    return (
+        pages.join(links, "okey", "left")
+        .groupBy("url")
+        .agg(F.coalesce(F.min("ldepth"), F.lit(0)).cast("int").alias("depth"))
+    )
+
+
+def q10_bfs_crawl(spark, sf_dir):
+    """Flagship: the full iterative BFS crawl (frontier.py round loop) over
+    the documents-derived web_pages corpus; output = BFS layer assignment.
+    Oracle: closed-form recursive CTE (corpus.bfs_layers_oracle_sql)."""
+    web_pages = corpus_mod.documents_corpus(spark, sf_dir)
+    cfg = frontier.CrawlConfig(
+        max_depth=4, budget_per_round=None, per_host_cap=None, max_rounds=12,
+        collect_metrics=False,
+    )
+    state = frontier.run_crawl(spark, web_pages, [corpus_mod.doc_url(0)], cfg)
+    return state.pages.select(
+        "url", "depth", "last_crawl_status", "first_crawled_round"
+    )
+
+
+def q11_events_rollup(spark, sf_dir):
+    """A6 — round-metrics-style rollup: exact decimal sums (order-
+    insensitive, unlike double sums) per event_type."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+def q12_events_json(spark, sf_dir):
+    """JSON scalar extraction over the events props column."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"), F.max("k").alias("k_max"))
+    )
+
+
+# --- training-data-pipeline queries -----------------------------------------
+def q13_dedup_exact(spark, sf_dir):
+    """Exact dedup (hash-groupBy) on a normalized key (first-5-token prefix)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    norm = docs.select(
+        "doc_id", F.concat_ws(" ", F.slice(toks, 1, 5)).alias("text")
+    )
+    return dedup.exact_dedup(norm, text="text", id_col="doc_id")
+
+
+def q14_dedup_minhash(spark, sf_dir):
+    """MinHash signatures (12 perms, sha256-based, string-order min)."""
+    docs = neardup_docs(load(spark, sf_dir, "documents"))
+    return dedup.minhash_signatures(docs)
+
+
+def q15_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH candidate pairs at est. Jaccard ≥ 0.5 over documents ∪
+    derived near-duplicates."""
+    docs = neardup_docs(load(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def q16_dedup_simhash(spark, sf_dir):
+    """16-bit SimHash sketch per document."""
+    return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+def q17_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs (lang-blocked) ≥ 0.5 over documents ∪
+    derived near-duplicates."""
+    docs = neardup_docs(load(spark, sf_dir, "documents"))
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def q18_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs within label blocks."""
+    emb = load(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, threshold=0.35)
+
+
+def q19_ann_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-10 for query vectors vec_id < 5."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q20_ann_bucketed(spark, sf_dir):
+    """Sign-LSH bucketed ANN top-10 (same queries; bucket-local probe)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q21_lang_id(spark, sf_dir):
+    """Marker-profile language ID (deterministic argmax, alpha tie-break)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    return docs.select(
+        "doc_id", "lang", textops.predicted_lang(toks).alias("pred_lang")
+    )
+
+
+def q22_quality(spark, sf_dir):
+    """Quality scoring: length/stopword/digit/word-shape features."""
+    docs = load(spark, sf_dir, "documents")
+    feats = textops.quality_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def q23_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish sub-tokens."""
+    docs = load(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        textops.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def q24_fingerprints(spark, sf_dir):
+    """Winnowing-style document fingerprints, exploded to rows."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(textops.fingerprints(F.col("text"))).alias("fingerprint")
+    )
+
+
+def q25_multimodal_meta(spark, sf_dir):
+    """Multimodal metadata over opaque binary payloads (no decode)."""
+    docs = load(spark, sf_dir, "documents")
+    return multimodal.media_metadata(multimodal.attach_media(docs))
+
+
+def q26_multimodal_features(spark, sf_dir):
+    """mapInPandas decode/feature plumbing (deterministic fake codec)."""
+    docs = load(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_media(docs))
+
+
+ALL_QUERIES = {
+    name: fn
+    for name, fn in sorted(globals().items())
+    if name.startswith("q") and name[1:3].isdigit() and callable(fn)
+}

@@ -1,0 +1,151 @@
+"""Text-analysis operators for the training-data pipeline tier.
+
+Beyond the reference's crawl dataflow (SURVEY.md §2), a 100 TB corpus
+engine needs corpus-hygiene operators over the extracted text: language
+identification, quality scoring, token counting, and document
+fingerprinting. All four are pure Column-expression builders — JVM-side,
+whole-stage-codegen'd, no Python in the hot path (the reference's closest
+analogue is the per-message parser worker, components/parser/ — here the
+work is columnar from the start).
+
+Every constant in this module is shared with the DuckDB oracle SQL in
+``__spark_entry__.py`` so the two dialects cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tokenizer: lowercase word/number runs. Identical regex semantics in Spark
+# (Java regex) and DuckDB (RE2) for this class.
+TOKEN_RE = "[a-z0-9]+"
+
+# BPE-ish sub-token regex: word runs, digit runs, single non-space symbols —
+# a cheap stand-in for a byte-pair tokenizer's pre-tokenization pass.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+SHINGLE_K = 3  # word-shingle width shared by fingerprint/minhash/jaccard
+
+# deterministic marker-word profiles for the n-gram/stopword language-ID
+# heuristic. Scores are marker-hit counts (with multiplicity); argmax wins,
+# ties break alphabetically. Profiles are over the synthetic corpus
+# vocabulary — the operator contract is determinism, not linguistics.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("vector", "hash", "und", "der", "nicht"),
+    "en": ("the", "a", "key", "value", "of"),
+    "es": ("stream", "data", "los", "que", "una"),
+    "fr": ("window", "query", "les", "des", "une"),
+    "zh": ("merge", "join", "shi", "de2", "bu"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that")
+
+FINGERPRINT_HEX_PREFIX = "0"  # keep shingles whose sha256 starts with this
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace/punctuation tokenization → array<string> (lowercased)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), F.lit(0))
+
+
+def shingles(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Positional k-word shingles joined by single spaces.
+
+    ``sequence(a, b)`` generates a *descending* range when a > b, so the
+    size guard is mandatory (an empty doc must yield [], not garbage).
+    """
+    idx = F.sequence(F.lit(0), F.size(toks) - k)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+        ),
+    )
+    return F.when(F.size(toks) >= k, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    """Count of tokens (with multiplicity) that appear in `markers`."""
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    return {lang: marker_hits(toks, m) for lang, m in sorted(LANG_PROFILES.items())}
+
+
+def predicted_lang(toks: Column) -> Column:
+    """Argmax over language profiles, alphabetical tie-break.
+
+    Implemented as greatest-of-structs: max over (score, neg-ordinal) pairs
+    so the comparison stays a single codegen'd expression.
+    """
+    scores = lang_scores(toks)
+    # alphabetical order ⇒ later langs must LOSE ties ⇒ compare (score, rank)
+    # where rank is higher for alphabetically-earlier langs.
+    structs = [
+        F.struct(
+            score.alias("s"),
+            F.lit(len(scores) - i).alias("r"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, score) in enumerate(sorted(scores.items()))
+    ]
+    return F.greatest(*structs).getField("lang")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / stopword / punctuation / word-shape features + a composite
+    quality score in [0,1]. All double arithmetic, same operation order as
+    the oracle SQL (float-compare safety)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    nd = n.cast("double")
+    char_len = F.length(text).cast("double")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    )
+    mean_tok_len = F.when(n > 0, tok_chars / nd).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n > 0, marker_hits(toks, STOPWORDS).cast("double") / nd
+    ).otherwise(F.lit(0.0))
+    digit_tokens = F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$")))
+    digit_ratio = F.when(n > 0, digit_tokens.cast("double") / nd).otherwise(
+        F.lit(0.0)
+    )
+    score = (
+        F.least(nd / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + stop_ratio * F.lit(0.3)
+        + F.least(mean_tok_len / F.lit(8.0), F.lit(1.0)) * F.lit(0.3)
+    )
+    return {
+        "n_tokens": n,
+        "char_len": char_len,
+        "mean_tok_len": F.round(mean_tok_len, 6),
+        "stop_ratio": F.round(stop_ratio, 6),
+        "digit_ratio": F.round(digit_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Sub-token count under the BPE-ish pre-tokenization regex."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_RE), F.lit(0)))
+
+
+def fingerprints(text: Column, k: int = SHINGLE_K) -> Column:
+    """Winnowing-style document fingerprints: the sha256 of each k-shingle,
+    sampled by hash prefix (≈1/16 of shingles), deduplicated.
+
+    The "mod p == 0" sampling is what makes the fingerprint set robust to
+    local edits (same property the rolling-hash winnowing papers use);
+    sha256 keeps it bit-identical across engines.
+    """
+    sh = shingles(tokens(text), k)
+    hashed = F.transform(sh, lambda s: F.sha2(s, 256))
+    sampled = F.filter(
+        hashed, lambda h: h.startswith(FINGERPRINT_HEX_PREFIX)
+    )
+    return F.array_distinct(F.transform(sampled, lambda h: h.substr(1, 16)))
