@@ -362,16 +362,26 @@ WHERE round(({agree}) / 12.0, 6) >= 0.5
 WITH {_simhash_sql('documents').strip().rstrip()}
 """,
         "q17_dedup_ngram_jaccard": f"""
-WITH {NEARDUP},
+WITH {NEARDUP}, {_minhash_sig_sql('docs')},
+banded AS (
+  SELECT doc_id AS id, unnest([
+      {bands}]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.id < b.id
+),
 sets AS (
-  SELECT doc_id, lang, list_distinct({SHINGLE3}) AS grams
-  FROM (SELECT doc_id, lang, {TOKS} AS t FROM docs)
+  SELECT doc_id, list_distinct({SHINGLE3}) AS grams
+  FROM (SELECT doc_id, {TOKS} AS t FROM docs)
 ),
 joined AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  SELECT c.id_a, c.id_b,
     CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS i,
     CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS u
-  FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b
 )
 SELECT id_a, id_b,
        round(CASE WHEN u > 0 THEN i / u ELSE 0.0 END, 6) AS jaccard

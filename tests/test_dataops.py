@@ -62,6 +62,17 @@ def test_simhash_identical_and_distance(docs):
     assert any((r["id_a"], r["id_b"]) == (0, 1) and r["hamming"] == 0 for r in pairs)
 
 
+def test_jaccard_lsh_verified(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_lsh_verified(docs, threshold=0.5).collect()
+    }
+    # identical docs collide in every band and verify at jaccard 1.0
+    assert pairs[(0, 1)] == 1.0
+    # verified scores are exact (not the banding estimate)
+    assert all(0.5 <= v <= 1.0 for v in pairs.values())
+
+
 def test_ngram_jaccard(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]

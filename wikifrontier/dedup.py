@@ -253,6 +253,56 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_lsh_verified(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact n-gram Jaccard over LSH-generated candidates — the 100 TB
+    shape for Jaccard dedup: MinHash bands propose pairs (shuffle keyed on
+    band hashes, ~O(n) candidates), exact set arithmetic verifies them.
+    No block is ever n²; recall follows the banding S-curve (≈4·j³ at the
+    candidate stage), which is ≈1 at the high similarities dedup targets.
+    """
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(tokens(F.col(text)), k)).alias("grams"),
+    ).persist()
+    sigs = minhash_signatures(df, text, id_col)
+    sig_cols = [F.col(f"h{p}") for p in range(MINHASH_PERMS)]
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*lsh_band_keys(sig_cols))).alias("band_key"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ga = sets.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = sets.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.when(union > 0, inter.cast("double") / union.cast("double"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # --- embedding cosine --------------------------------------------------------
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<numeric> columns, double math,

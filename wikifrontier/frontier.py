@@ -11,16 +11,20 @@ Scale design decisions (SURVEY.md §4.2):
   is the only shuffle.
 * the seen-set anti-join shuffles on url; runtime Bloom filter pre-prunes.
 * the global pop is a distributed top-k, never a global sort.
-* every per-round state table is checkpointed (parquet dir or
-  localCheckpoint) to truncate lineage — an iterative loop without this
-  re-executes the whole crawl history every round.
+* **state is append-only deltas, folded lazily.** Each round materializes
+  only its own O(delta) outputs (claimed links, page events, parsed
+  content); the accumulated pages/page_content tables are *views* — an
+  aggregation over the event log — evaluated when read or durably
+  checkpointed. The alternative (full-outer-merge rewrite of every state
+  table per round, as the first cut did) is O(total-crawled) per round —
+  quadratic over a crawl and unusable at a 10^10-URL frontier.
 * metrics are DataFrame aggregates (accumulators are unreliable), computed
   from cached per-round intermediates — reference A6.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from datetime import datetime, timedelta
 from zoneinfo import ZoneInfo
 
@@ -37,6 +41,8 @@ RECRAWL_INTERVAL_SECONDS = 691_200  # 8 days — crawler_prod.yml:26
 FAILED_ERROR_TYPE = "HTTPError"
 FAILED_ERROR_MESSAGE = "HTTPError: url not found in corpus"
 
+_FAILISH = ("FAILED", "SKIPPED")
+
 
 @dataclass(frozen=True)
 class CrawlConfig:
@@ -47,22 +53,43 @@ class CrawlConfig:
     robots_txt: str = ""
     allowed_domains: tuple[str, ...] = flt.ALLOWED_DOMAINS
     excluded_prefixes: tuple[str, ...] = flt.EXCLUDED_PREFIXES
-    crawl_epoch: datetime = field(
-        default_factory=lambda: datetime(2025, 8, 15, 12, 0, 0, tzinfo=ZoneInfo("America/New_York"))
-    )
+    crawl_epoch: datetime = None  # type: ignore[assignment]
     checkpoint_dir: str | None = None
     collect_metrics: bool = True
+
+    def __post_init__(self):
+        if self.crawl_epoch is None:
+            object.__setattr__(
+                self,
+                "crawl_epoch",
+                datetime(2025, 8, 15, 12, 0, 0, tzinfo=ZoneInfo("America/New_York")),
+            )
 
 
 @dataclass
 class CrawlState:
+    """Crawl state. `pages` / `page_content` are *views*: the base table
+    from the last durable checkpoint (or empty) combined with the
+    append-only event log accumulated since (`page_events` /
+    `content_events`, both None right after a checkpoint load)."""
+
     round: int
     pending: DataFrame
     seen: DataFrame
-    pages: DataFrame
-    page_content: DataFrame
     links: DataFrame
     metrics: DataFrame
+    pages_base: DataFrame
+    content_base: DataFrame
+    page_events: DataFrame | None = None
+    content_events: DataFrame | None = None
+
+    @property
+    def pages(self) -> DataFrame:
+        return combine_pages(self.pages_base, self.page_events)
+
+    @property
+    def page_content(self) -> DataFrame:
+        return combine_content(self.content_base, self.content_events)
 
     def tables(self) -> dict[str, DataFrame]:
         return {
@@ -86,29 +113,56 @@ def init_state(spark: SparkSession, seeds: list[str]) -> CrawlState:
         round=0,
         pending=pending,
         seen=schemas.empty_df(spark, schemas.SEEN_DDL),
-        pages=schemas.empty_df(spark, schemas.PAGES_DDL),
-        page_content=schemas.empty_df(spark, schemas.PAGE_CONTENT_DDL),
         links=schemas.empty_df(spark, schemas.LINKS_DDL),
         metrics=schemas.empty_df(spark, schemas.METRICS_DDL),
+        pages_base=schemas.empty_df(spark, schemas.PAGES_DDL),
+        content_base=schemas.empty_df(spark, schemas.PAGE_CONTENT_DDL),
     )
 
 
-def _merge_pages(pages: DataFrame, updates: DataFrame) -> DataFrame:
-    """A1 — db_writer.py:42-102 as a full-outer-join rewrite.
+# --------------------------------------------------------------------------
+# A1 — page-metadata upsert (db_writer.py:42-102) over the event log.
+#
+# Exact quirks reproduced: INSERT sets total=1, failed=0 regardless of
+# status (the first event never counts as failed); conflict UPDATE
+# overwrites status/http/html_hash/timestamps/error (including with NULLs)
+# but NOT url_hash / compressed_filepath; failed_attempts += 1 only when
+# the update's status ∈ {FAILED, SKIPPED}; depth keeps the minimum.
+# --------------------------------------------------------------------------
+def _fold_page_events(events: DataFrame) -> DataFrame:
+    """Aggregate the per-round event log to one row per url, plus the
+    associativity helpers needed to combine with an older base table."""
+    failed_cond = F.col("last_crawl_status").isin(*_FAILISH).cast("int")
+    return events.groupBy("url").agg(
+        F.max_by("last_crawl_status", "_round").alias("last_crawl_status"),
+        F.max_by("http_status_code", "_round").alias("http_status_code"),
+        F.min_by("url_hash", "_round").alias("url_hash"),
+        F.max_by("html_content_hash", "_round").alias("html_content_hash"),
+        F.min_by("compressed_filepath", "_round").alias("compressed_filepath"),
+        F.max_by("last_crawled_at", "_round").alias("last_crawled_at"),
+        F.max_by("next_crawl_at", "_round").alias("next_crawl_at"),
+        F.count("*").cast("int").alias("_n_events"),
+        F.sum(failed_cond).cast("int").alias("_n_failed_total"),
+        F.min_by(failed_cond, "_round").cast("int").alias("_first_failed"),
+        F.max_by("last_error_seen", "_round").alias("last_error_seen"),
+        F.min("depth").alias("depth"),
+        F.min("_round").cast("int").alias("_first_round"),
+    )
 
-    Exact quirks reproduced: INSERT sets total=1, failed=0 regardless of
-    status; conflict UPDATE overwrites status/http/html_hash/timestamps/
-    error (including with NULLs) but NOT url_hash / compressed_filepath;
-    failed_attempts += 1 only when the new status ∈ {FAILED, SKIPPED}.
-    """
-    o, n = pages.alias("o"), updates.alias("n")
-    n_present = F.col("n.last_crawl_status").isNotNull()
+
+def combine_pages(base: DataFrame, events: DataFrame | None) -> DataFrame:
+    """base pages table ⊕ event log → current pages table (lazy)."""
+    if events is None:
+        return base
+    agg = _fold_page_events(events)
+    o, n = base.alias("o"), agg.alias("n")
     o_present = F.col("o.last_crawl_status").isNotNull()
+    n_present = F.col("n.last_crawl_status").isNotNull()
 
-    def upd(col):  # overwritten on update (NULLs win)
+    def upd(col):  # last event wins (NULLs overwrite — reference parity)
         return F.when(n_present, F.col(f"n.{col}")).otherwise(F.col(f"o.{col}"))
 
-    def ins_only(col):  # set on insert, kept on update
+    def ins_only(col):  # set at first sight, never overwritten
         return F.when(o_present, F.col(f"o.{col}")).otherwise(F.col(f"n.{col}"))
 
     return o.join(n, F.col("o.url") == F.col("n.url"), "full_outer").select(
@@ -122,31 +176,48 @@ def _merge_pages(pages: DataFrame, updates: DataFrame) -> DataFrame:
         upd("next_crawl_at").alias("next_crawl_at"),
         (
             F.coalesce(F.col("o.total_crawl_attempts"), F.lit(0))
-            + F.when(n_present, F.lit(1)).otherwise(F.lit(0))
-        ).alias("total_crawl_attempts"),
+            + F.coalesce(F.col("n._n_events"), F.lit(0))
+        ).cast("int").alias("total_crawl_attempts"),
         (
             F.coalesce(F.col("o.failed_crawl_attempts"), F.lit(0))
+            # events merging into an existing row are all "updates";
+            # otherwise the first event is the INSERT and never counts
             + F.when(
-                n_present
-                & o_present
-                & F.col("n.last_crawl_status").isin("FAILED", "SKIPPED"),
-                F.lit(1),
-            ).otherwise(F.lit(0))
-        ).alias("failed_crawl_attempts"),
+                o_present, F.coalesce(F.col("n._n_failed_total"), F.lit(0))
+            ).otherwise(
+                F.coalesce(F.col("n._n_failed_total"), F.lit(0))
+                - F.coalesce(F.col("n._first_failed"), F.lit(0))
+            )
+        ).cast("int").alias("failed_crawl_attempts"),
         upd("last_error_seen").alias("last_error_seen"),
         F.least(F.col("o.depth"), F.col("n.depth")).alias("depth"),
-        F.coalesce(F.col("o.first_crawled_round"), F.col("n.first_crawled_round")).alias(
+        F.coalesce(F.col("o.first_crawled_round"), F.col("n._first_round")).alias(
             "first_crawled_round"
         ),
     )
 
 
-def _merge_content(page_content: DataFrame, updates: DataFrame) -> DataFrame:
-    """A3 — db_writer.py:164-217: last-write-wins upsert on source_page_url."""
-    kept = page_content.join(
-        updates.select("source_page_url"), "source_page_url", "left_anti"
+def combine_content(base: DataFrame, events: DataFrame | None) -> DataFrame:
+    """A3 — db_writer.py:164-217: last-write-wins upsert on
+    source_page_url, over the parsed-content event log."""
+    if events is None:
+        return base
+    latest = events.groupBy("source_page_url").agg(
+        F.max_by("title", "_round").alias("title"),
+        F.max_by("categories", "_round").alias("categories"),
+        F.max_by("text_content", "_round").alias("text_content"),
+        F.max_by("text_content_hash", "_round").alias("text_content_hash"),
+        F.max_by("parsed_at", "_round").alias("parsed_at"),
     )
-    return kept.unionByName(updates)
+    kept = base.join(latest.select("source_page_url"), "source_page_url", "left_anti")
+    return kept.unionByName(latest)
+
+
+# legacy name used by driver query q08 — the one-shot merge IS operator A1
+def _merge_pages(pages: DataFrame, updates: DataFrame) -> DataFrame:
+    """A1 as a single-round full-outer merge (one update row per url)."""
+    events = updates.withColumn("_round", F.lit(0))
+    return combine_pages(pages, events)
 
 
 def run_round(
@@ -155,11 +226,17 @@ def run_round(
     corpus: DataFrame,
     cfg: CrawlConfig,
 ) -> tuple[CrawlState, dict]:
-    """Execute one BFS round; returns (new_state, round_counters)."""
+    """Execute one BFS round; returns (new_state, round_counters).
+
+    Only O(round-delta) data is materialized (localCheckpoint): the fetch
+    outcome events, the parsed-content events, and the claimed links. The
+    accumulated tables grow as lazy unions over those checkpointed leaves.
+    """
     rnd = state.round
     round_ts = cfg.crawl_epoch + timedelta(seconds=rnd)
     next_crawl_ts = round_ts + timedelta(seconds=RECRAWL_INTERVAL_SECONDS)
     robots_rules = flt.parse_robots(cfg.robots_txt)
+    unbounded = cfg.budget_per_round is None and cfg.per_host_cap is None
 
     # --- T1/T3 pop + §2.9 politeness -------------------------------------
     popped = cap_per_host(
@@ -173,8 +250,8 @@ def run_round(
         .persist()
     )
 
-    # --- A1 pages merge ---------------------------------------------------
-    page_updates = fetched.select(
+    # --- A1 page events (delta only; fold happens lazily in .pages) -------
+    page_events_delta = fetched.select(
         "url",
         F.when(F.col("_found"), F.lit("SUCCESS")).otherwise(F.lit("FAILED")).alias(
             "last_crawl_status"
@@ -190,9 +267,8 @@ def run_round(
         F.when(F.col("_found"), F.lit(next_crawl_ts)).alias("next_crawl_at"),
         F.when(~F.col("_found"), F.lit(FAILED_ERROR_MESSAGE)).alias("last_error_seen"),
         F.col("depth"),
-        F.lit(rnd).alias("first_crawled_round"),
-    )
-    new_pages = _merge_pages(state.pages, page_updates)
+        F.lit(rnd).cast("int").alias("_round"),
+    ).localCheckpoint(eager=True)
 
     # --- X1–X7 parse (the one pandas UDF) ---------------------------------
     parsed = (
@@ -201,15 +277,15 @@ def run_round(
         .select("url", "depth", "p")
         .persist()
     )
-    content_updates = parsed.select(
+    content_events_delta = parsed.select(
         F.col("url").alias("source_page_url"),
         F.col("p.title").alias("title"),
         F.col("p.categories").alias("categories"),
         F.col("p.text_content").alias("text_content"),
         F.col("p.text_content_hash").alias("text_content_hash"),
         F.lit(round_ts).alias("parsed_at"),
-    )
-    new_content = _merge_content(state.page_content, content_updates)
+        F.lit(rnd).cast("int").alias("_round"),
+    ).localCheckpoint(eager=True)
 
     # --- §3.3 schedule: explode → D1 → F1-F5 → D2 claim -------------------
     candidates = parsed.select(F.explode("p.links").alias("l")).select("l.*").persist()
@@ -226,7 +302,9 @@ def run_round(
         ),
     ).persist()
 
-    claimed = claim_first_wins(unseen.filter(F.col("_reason").isNull())).persist()
+    claimed = claim_first_wins(
+        unseen.filter(F.col("_reason").isNull())
+    ).localCheckpoint(eager=True)
 
     new_seen = state.seen.unionByName(
         claimed.select("url", "depth", F.lit(rnd).alias("claimed_round"), "source_page_url")
@@ -246,12 +324,30 @@ def run_round(
             F.lit(round_ts).alias("discovered_at"),
         )
     )
-    new_pending = state.pending.join(
-        popped.select("url"), "url", "left_anti"
-    ).unionByName(
-        claimed.select(
-            "url", "depth", F.lit(rnd + 1).alias("scheduled_round"), "source_page_url"
+    schedule_delta = claimed.select(
+        "url", "depth", F.lit(rnd + 1).alias("scheduled_round"), "source_page_url"
+    )
+    if unbounded:
+        # everything pending was popped — the next frontier is exactly the
+        # newly claimed layer; no anti-join over the old pending needed
+        new_pending = schedule_delta
+    else:
+        new_pending = (
+            state.pending.join(popped.select("url"), "url", "left_anti")
+            .unionByName(schedule_delta)
+            .localCheckpoint(eager=True)
         )
+
+    # --- event-log accumulation -------------------------------------------
+    new_page_events = (
+        page_events_delta
+        if state.page_events is None
+        else state.page_events.unionByName(page_events_delta)
+    )
+    new_content_events = (
+        content_events_delta
+        if state.content_events is None
+        else state.content_events.unionByName(content_events_delta)
     )
 
     # --- A6 metrics -------------------------------------------------------
@@ -294,27 +390,21 @@ def run_round(
         round=rnd + 1,
         pending=new_pending,
         seen=new_seen,
-        pages=new_pages,
-        page_content=new_content,
         links=new_links,
         metrics=new_metrics,
+        pages_base=state.pages_base,
+        content_base=state.content_base,
+        page_events=new_page_events,
+        content_events=new_content_events,
     )
 
-    # --- lineage truncation / durable checkpoint --------------------------
+    # --- durable checkpoint (optional; also compacts the event log) -------
     if cfg.checkpoint_dir is not None:
         from wikifrontier import state as state_io
 
         new_state = state_io.write_checkpoint(spark, new_state, cfg.checkpoint_dir)
-    else:
-        new_state = CrawlState(
-            round=new_state.round,
-            **{
-                name: df.localCheckpoint(eager=True)
-                for name, df in new_state.tables().items()
-            },
-        )
 
-    for df in (fetched, parsed, candidates, unseen, claimed):
+    for df in (fetched, parsed, candidates, unseen):
         df.unpersist()
     return new_state, counters
 

@@ -304,10 +304,10 @@ def q16_dedup_simhash(spark, sf_dir):
 
 
 def q17_dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard pairs (lang-blocked) ≥ 0.5 over documents ∪
-    derived near-duplicates."""
+    """Exact 3-gram Jaccard ≥ 0.5 over documents ∪ derived near-dups,
+    candidates proposed by MinHash-LSH bands (never an n² block)."""
     docs = neardup_docs(load(spark, sf_dir, "documents"))
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.jaccard_lsh_verified(docs, threshold=0.5)
 
 
 def q18_dedup_embedding(spark, sf_dir):

@@ -65,7 +65,18 @@ def write_checkpoint(spark: SparkSession, state, ckpt_dir: str):
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(round_dir, "_MANIFEST.json"))
 
-    return CrawlState(round=state.round, **reloaded)
+    # checkpoint doubles as event-log compaction: the written pages /
+    # page_content tables are the folded views, so the reloaded state
+    # carries them as bases with an empty event log
+    return CrawlState(
+        round=state.round,
+        pending=reloaded["pending"],
+        seen=reloaded["seen"],
+        links=reloaded["links"],
+        metrics=reloaded["metrics"],
+        pages_base=reloaded["pages"],
+        content_base=reloaded["page_content"],
+    )
 
 
 def latest_round(ckpt_dir: str) -> int | None:
@@ -95,4 +106,12 @@ def load_checkpoint(spark: SparkSession, ckpt_dir: str):
         )
         for name, ddl in TABLE_DDLS.items()
     }
-    return CrawlState(round=n, **tables)
+    return CrawlState(
+        round=n,
+        pending=tables["pending"],
+        seen=tables["seen"],
+        links=tables["links"],
+        metrics=tables["metrics"],
+        pages_base=tables["pages"],
+        content_base=tables["page_content"],
+    )
