@@ -480,6 +480,17 @@ SELECT doc_id AS media_id,
   (['riff', 'png', 'jpeg', 'mp4'])[(ascii(substr(text, 1, 1)) % 4) + 1] AS format
 FROM documents
 """,
+        "q27_host_state": """
+WITH pages AS (
+  SELECT 'https://h' || (user_id % 10) || '.com/e/' || event_id AS url, ts
+  FROM events
+)
+SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
+       count(*) AS n_fetched,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_fetch,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_fetch
+FROM pages GROUP BY 1
+""",
         "q26_multimodal_features": """
 WITH m AS (
   SELECT doc_id AS media_id,

@@ -1,0 +1,106 @@
+"""spark-submit entrypoint (north_rule: "runs via spark-submit --py-files
+on multi-executor clusters").
+
+    spark-submit --py-files wikifrontier.zip -m wikifrontier.cli crawl \\
+        --pages 100000 --rounds 12 --budget 75000 --checkpoint /ckpt
+
+Subcommands:
+  crawl   run a BFS crawl over the deterministic synthetic corpus (or a
+          parquet web_pages table via --corpus), with optional resume
+  report  print state-table summaries from a checkpoint dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="wikifrontier")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run a BFS crawl")
+    c.add_argument("--pages", type=int, default=10_000,
+                   help="synthetic corpus size (ignored with --corpus)")
+    c.add_argument("--corpus", type=str, default=None,
+                   help="parquet path of a web_pages table")
+    c.add_argument("--seed", action="append", default=None,
+                   help="seed url (repeatable; default Page_0000000)")
+    c.add_argument("--rounds", type=int, default=12)
+    c.add_argument("--budget", type=int, default=None)
+    c.add_argument("--per-host-cap", type=int, default=None)
+    c.add_argument("--max-depth", type=int, default=4)
+    c.add_argument("--checkpoint", type=str, default=None)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument("--salt-partitions", type=int, default=None)
+    c.add_argument("--no-bloom", action="store_true")
+    c.add_argument("--master", type=str, default=None)
+
+    r = sub.add_parser("report", help="summarize a checkpoint")
+    r.add_argument("--checkpoint", type=str, required=True)
+    r.add_argument("--master", type=str, default=None)
+    return p
+
+
+def cmd_crawl(args) -> int:
+    from wikifrontier import synth
+    from wikifrontier.frontier import CrawlConfig, run_crawl
+    from wikifrontier.session import get_spark
+
+    spark = get_spark(master=args.master)
+    if args.corpus:
+        corpus = spark.read.parquet(args.corpus)
+        seeds = args.seed or [corpus.select("url").first()["url"]]
+    else:
+        corpus = synth.corpus_df(spark, args.pages).cache()
+        corpus.count()
+        seeds = args.seed or [synth.page_url(0)]
+
+    cfg = CrawlConfig(
+        max_depth=args.max_depth,
+        budget_per_round=args.budget,
+        per_host_cap=args.per_host_cap,
+        max_rounds=args.rounds,
+        robots_txt=synth.ROBOTS_TXT if not args.corpus else "",
+        checkpoint_dir=args.checkpoint,
+        salt_partitions=args.salt_partitions,
+        bloom_bits=None if args.no_bloom else 1 << 22,
+    )
+    state = run_crawl(spark, corpus, seeds, cfg, resume=args.resume)
+    summary = {
+        "rounds": state.round,
+        "pages": state.pages.count(),
+        "parsed": state.page_content.count(),
+        "links": state.links.count(),
+        "pending": state.pending.count(),
+        "seen": state.seen.count(),
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_report(args) -> int:
+    from wikifrontier import state as state_io
+    from wikifrontier.session import get_spark
+
+    spark = get_spark(master=args.master)
+    st = state_io.load_checkpoint(spark, args.checkpoint)
+    if st is None:
+        print(json.dumps({"error": "no complete checkpoint found"}))
+        return 1
+    print(json.dumps({
+        "round": st.round,
+        **{name: df.count() for name, df in st.tables().items()},
+    }))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return {"crawl": cmd_crawl, "report": cmd_report}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from wikifrontier import filters as flt
 from wikifrontier import schemas
 from wikifrontier.politeness import cap_per_host, pop_frontier
-from wikifrontier.seen import claim_first_wins, drop_seen
+from wikifrontier.seen import BloomSeen, claim_first_wins, drop_seen
 from wikifrontier.udfs import parse_page_udf
 
 RECRAWL_INTERVAL_SECONDS = 691_200  # 8 days — crawler_prod.yml:26
@@ -56,6 +56,17 @@ class CrawlConfig:
     crawl_epoch: datetime = None  # type: ignore[assignment]
     checkpoint_dir: str | None = None
     collect_metrics: bool = True
+    # Bloom pre-filter over the seen set (north_rule). None disables; the
+    # default 2^22 bits ≈ 512 KiB holds ~400k URLs at <1% fp — size it to
+    # ~10 bits/URL for the target frontier (10^10 URLs → ~12 GiB total,
+    # which is why the design is per-partition bitmaps, not a broadcast of
+    # the seen table).
+    bloom_bits: int | None = 1 << 22
+    # explicit skew spread of the popped batch across executors
+    # (politeness.salted_repartition) — worthwhile when one registered
+    # domain dominates the frontier (the wiki-crawl case); None leaves
+    # partitioning to AQE.
+    salt_partitions: int | None = None
 
     def __post_init__(self):
         if self.crawl_epoch is None:
@@ -82,6 +93,7 @@ class CrawlState:
     content_base: DataFrame
     page_events: DataFrame | None = None
     content_events: DataFrame | None = None
+    bloom: BloomSeen | None = None
 
     @property
     def pages(self) -> DataFrame:
@@ -242,6 +254,10 @@ def run_round(
     popped = cap_per_host(
         pop_frontier(state.pending, cfg.budget_per_round), cfg.per_host_cap
     )
+    if cfg.salt_partitions is not None:
+        from wikifrontier.politeness import salted_repartition
+
+        popped = salted_repartition(popped, cfg.salt_partitions)
 
     # --- S2 fetch: equi-join against the corpus ---------------------------
     fetched = (
@@ -290,7 +306,7 @@ def run_round(
     # --- §3.3 schedule: explode → D1 → F1-F5 → D2 claim -------------------
     candidates = parsed.select(F.explode("p.links").alias("l")).select("l.*").persist()
 
-    unseen = drop_seen(candidates, state.seen).withColumn(
+    unseen = drop_seen(candidates, state.seen, state.bloom, spark).withColumn(
         "_reason",
         flt.filter_reason(
             F.col("url"),
@@ -305,6 +321,11 @@ def run_round(
     claimed = claim_first_wins(
         unseen.filter(F.col("_reason").isNull())
     ).localCheckpoint(eager=True)
+
+    if state.bloom is not None:
+        # incrementally fold the round's claims into the persistent filter
+        # (probe plans above already materialized against the old snapshot)
+        state.bloom.add_df(spark, claimed.select("url"))
 
     new_seen = state.seen.unionByName(
         claimed.select("url", "depth", F.lit(rnd).alias("claimed_round"), "source_page_url")
@@ -396,6 +417,7 @@ def run_round(
         content_base=state.content_base,
         page_events=new_page_events,
         content_events=new_content_events,
+        bloom=state.bloom,
     )
 
     # --- durable checkpoint (optional; also compacts the event log) -------
@@ -428,6 +450,12 @@ def run_crawl(
         state = state_io.load_checkpoint(spark, cfg.checkpoint_dir)
     if state is None:
         state = init_state(spark, seeds)
+
+    if cfg.bloom_bits is not None and state.bloom is None:
+        state.bloom = BloomSeen(nbits=cfg.bloom_bits)
+        if not state.seen.isEmpty():
+            # resume path without a persisted bitmap: rebuild from seen
+            state.bloom.add_df(spark, state.seen.select("url"))
 
     while state.round < cfg.max_rounds:
         if state.pending.isEmpty():

@@ -52,3 +52,17 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 6
     host = F.parse_url(F.col("url"), F.lit("HOST"))
     salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
     return df.repartition(num_partitions, host, salt)
+
+
+def host_state(pages: DataFrame, url_col: str = "url", ts_col: str = "last_crawled_at") -> DataFrame:
+    """Per-host crawl state (SURVEY.md §1.4): last-fetch timestamp + fetch
+    count per registered host — the batch-rounds analogue of the
+    reference's per-worker rate-limit clock
+    (components/crawler/core/http_fetcher.py:29-41). Derived view over the
+    pages table; one shuffle on the host key."""
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    return pages.groupBy(host.alias("host")).agg(
+        F.count("*").alias("n_fetched"),
+        F.max(F.col(ts_col)).alias("last_fetch_at"),
+        F.min(F.col(ts_col)).alias("first_fetch_at"),
+    )

@@ -375,6 +375,28 @@ def q26_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(multimodal.attach_media(docs))
 
 
+def q27_host_state(spark, sf_dir):
+    """§2.9/§1.4 — host_state view: per-host fetch counters and last-fetch
+    clock over an events-derived crawled-pages table."""
+    events = load(spark, sf_dir, "events")
+    pages = events.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 10),
+            F.lit(".com/e/"),
+            F.col("event_id"),
+        ).alias("url"),
+        F.col("ts").alias("last_crawled_at"),
+    )
+    hs = politeness.host_state(pages)
+    return hs.select(
+        "host",
+        "n_fetched",
+        F.date_format("last_fetch_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_fetch"),
+        F.date_format("first_fetch_at", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_fetch"),
+    )
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -16,13 +16,125 @@ Reference semantics:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+# odd multipliers for double hashing (splitmix64 / Murmur finalizer family)
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
 
-def drop_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
-    """D1: remove candidates whose url is already in the seen set."""
-    return candidates.join(seen.select("url"), "url", "left_anti")
+
+class BloomSeen:
+    """Persistent, incrementally-maintained Bloom filter over the URL-seen
+    set (north_rule: "filtered against a partitioned Bloom/cuckoo URL-seen
+    set").
+
+    The key is the JVM-computed ``xxhash64(url)``; k probe positions come
+    from double hashing in uint64 arithmetic, vectorized in numpy on both
+    the build and probe sides — no per-row Python anywhere.
+
+    * build/update: each claim delta is hashed JVM-side, partitions build
+      local bitmaps inside ``mapInPandas``, and the driver ORs the
+      per-partition bitmaps (at real scale this OR is a treeReduce; the
+      collect here moves ≤ #partitions × bitmap_bytes).
+    * probe: the bitmap is broadcast and consulted by an Arrow-batched
+      pandas UDF; candidates that are *definitely unseen* skip the
+      anti-join shuffle entirely — only possible-hits shuffle on url.
+
+    False positives only cost a redundant anti-join probe; there are no
+    false negatives, so dedup semantics are unchanged.
+    """
+
+    def __init__(self, nbits: int = 1 << 22, k: int = 7):
+        assert nbits & (nbits - 1) == 0, "nbits must be a power of two"
+        self.nbits = nbits
+        self.k = k
+        self.bitmap = np.zeros(nbits >> 6, dtype=np.uint64)
+
+    # --- maintenance -------------------------------------------------------
+    def add_df(self, spark: SparkSession, urls: DataFrame) -> None:
+        """OR the bitmap of ``urls`` (a DataFrame with a `url` column) into
+        this filter. One narrow Spark job over the delta."""
+        nbits, k, nwords = self.nbits, self.k, len(self.bitmap)
+
+        def build(batches):
+            bm = np.zeros(nwords, dtype=np.uint64)
+            for pdf in batches:
+                h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+                h1 = h * _C1
+                h2 = (h * _C2) | np.uint64(1)
+                for i in range(k):
+                    pos = (h1 + np.uint64(i) * h2) & np.uint64(nbits - 1)
+                    np.bitwise_or.at(
+                        bm, (pos >> np.uint64(6)).astype(np.int64),
+                        np.uint64(1) << (pos & np.uint64(63)),
+                    )
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+        parts = (
+            urls.select(F.xxhash64("url").alias("h"))
+            .mapInPandas(build, "bm binary")
+            .collect()
+        )
+        for row in parts:
+            self.bitmap |= np.frombuffer(row["bm"], dtype=np.uint64)
+
+    # --- probe -------------------------------------------------------------
+    def maybe_seen_col(self, spark: SparkSession, url_col) -> F.Column:
+        """Boolean Column: True if the url is *possibly* in the seen set."""
+        bcast = spark.sparkContext.broadcast(self.bitmap)
+        nbits, k = self.nbits, self.k
+
+        @F.pandas_udf("boolean")
+        def probe(h: pd.Series) -> pd.Series:
+            hv = h.to_numpy(dtype=np.int64).view(np.uint64)
+            bm = bcast.value
+            res = np.ones(len(hv), dtype=bool)
+            h1 = hv * _C1
+            h2 = (hv * _C2) | np.uint64(1)
+            for i in range(k):
+                pos = (h1 + np.uint64(i) * h2) & np.uint64(nbits - 1)
+                word = (pos >> np.uint64(6)).astype(np.int64)
+                bit = pos & np.uint64(63)
+                res &= ((bm[word] >> bit) & np.uint64(1)).astype(bool)
+            return pd.Series(res)
+
+        return probe(F.xxhash64(url_col))
+
+    # --- persistence (round checkpoint) ------------------------------------
+    def save(self, path: str) -> None:
+        np.savez(path, bitmap=self.bitmap, nbits=self.nbits, k=self.k)
+
+    @classmethod
+    def load(cls, path: str) -> "BloomSeen":
+        data = np.load(path)
+        out = cls(nbits=int(data["nbits"]), k=int(data["k"]))
+        out.bitmap = data["bitmap"].copy()
+        return out
+
+
+def drop_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: BloomSeen | None = None,
+    spark: SparkSession | None = None,
+) -> DataFrame:
+    """D1: remove candidates whose url is already in the seen set.
+
+    With a Bloom pre-filter, definitely-unseen candidates bypass the
+    anti-join shuffle; only possible hits are checked exactly."""
+    if bloom is None:
+        return candidates.join(seen.select("url"), "url", "left_anti")
+    flagged = candidates.withColumn(
+        "_maybe_seen", bloom.maybe_seen_col(spark, F.col("url"))
+    )
+    fast_path = flagged.filter(~F.col("_maybe_seen"))
+    checked = flagged.filter(F.col("_maybe_seen")).join(
+        seen.select("url"), "url", "left_anti"
+    )
+    return fast_path.unionByName(checked).drop("_maybe_seen")
 
 
 def claim_first_wins(candidates: DataFrame) -> DataFrame:

@@ -60,6 +60,9 @@ def write_checkpoint(spark: SparkSession, state, ckpt_dir: str):
             .collect()
         ],
     }
+    if state.bloom is not None:
+        state.bloom.save(os.path.join(round_dir, "bloom.npz"))
+
     tmp = os.path.join(round_dir, "_MANIFEST.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
@@ -76,6 +79,7 @@ def write_checkpoint(spark: SparkSession, state, ckpt_dir: str):
         metrics=reloaded["metrics"],
         pages_base=reloaded["pages"],
         content_base=reloaded["page_content"],
+        bloom=state.bloom,
     )
 
 
@@ -106,6 +110,12 @@ def load_checkpoint(spark: SparkSession, ckpt_dir: str):
         )
         for name, ddl in TABLE_DDLS.items()
     }
+    bloom_path = os.path.join(round_dir, "bloom.npz")
+    bloom = None
+    if os.path.exists(bloom_path):
+        from wikifrontier.seen import BloomSeen
+
+        bloom = BloomSeen.load(bloom_path)
     return CrawlState(
         round=n,
         pending=tables["pending"],
@@ -114,4 +124,5 @@ def load_checkpoint(spark: SparkSession, ckpt_dir: str):
         metrics=tables["metrics"],
         pages_base=tables["pages"],
         content_base=tables["page_content"],
+        bloom=bloom,
     )
