@@ -147,3 +147,51 @@ class TestCheckpointResume:
         )
         sim = simulate_crawl(N, max_rounds=10)
         _assert_state_matches(state, sim)
+
+
+class TestRecrawl:
+    def test_recrawl_due_and_requeue(self, spark, corpus):
+        """S7/A5: pages past next_crawl_at re-enter the frontier with
+        link-graph depth (coalesce 0 for the seed), and a recrawl bumps
+        total_crawl_attempts without changing the page set."""
+        from datetime import timedelta
+
+        from wikifrontier.frontier import recrawl_due
+
+        cfg = CrawlConfig(robots_txt=synth.ROBOTS_TXT, max_rounds=10)
+        state = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        n_pages = state.pages.count()
+
+        # nothing is due before the 8-day horizon
+        assert recrawl_due(state, cfg.crawl_epoch + timedelta(days=1)).count() == 0
+
+        # everything SUCCESS-crawled is due after it; depth is recovered
+        # from the link graph (min incoming depth), 0 only for urls with
+        # no incoming link rows (A5 — db_reader.py:127-151)
+        far = cfg.crawl_epoch + timedelta(days=30)
+        due = {r["url"]: r["depth"] for r in recrawl_due(state, far).collect()}
+        n_success = state.pages.filter(F.col("last_crawl_status") == "SUCCESS").count()
+        assert len(due) == n_success
+        link_depths = {
+            r["url"]: r["d"]
+            for r in state.links.groupBy("url").agg(F.min("depth").alias("d")).collect()
+        }
+        for url, depth in due.items():
+            assert depth == link_depths.get(url, 0), url
+
+        # one more round with recrawl enabled: attempts bump, no new pages
+        from dataclasses import replace
+
+        from wikifrontier.frontier import run_round
+
+        cfg2 = replace(
+            cfg,
+            enable_recrawl=True,
+            max_rounds=state.round + 1,
+            budget_per_round=25,
+            crawl_epoch=far,
+        )
+        state2, _ = run_round(spark, state, corpus, cfg2)
+        assert state2.pages.count() == n_pages
+        bumped = state2.pages.filter(F.col("total_crawl_attempts") >= 2).count()
+        assert bumped >= 25  # the popped recrawl batch was re-fetched

@@ -67,6 +67,10 @@ class CrawlConfig:
     # domain dominates the frontier (the wiki-crawl case); None leaves
     # partitioning to AQE.
     salt_partitions: int | None = None
+    # rescheduler (S7/A5): re-enqueue pages past next_crawl_at at round
+    # start. Off for parity runs — the reference's recrawl horizon is 8
+    # days and the test corpus is static.
+    enable_recrawl: bool = False
 
     def __post_init__(self):
         if self.crawl_epoch is None:
@@ -232,6 +236,30 @@ def _merge_pages(pages: DataFrame, updates: DataFrame) -> DataFrame:
     return combine_pages(pages, events)
 
 
+def recrawl_due(state: CrawlState, now: datetime) -> DataFrame:
+    """S7/A5 — the rescheduler scan (db_reader.py:109-151, rescheduler
+    loop rescheduler_service.py:36-71): pages whose next_crawl_at has
+    passed, with depth recovered from the link graph (min per url;
+    coalesce 0 for seeds). Replicates the reference's *effective*
+    predicate — its `is not None` identity check (db_reader.py:138) is
+    always true, so only `next_crawl_at < now` filters.
+
+    Returns rows in frontier schema, ready to union into pending when
+    `CrawlConfig.enable_recrawl` is set (off for parity runs — the corpus
+    is static)."""
+    due = state.pages.filter(F.col("next_crawl_at") < F.lit(now)).select("url")
+    depths = state.links.groupBy("url").agg(F.min("depth").alias("link_depth"))
+    return (
+        due.join(depths, "url", "left")
+        .select(
+            "url",
+            F.coalesce(F.col("link_depth"), F.lit(0)).cast("int").alias("depth"),
+            F.lit(state.round).cast("int").alias("scheduled_round"),
+            F.lit("").alias("source_page_url"),
+        )
+    )
+
+
 def run_round(
     spark: SparkSession,
     state: CrawlState,
@@ -250,31 +278,74 @@ def run_round(
     robots_rules = flt.parse_robots(cfg.robots_txt)
     unbounded = cfg.budget_per_round is None and cfg.per_host_cap is None
 
+    # --- S7 rescheduler (optional) ----------------------------------------
+    pending = state.pending
+    if cfg.enable_recrawl:
+        due = recrawl_due(state, round_ts).join(
+            pending.select("url"), "url", "left_anti"
+        )
+        pending = pending.unionByName(due)
+
     # --- T1/T3 pop + §2.9 politeness -------------------------------------
     popped = cap_per_host(
-        pop_frontier(state.pending, cfg.budget_per_round), cfg.per_host_cap
+        pop_frontier(pending, cfg.budget_per_round), cfg.per_host_cap
     )
     if cfg.salt_partitions is not None:
         from wikifrontier.politeness import salted_repartition
 
         popped = salted_repartition(popped, cfg.salt_partitions)
+    if (
+        cfg.budget_per_round is not None
+        or cfg.per_host_cap is not None
+        or cfg.salt_partitions is not None
+    ):
+        # the pop/cap windows feed both the fetch join and the miss
+        # anti-join below — materialize once instead of re-running them
+        popped = popped.localCheckpoint(eager=True)
+    batch = popped.select("url", "depth")
 
-    # --- S2 fetch: equi-join against the corpus ---------------------------
-    fetched = (
-        popped.join(corpus.select("url", "html"), "url", "left")
-        .withColumn("_found", F.col("html").isNotNull())
-        .persist()
+    # --- S2 fetch + X1–X7 parse: ONE pass, html never shuffles ------------
+    # A plain `popped LEFT JOIN corpus` can only broadcast the corpus side
+    # (illegal: it is the huge side), so beyond the broadcast threshold
+    # Spark sort-merges — i.e. SORTS the html payload (observed: an 11×
+    # blowup at 500k pages). Split instead: an inner join that broadcasts
+    # the url-only frontier batch (the cached corpus streams in place,
+    # html untouched), plus a cheap broadcast anti-join for fetch misses.
+    # At frontier batches beyond broadcast size the corpus-bucketing
+    # layout (SURVEY §4.2) replaces the broadcast — same no-html-motion
+    # property, different mechanism.
+    hits = (
+        F.broadcast(batch)
+        .join(corpus.select("url", "html"), "url", "inner")
+        .select(
+            "url",
+            "depth",
+            F.lit(True).alias("_found"),
+            F.sha2(F.col("html"), 256).alias("_html_hash"),
+            parse_page_udf(F.col("url"), F.col("html"), F.col("depth")).alias("p"),
+        )
+        .localCheckpoint(eager=True)
     )
+    missed = batch.join(
+        F.broadcast(hits.select("url")), "url", "left_anti"
+    ).select(
+        "url",
+        "depth",
+        F.lit(False).alias("_found"),
+        F.lit(None).cast("string").alias("_html_hash"),
+        F.lit(None).cast(hits.schema["p"].dataType).alias("p"),
+    )
+    round_result = hits.unionByName(missed)
 
     # --- A1 page events (delta only; fold happens lazily in .pages) -------
-    page_events_delta = fetched.select(
+    page_events_delta = round_result.select(
         "url",
         F.when(F.col("_found"), F.lit("SUCCESS")).otherwise(F.lit("FAILED")).alias(
             "last_crawl_status"
         ),
         F.when(F.col("_found"), F.lit(200)).cast("int").alias("http_status_code"),
         F.sha2(F.col("url"), 256).alias("url_hash"),
-        F.when(F.col("_found"), F.sha2(F.col("html"), 256)).alias("html_content_hash"),
+        F.col("_html_hash").alias("html_content_hash"),
         F.when(
             F.col("_found"),
             F.concat(F.lit("/data/html/"), F.sha2(F.col("url"), 256), F.lit(".html.gz")),
@@ -284,15 +355,9 @@ def run_round(
         F.when(~F.col("_found"), F.lit(FAILED_ERROR_MESSAGE)).alias("last_error_seen"),
         F.col("depth"),
         F.lit(rnd).cast("int").alias("_round"),
-    ).localCheckpoint(eager=True)
-
-    # --- X1–X7 parse (the one pandas UDF) ---------------------------------
-    parsed = (
-        fetched.filter(F.col("_found"))
-        .withColumn("p", parse_page_udf(F.col("url"), F.col("html"), F.col("depth")))
-        .select("url", "depth", "p")
-        .persist()
     )
+
+    parsed = round_result.filter(F.col("_found"))
     content_events_delta = parsed.select(
         F.col("url").alias("source_page_url"),
         F.col("p.title").alias("title"),
@@ -301,26 +366,48 @@ def run_round(
         F.col("p.text_content_hash").alias("text_content_hash"),
         F.lit(round_ts).alias("parsed_at"),
         F.lit(rnd).cast("int").alias("_round"),
-    ).localCheckpoint(eager=True)
+    )
 
     # --- §3.3 schedule: explode → D1 → F1-F5 → D2 claim -------------------
-    candidates = parsed.select(F.explode("p.links").alias("l")).select("l.*").persist()
+    candidates = parsed.select(F.explode("p.links").alias("l")).select("l.*")
+    reason_col = flt.filter_reason(
+        F.col("url"),
+        F.col("depth"),
+        max_depth=cfg.max_depth,
+        allowed_domains=cfg.allowed_domains,
+        excluded_prefixes=cfg.excluded_prefixes,
+        robots_rules=robots_rules,
+    )
 
-    unseen = drop_seen(candidates, state.seen, state.bloom, spark).withColumn(
-        "_reason",
-        flt.filter_reason(
-            F.col("url"),
-            F.col("depth"),
-            max_depth=cfg.max_depth,
-            allowed_domains=cfg.allowed_domains,
-            excluded_prefixes=cfg.excluded_prefixes,
-            robots_rules=robots_rules,
-        ),
-    ).persist()
-
-    claimed = claim_first_wins(
-        unseen.filter(F.col("_reason").isNull())
-    ).localCheckpoint(eager=True)
+    if cfg.collect_metrics:
+        # reference operator order (D1 → F → D2,
+        # schedule_service.py:66-112) so per-filter counters attribute
+        # exactly as the reference's Prometheus labels do
+        candidates = candidates.persist()
+        unseen = (
+            drop_seen(candidates, state.seen, state.bloom, spark)
+            .withColumn("_reason", reason_col)
+            .persist()
+        )
+        claimed = claim_first_wins(
+            unseen.filter(F.col("_reason").isNull())
+        ).localCheckpoint(eager=True)
+    else:
+        # fast path: F → D2 → D1. The claimed/link/seen/frontier STATE is
+        # identical (seen-dedup removes whole urls; the claim picks
+        # within-url winners — the two commute), but the anti-join now
+        # probes only ~|winners| rows instead of every candidate, and the
+        # claim's url-shuffle is the single wide stage of the phase.
+        unseen = None
+        winners = claim_first_wins(
+            candidates.withColumn("_reason", reason_col)
+            .filter(F.col("_reason").isNull())
+        ).localCheckpoint(eager=True)  # materialize BEFORE the bloom split —
+        # drop_seen's two branches each rescan their input, and rescanning
+        # the window subtree would double the round's widest stage
+        claimed = drop_seen(
+            winners, state.seen, state.bloom, spark
+        ).localCheckpoint(eager=True)
 
     if state.bloom is not None:
         # incrementally fold the round's claims into the persistent filter
@@ -354,7 +441,7 @@ def run_round(
         new_pending = schedule_delta
     else:
         new_pending = (
-            state.pending.join(popped.select("url"), "url", "left_anti")
+            pending.join(popped.select("url"), "url", "left_anti")
             .unionByName(schedule_delta)
             .localCheckpoint(eager=True)
         )
@@ -374,7 +461,7 @@ def run_round(
     # --- A6 metrics -------------------------------------------------------
     counters: dict = {"round": rnd}
     if cfg.collect_metrics:
-        fetch_row = fetched.agg(
+        fetch_row = round_result.agg(
             F.count("*").alias("popped"),
             F.sum(F.col("_found").cast("long")).alias("ok"),
         ).collect()[0]
@@ -426,8 +513,9 @@ def run_round(
 
         new_state = state_io.write_checkpoint(spark, new_state, cfg.checkpoint_dir)
 
-    for df in (fetched, parsed, candidates, unseen):
-        df.unpersist()
+    if cfg.collect_metrics:
+        candidates.unpersist()
+        unseen.unpersist()
     return new_state, counters
 
 
