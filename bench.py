@@ -265,10 +265,17 @@ def run_scaling(cluster: bool = False) -> dict:
                 env=env,
                 timeout=3600,
             )
+            if proc.returncode != 0 or not proc.stdout.strip():
+                log(f"{name} ({master}) trial {trial} FAILED "
+                    f"(rc={proc.returncode}); stderr tail:\n"
+                    + "\n".join(proc.stderr.strip().splitlines()[-15:]))
+                continue
             res = json.loads(proc.stdout.strip().splitlines()[-1])
             log(f"{name} ({master}) trial {trial}: {res}")
             if best is None or res["pages_per_sec"] > best["pages_per_sec"]:
                 best = res
+        if best is None:
+            raise RuntimeError(f"all {SCALING_TRIALS} trials failed for leg {name}")
         out[name] = best
     t_n = out["N"]["pages_per_sec"]
     t_4n = out["4N"]["pages_per_sec"]

@@ -1,0 +1,49 @@
+"""Spark filter_reason (substring-op CASE) must agree with the pure-Python
+urlparse-based simulator on every URL shape — including the adversarial
+ones that broke the first string-op formulation ('://' inside the path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikifrontier import filters as flt
+from wikifrontier.simulator import filter_reason_py
+
+ADVERSARIAL_URLS = [
+    "https://en.wikipedia.org/wiki/Page",
+    "https://en.wikipedia.org/wiki/Foo://Bar",        # '://' in path
+    "https://en.wikipedia.org/x://en.wikipedia.org/y",
+    "https://example.com/wiki/Page",
+    "https://de.wikipedia.org/wiki/X",
+    "https://en.wikipedia.org/wiki/Special:Random",
+    "https://en.wikipedia.org/wiki/Main_Page",
+    "https://en.wikipedia.org/",
+    "https://en.wikipedia.org",
+    "https://",
+    "mailto:someone@example.org",
+    "ftp://en.wikipedia.org/wiki/Page",
+    "https://en.wikipedia.org//wiki//Page",
+    "https://en.wikipedia.org/w/index.php",
+]
+
+ROBOTS_RULES = [("/wiki/Blocked_", False), ("/w/", False)]
+
+
+def test_spark_matches_python_reference(spark):
+    df = spark.createDataFrame(
+        [(u, d) for u in ADVERSARIAL_URLS for d in (0, 3, 5)], "url string, depth int"
+    )
+    got = {
+        (r["url"], r["depth"]): r["reason"]
+        for r in df.select(
+            "url",
+            "depth",
+            flt.filter_reason(
+                F.col("url"), F.col("depth"), robots_rules=ROBOTS_RULES
+            ).alias("reason"),
+        ).collect()
+    }
+    for url in ADVERSARIAL_URLS:
+        for depth in (0, 3, 5):
+            want = filter_reason_py(url, depth, robots_rules=ROBOTS_RULES)
+            assert got[(url, depth)] == want, (url, depth, got[(url, depth)], want)

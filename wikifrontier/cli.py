@@ -1,8 +1,11 @@
 """spark-submit entrypoint (north_rule: "runs via spark-submit --py-files
 on multi-executor clusters").
 
-    spark-submit --py-files wikifrontier.zip -m wikifrontier.cli crawl \\
+    spark-submit --py-files wikifrontier.zip wikifrontier/cli.py crawl \\
         --pages 100000 --rounds 12 --budget 75000 --checkpoint /ckpt
+
+(spark-submit takes a primary .py file; `python -m wikifrontier.cli` works
+for local runs.)
 
 Subcommands:
   crawl   run a BFS crawl over the deterministic synthetic corpus (or a
@@ -45,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def cmd_crawl(args) -> int:
+    from pyspark.sql import functions as F
+
     from wikifrontier import synth
     from wikifrontier.frontier import CrawlConfig, run_crawl
     from wikifrontier.session import get_spark
@@ -52,7 +57,15 @@ def cmd_crawl(args) -> int:
     spark = get_spark(master=args.master)
     if args.corpus:
         corpus = spark.read.parquet(args.corpus)
-        seeds = args.seed or [corpus.select("url").first()["url"]]
+        if args.seed:
+            seeds = args.seed
+        else:
+            # deterministic default seed: the lexicographically first url
+            first = corpus.select(F.min("url").alias("url")).first()
+            if first is None or first["url"] is None:
+                print(json.dumps({"error": f"corpus at {args.corpus} is empty"}))
+                return 1
+            seeds = [first["url"]]
     else:
         corpus = synth.corpus_df(spark, args.pages).cache()
         corpus.count()

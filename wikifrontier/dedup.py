@@ -92,21 +92,20 @@ def lsh_band_keys(sig_cols: list[Column]) -> list[Column]:
     return keys
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text: str = "text",
-    id_col: str = "doc_id",
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Candidate near-dup pairs via LSH banding, scored by signature
-    agreement (the MinHash Jaccard estimate), filtered at `threshold`.
+def lsh_candidate_pairs(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH candidate generation: (signatures, candidate id pairs).
 
     Plan shape: signatures (1 shuffle) → explode to (band_key, id) →
-    self-join on band_key (shuffle on 16-byte keys) → distinct pairs →
-    estimate. No step touches n² rows; bucket skew is bounded because a
-    band key collides only for near-identical signature slices.
+    self-join on band_key (shuffle on 16-byte keys) → distinct pairs.
+    No step touches n² rows; bucket skew is bounded because a band key
+    collides only for near-identical signature slices. Signatures are
+    lazily localCheckpoint'd — they feed the band explode and (in callers)
+    per-pair scoring, and unlike persist() the blocks are released when
+    the DataFrame is garbage-collected rather than pinned for the session.
     """
-    sigs = minhash_signatures(df, text, id_col).persist()
+    sigs = minhash_signatures(df, text, id_col).localCheckpoint(eager=False)
     sig_cols = [F.col(f"h{p}") for p in range(MINHASH_PERMS)]
     banded = sigs.select(
         F.col(id_col).alias("id"),
@@ -119,6 +118,19 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    return sigs, pairs
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding, scored by signature
+    agreement (the MinHash Jaccard estimate), filtered at `threshold`."""
+    sigs, pairs = lsh_candidate_pairs(df, text, id_col)
+    sig_cols = [F.col(f"h{p}") for p in range(MINHASH_PERMS)]
     a = sigs.select(
         F.col(id_col).alias("id_a"), *[c.alias(f"a_h{p}") for p, c in enumerate(sig_cols)]
     )
@@ -269,20 +281,8 @@ def jaccard_lsh_verified(
     sets = df.select(
         F.col(id_col),
         F.array_distinct(shingles(tokens(F.col(text)), k)).alias("grams"),
-    ).persist()
-    sigs = minhash_signatures(df, text, id_col)
-    sig_cols = [F.col(f"h{p}") for p in range(MINHASH_PERMS)]
-    banded = sigs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array(*lsh_band_keys(sig_cols))).alias("band_key"),
-    )
-    cand = (
-        banded.alias("a")
-        .join(banded.alias("b"), "band_key")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    ).localCheckpoint(eager=False)
+    _, cand = lsh_candidate_pairs(df, text, id_col)
     ga = sets.select(F.col(id_col).alias("id_a"), F.col("grams").alias("grams_a"))
     gb = sets.select(F.col(id_col).alias("id_b"), F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))

@@ -92,8 +92,17 @@ def filter_reason(
     string ops stay in whole-stage codegen at ~3× the throughput of
     parse_url's regex machinery — this CASE runs once per candidate link,
     the hottest expression in the crawl after the parse UDF.
+
+    The split anchors on the FIRST '://' (scheme boundary): a '://' later
+    in the path (legal, survives canonicalization) must not move the host.
+    A url with no '://' at all yields host '' → 'domain'-filtered, the
+    same outcome parse_url's NULL host produced.
     """
-    after_scheme = F.substring_index(url, "://", -1)
+    scheme = F.substring_index(url, "://", 1)
+    after_scheme = F.when(
+        F.length(scheme) < F.length(url),
+        url.substr(F.length(scheme) + 4, F.greatest(F.length(url), F.lit(1))),
+    ).otherwise(F.lit(""))
     host = F.substring_index(after_scheme, "/", 1)
     path = after_scheme.substr(
         F.length(host) + 1, F.greatest(F.length(after_scheme), F.lit(1))

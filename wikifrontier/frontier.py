@@ -298,9 +298,11 @@ def run_round(
         cfg.budget_per_round is not None
         or cfg.per_host_cap is not None
         or cfg.salt_partitions is not None
+        or cfg.enable_recrawl
     ):
-        # the pop/cap windows feed both the fetch join and the miss
-        # anti-join below — materialize once instead of re-running them
+        # the pop/cap windows (and the recrawl fold over the whole event
+        # log) feed both the fetch join and the miss anti-join below —
+        # materialize once instead of re-running them per consumer
         popped = popped.localCheckpoint(eager=True)
     batch = popped.select("url", "depth")
 
@@ -539,7 +541,12 @@ def run_crawl(
     if state is None:
         state = init_state(spark, seeds)
 
-    if cfg.bloom_bits is not None and state.bloom is None:
+    if cfg.bloom_bits is None:
+        # explicit opt-out wins even over a checkpoint's persisted bitmap
+        # (the escape hatch must work precisely when the bloom path is the
+        # thing being worked around)
+        state.bloom = None
+    elif state.bloom is None:
         state.bloom = BloomSeen(nbits=cfg.bloom_bits)
         if not state.seen.isEmpty():
             # resume path without a persisted bitmap: rebuild from seen

@@ -52,6 +52,7 @@ class BloomSeen:
         self.nbits = nbits
         self.k = k
         self.bitmap = np.zeros(nbits >> 6, dtype=np.uint64)
+        self._live_bcast = None  # previous round's probe broadcast
 
     # --- maintenance -------------------------------------------------------
     def add_df(self, spark: SparkSession, urls: DataFrame) -> None:
@@ -84,7 +85,13 @@ class BloomSeen:
     # --- probe -------------------------------------------------------------
     def maybe_seen_col(self, spark: SparkSession, url_col) -> F.Column:
         """Boolean Column: True if the url is *possibly* in the seen set."""
+        # release the previous round's bitmap broadcast — its probe plans
+        # have materialized by the time the next round asks for a new one;
+        # without this a long crawl leaks one bitmap per round
+        if self._live_bcast is not None:
+            self._live_bcast.unpersist(blocking=False)
         bcast = spark.sparkContext.broadcast(self.bitmap)
+        self._live_bcast = bcast
         nbits, k = self.nbits, self.k
 
         @F.pandas_udf("boolean")

@@ -76,7 +76,10 @@ def run_available_now(
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        # update mode, NOT complete: complete retains every window's state
+        # forever and re-emits the full result each trigger, which would
+        # nullify the watermark eviction windowed_host_throughput relies on
+        .outputMode("update")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
