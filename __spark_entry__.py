@@ -30,11 +30,30 @@ from wikifrontier.textops import BPE_RE, LANG_PROFILES, STOPWORDS, TOKEN_RE
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full BFS crawl of the sf0.001 corpus; returns the BFS
     layer table (url, depth, status, first_crawled_round)."""
+    _ensure_shipped(spark)
     return Q.q10_bfs_crawl(spark, "/root/testdata/sf0.001")
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """The pandas UDFs reference wikifrontier modules by name, so executor
+    Python workers must be able to import the package. The driver may hand
+    us a bare SparkSession (no --py-files) — ship the package via
+    addPyFile defensively (idempotent)."""
+    from wikifrontier.session import _ship_package
+
+    _ship_package(spark)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(Q.ALL_QUERIES)
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)
+            return fn(spark, sf_dir)
+
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(fn) for name, fn in Q.ALL_QUERIES.items()}
 
 
 # --------------------------------------------------------------------------
