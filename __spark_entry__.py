@@ -510,6 +510,48 @@ SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_fetch
 FROM pages GROUP BY 1
 """,
+        "q28_ann_ivf": f"""
+WITH assign AS (
+  SELECT vid AS vec_id, centroid_id FROM (
+    SELECT v.vec_id AS vid, c.vec_id AS centroid_id,
+           {COSINE.format(a='v.embedding', b='c.embedding')} AS sim,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {COSINE.format(a='v.embedding', b='c.embedding')} DESC,
+                      c.vec_id) AS rn
+    FROM embeddings v CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c
+  ) WHERE rn = 1
+),
+v AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS vec, a.centroid_id
+  FROM embeddings e JOIN assign a USING (vec_id)
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qvec, a.centroid_id
+  FROM embeddings e JOIN assign a USING (vec_id)
+  WHERE e.vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, v.neighbor_id,
+         round({COSINE.format(a='q.qvec', b='v.vec')}, 6) AS cos_sim
+  FROM q JOIN v USING (centroid_id)
+  WHERE v.neighbor_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT * FROM ranked WHERE rank <= 10
+""",
+        "q29_metrics_rollup": """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
         "q26_multimodal_features": """
 WITH m AS (
   SELECT doc_id AS media_id,

@@ -129,6 +129,26 @@ def test_bucketed_topk_subset_of_bucket(spark):
     assert {r["neighbor_id"] for r in out} == {1, 4}
 
 
+def test_ivf_topk_probes_own_list(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),    # centroid A
+        (1, [0.0, 1.0, 0.0, 0.0], 0),    # centroid B
+        (2, [0.95, 0.05, 0.0, 0.0], 0),  # near A
+        (3, [0.05, 0.95, 0.0, 0.0], 0),  # near B
+        (4, [0.9, 0.1, 0.0, 0.0], 0),    # near A (query)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    centroids = vecs.filter(F.col("vec_id") < 2)
+    assign = {
+        r["vec_id"]: r["centroid_id"]
+        for r in similarity.ivf_assign(vecs, centroids).collect()
+    }
+    assert assign == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+    out = similarity.ivf_topk(vecs, vecs.filter(F.col("vec_id") == 4), centroids, k=5)
+    # probes only list A — vector 3 (list B) is invisible to the query
+    assert {r["neighbor_id"] for r in out.collect()} == {0, 2}
+
+
 def test_lang_id_deterministic(docs):
     out = {
         r["doc_id"]: r["pred"]

@@ -375,6 +375,39 @@ def q26_multimodal_features(spark, sf_dir):
     return multimodal.extract_features(multimodal.attach_media(docs))
 
 
+def q28_ann_ivf(spark, sf_dir):
+    """IVF ANN top-10: 8-centroid codebook (vec_id < 8 as deterministic
+    centroids), queries probe only their own inverted list."""
+    emb = load(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") < 8),
+        k=10,
+    )
+
+
+def q29_metrics_rollup(spark, sf_dir):
+    """Grouping-sets rollup over orders — subtotal + grand-total rows in
+    one pass (the crawl-metrics drill-down shape)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n",
+            "total_price",
+        )
+    )
+
+
 def q27_host_state(spark, sf_dir):
     """§2.9/§1.4 — host_state view: per-host fetch counters and last-fetch
     clock over an events-derived crawled-pages table."""

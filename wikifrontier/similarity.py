@@ -73,6 +73,78 @@ def sign_bucket(vec_col, bits: int = SIGN_BITS):
     ).cast("int")
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (max cosine, centroid-id tie-break).
+
+    The centroid table is broadcast (inverted-file lists assume a small
+    codebook); at real scale the centroids come from a few distributed
+    k-means iterations — here any deterministic small table serves, since
+    the *join shape* (broadcast codebook → argmax → partition by list id)
+    is the operator under test."""
+    v = vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+        )
+    )
+    scored = v.crossJoin(c).select(
+        "vid",
+        "centroid_id",
+        cosine(F.col("vec"), F.col("cvec")).alias("sim"),
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("vid").alias(id_col), "centroid_id")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN top-k: probe only the query's own inverted list (its
+    nearest centroid's vectors). Same output schema as brute_force_topk;
+    recall < 1 by design. The candidate join is an equi-join on
+    centroid_id — at 10^10 vectors each side shuffles once on a small int
+    key, and per-list candidate counts are ~n/|codebook|."""
+    assign = ivf_assign(vectors, centroids, vec_col, id_col)
+    v = vectors.join(assign, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        "centroid_id",
+    )
+    q = queries.join(assign, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "centroid_id",
+    )
+    scored = (
+        q.join(v, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,
