@@ -335,6 +335,7 @@ FROM pages p LEFT JOIN lineitem l ON l.l_orderkey = p.okey
 GROUP BY p.url
 """,
         "q10_bfs_crawl": bfs_layers_oracle_sql(max_depth=4),
+        "q30_bfs_crawl_bucketed": bfs_layers_oracle_sql(max_depth=4),
         "q11_events_rollup": """
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

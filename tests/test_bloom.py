@@ -1,12 +1,13 @@
-"""BloomSeen: no false negatives, useful selectivity, persistence, and
-pre-filtered drop_seen equivalence with the plain anti-join."""
+"""BloomSeen / PartitionedBloomSeen: no false negatives, useful
+selectivity, persistence, and pre-filtered drop_seen equivalence with the
+plain anti-join."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from wikifrontier.seen import BloomSeen, drop_seen
+from wikifrontier.seen import BloomSeen, PartitionedBloomSeen, drop_seen
 
 
 @pytest.fixture(scope="module")
@@ -40,6 +41,58 @@ def test_drop_seen_with_bloom_equivalent(spark, urls):
     plain = {r["url"] for r in drop_seen(cands, seen).collect()}
     pre = {r["url"] for r in drop_seen(cands, seen, bloom, spark).collect()}
     assert plain == pre
+
+
+class TestPartitionedBloom:
+    """The sharded scale-path filter: same semantic guarantees as the
+    single bitmap, with zero bitmap bytes through the driver."""
+
+    def test_no_false_negatives_and_low_fp(self, spark, urls, tmp_path):
+        bloom = PartitionedBloomSeen(
+            storage_dir=str(tmp_path / "shards"), buckets=8,
+            nbits_per_bucket=1 << 15, k=7,
+        )
+        seen = urls.filter(F.col("url").substr(-1, 1).isin("0", "2", "4", "6", "8"))
+        bloom.add_df(spark, seen)
+
+        flagged = urls.withColumn("m", bloom.maybe_seen_col(spark, F.col("url")))
+        assert flagged.join(seen, "url").filter(~F.col("m")).count() == 0
+        unseen = flagged.join(seen, "url", "left_anti")
+        assert unseen.filter(F.col("m")).count() / unseen.count() < 0.05
+
+    def test_drop_seen_equivalent(self, spark, urls, tmp_path):
+        bloom = PartitionedBloomSeen(
+            storage_dir=str(tmp_path / "shards2"), buckets=4,
+            nbits_per_bucket=1 << 14,
+        )
+        seen = urls.filter(F.xxhash64("url") % 3 == 0).select("url")
+        bloom.add_df(spark, seen)
+        cands = urls.withColumn("depth", F.lit(1))
+        plain = {r["url"] for r in drop_seen(cands, seen).collect()}
+        pre = {r["url"] for r in drop_seen(cands, seen, bloom, spark).collect()}
+        assert plain == pre
+
+    def test_incremental_update_and_snapshot(self, spark, urls, tmp_path):
+        bloom = PartitionedBloomSeen(
+            storage_dir=str(tmp_path / "shards3"), buckets=4,
+            nbits_per_bucket=1 << 14, k=5,
+        )
+        bloom.add_df(spark, urls.limit(100))
+        bloom.add_df(spark, urls.limit(300))  # superset — idempotent OR
+
+        snap = str(tmp_path / "snap")
+        bloom.save(snap)
+        loaded = PartitionedBloomSeen.load(snap)
+        assert (loaded.buckets, loaded.nbits, loaded.k) == (4, 1 << 14, 5)
+        # the re-opened snapshot still flags everything that was added
+        flagged = urls.limit(300).withColumn(
+            "m", loaded.maybe_seen_col(spark, F.col("url"))
+        )
+        assert flagged.filter(~F.col("m")).count() == 0
+        # mutating the loaded copy must not touch the snapshot files
+        bloom2 = PartitionedBloomSeen.load(snap)
+        bloom2.add_df(spark, urls)
+        assert loaded.storage_dir != snap and bloom2.storage_dir != snap
 
 
 def test_incremental_and_persistence(spark, urls, tmp_path):

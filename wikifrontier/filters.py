@@ -72,6 +72,61 @@ def robots_denied_expr(path: Column, rules: list[tuple[str, bool]]) -> Column:
     return expr if rules else denied
 
 
+def split_url(url: Column) -> tuple[Column, Column, Column]:
+    """(scheme, host, path) via codegen string ops — see filter_reason's
+    scheme-boundary note. A url without '://' yields scheme == url and
+    host/path ''."""
+    scheme = F.substring_index(url, "://", 1)
+    after_scheme = F.when(
+        F.length(scheme) < F.length(url),
+        url.substr(F.length(scheme) + 4, F.greatest(F.length(url), F.lit(1))),
+    ).otherwise(F.lit(""))
+    host = F.substring_index(after_scheme, "/", 1)
+    path = after_scheme.substr(
+        F.length(host) + 1, F.greatest(F.length(after_scheme), F.lit(1))
+    )
+    return scheme, host, path
+
+
+VALID_SCHEMES = ("http", "https")
+VALIDITY_REASONS = ("invalid_scheme", "missing_host", "invalid_depth")
+
+
+def validity_reason(url: Column, depth: Column) -> Column:
+    """P7/S1 — the message validity gate. The reference validates every
+    consumed message against a Pydantic schema whose url field is
+    HttpUrl (scheme http/https + host required,
+    shared/rabbitmq/schemas/crawling.py:13-35) and rejects failures to a
+    per-queue DLQ (message_handler.py:37-41, DLX setup
+    shared/rabbitmq/queue_service.py:39-71). Returns the first reject
+    reason, NULL for rows that pass — callers route non-NULL rows to the
+    ``invalid_rows`` side table (the DLQ analogue) instead of silently
+    dropping them."""
+    scheme, host, _ = split_url(url)
+    has_sep = F.length(scheme) < F.length(url)  # '://' present
+    return (
+        F.when(
+            url.isNull() | ~has_sep | ~F.lower(scheme).isin(*VALID_SCHEMES),
+            F.lit("invalid_scheme"),
+        )
+        .when(host == "", F.lit("missing_host"))
+        .when(depth.isNull() | (depth < 0), F.lit("invalid_depth"))
+    )
+
+
+def split_valid(df, url_col: str = "url", depth_col: str = "depth"):
+    """(valid_rows, invalid_rows) — invalid_rows carries reject_reason.
+    Both are filters over the same input scan; keep the input a
+    materialized leaf (or accept one rescan) when using both sides."""
+    reason = validity_reason(F.col(url_col), F.col(depth_col))
+    return (
+        df.filter(reason.isNull()),
+        df.withColumn("reject_reason", reason).filter(
+            F.col("reject_reason").isNotNull()
+        ),
+    )
+
+
 def filter_reason(
     url: Column,
     depth: Column,

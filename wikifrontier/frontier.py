@@ -58,10 +58,13 @@ class CrawlConfig:
     collect_metrics: bool = True
     # Bloom pre-filter over the seen set (north_rule). None disables; the
     # default 2^22 bits ≈ 512 KiB holds ~400k URLs at <1% fp — size it to
-    # ~10 bits/URL for the target frontier (10^10 URLs → ~12 GiB total,
-    # which is why the design is per-partition bitmaps, not a broadcast of
-    # the seen table).
+    # ~10 bits/URL for the target frontier (10^10 URLs → ~12 GiB total).
     bloom_bits: int | None = 1 << 22
+    # shard count of the partitioned filter (power of two). The default
+    # keeps bitmap bytes off the driver entirely (seen.
+    # PartitionedBloomSeen); 0/None selects the legacy single driver
+    # bitmap — viable only while bloom_bits stays broadcast-small.
+    bloom_buckets: int | None = 16
     # explicit skew spread of the popped batch across executors
     # (politeness.salted_repartition) — worthwhile when one registered
     # domain dominates the frontier (the wiki-crawl case); None leaves
@@ -71,6 +74,21 @@ class CrawlConfig:
     # start. Off for parity runs — the reference's recrawl horizon is 8
     # days and the test corpus is static.
     enable_recrawl: bool = False
+    # fetch-join strategy (SURVEY §4.2):
+    #   "broadcast" — always broadcast the popped url batch (fastest while
+    #       the batch fits; the round-1 behavior);
+    #   "bucketed"  — never broadcast: shuffle-hash join against a corpus
+    #       pre-partitioned on url, so only the frontier side moves and
+    #       html is neither broadcast, shuffled, nor sorted;
+    #   "auto"      — broadcast below `broadcast_row_limit` popped rows,
+    #       bucketed above it. This is the size-gated fallback a 10^10-URL
+    #       frontier needs: a BFS layer of tens of millions of URLs would
+    #       blow the 8 GB broadcast cap (and driver heap first).
+    fetch_strategy: str = "auto"
+    broadcast_row_limit: int = 4_000_000
+    # partition count of the bucketed corpus layout; None → the session's
+    # spark.sql.shuffle.partitions
+    corpus_buckets: int | None = None
 
     def __post_init__(self):
         if self.crawl_epoch is None:
@@ -260,11 +278,35 @@ def recrawl_due(state: CrawlState, now: datetime) -> DataFrame:
     )
 
 
+def bucket_corpus(corpus: DataFrame, buckets: int) -> DataFrame:
+    """The bucketed corpus layout (SURVEY §4.2): hash-partitioned on url.
+
+    Persist the result before a multi-round crawl so the html payload is
+    laid out once; every later fetch join then reuses the partitioning —
+    EnsureRequirements sees hashpartitioning(url, buckets) on the corpus
+    scan and inserts an exchange only on the (url,depth) frontier side.
+    On a real deployment this is the Iceberg table's bucket(url) layout;
+    localCheckpoint-free `repartition` is its in-session equivalent."""
+    return corpus.select("url", "html").repartition(buckets, "url")
+
+
+def _fetch_join(batch: DataFrame, corpus: DataFrame, use_broadcast: bool):
+    """S2 fetch: frontier batch ⋈ corpus on url. Both shapes keep html in
+    place — the broadcast shape ships only urls to the corpus, the
+    bucketed shape shuffle-hash-joins with the batch as build side (a
+    sort-merge join here would SORT the html payload: observed 11×
+    blowup at 500k pages)."""
+    if use_broadcast:
+        return F.broadcast(batch).join(corpus.select("url", "html"), "url", "inner")
+    return batch.hint("SHUFFLE_HASH").join(corpus.select("url", "html"), "url", "inner")
+
+
 def run_round(
     spark: SparkSession,
     state: CrawlState,
     corpus: DataFrame,
     cfg: CrawlConfig,
+    corpus_bucketed: DataFrame | None = None,
 ) -> tuple[CrawlState, dict]:
     """Execute one BFS round; returns (new_state, round_counters).
 
@@ -306,19 +348,32 @@ def run_round(
         popped = popped.localCheckpoint(eager=True)
     batch = popped.select("url", "depth")
 
-    # --- S2 fetch + X1–X7 parse: ONE pass, html never shuffles ------------
-    # A plain `popped LEFT JOIN corpus` can only broadcast the corpus side
-    # (illegal: it is the huge side), so beyond the broadcast threshold
-    # Spark sort-merges — i.e. SORTS the html payload (observed: an 11×
-    # blowup at 500k pages). Split instead: an inner join that broadcasts
-    # the url-only frontier batch (the cached corpus streams in place,
-    # html untouched), plus a cheap broadcast anti-join for fetch misses.
-    # At frontier batches beyond broadcast size the corpus-bucketing
-    # layout (SURVEY §4.2) replaces the broadcast — same no-html-motion
-    # property, different mechanism.
+    # --- S2 fetch + X1–X7 parse: ONE pass, html never moves ---------------
+    # Strategy gate (ADVICE r1 #1): a plain LEFT JOIN would sort-merge the
+    # html payload, and an *unconditional* broadcast of the batch dies at
+    # 100 TB scale when a BFS layer outgrows the 8 GB broadcast cap. So:
+    # broadcast the url-only batch while it is provably small, otherwise
+    # shuffle-hash join against the bucketed corpus layout — either way
+    # the corpus html is never broadcast, shuffled, or sorted.
+    if cfg.fetch_strategy == "broadcast":
+        use_broadcast = True
+    elif cfg.fetch_strategy == "bucketed":
+        use_broadcast = False
+    else:  # auto: count the popped batch (cheap — popped/pending are
+        # materialized leaves) and gate on the configured row limit
+        use_broadcast = popped.count() <= cfg.broadcast_row_limit
+    if use_broadcast:
+        fetch_corpus = corpus
+    elif corpus_bucketed is not None:
+        fetch_corpus = corpus_bucketed
+    else:
+        # caller didn't pre-bucket: correct but re-shuffles html this
+        # round — run_crawl always passes a persisted bucketed layout
+        fetch_corpus = bucket_corpus(
+            corpus, cfg.corpus_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
     hits = (
-        F.broadcast(batch)
-        .join(corpus.select("url", "html"), "url", "inner")
+        _fetch_join(batch, fetch_corpus, use_broadcast)
         .select(
             "url",
             "depth",
@@ -328,9 +383,10 @@ def run_round(
         )
         .localCheckpoint(eager=True)
     )
-    missed = batch.join(
-        F.broadcast(hits.select("url")), "url", "left_anti"
-    ).select(
+    miss_probe = (
+        F.broadcast(hits.select("url")) if use_broadcast else hits.select("url")
+    )
+    missed = batch.join(miss_probe, "url", "left_anti").select(
         "url",
         "depth",
         F.lit(False).alias("_found"),
@@ -521,6 +577,32 @@ def run_round(
     return new_state, counters
 
 
+def _new_bloom(cfg: CrawlConfig):
+    """Build the configured bloom tier: partitioned shards by default,
+    the legacy driver bitmap when bloom_buckets is falsy."""
+    from wikifrontier.seen import PartitionedBloomSeen
+
+    if cfg.bloom_buckets:
+        return PartitionedBloomSeen(
+            buckets=cfg.bloom_buckets,
+            nbits_per_bucket=max(cfg.bloom_bits // cfg.bloom_buckets, 1 << 12),
+        )
+    return BloomSeen(nbits=cfg.bloom_bits)
+
+
+def _bloom_mismatch(bloom, cfg: CrawlConfig) -> bool:
+    """True when a checkpoint-loaded filter disagrees with the configured
+    tier or sizing (it would silently cap the false-positive budget)."""
+    from wikifrontier.seen import PartitionedBloomSeen
+
+    if cfg.bloom_buckets:
+        return not isinstance(bloom, PartitionedBloomSeen) or (
+            bloom.buckets != cfg.bloom_buckets
+            or bloom.nbits != max(cfg.bloom_bits // cfg.bloom_buckets, 1 << 12)
+        )
+    return not isinstance(bloom, BloomSeen) or bloom.nbits != cfg.bloom_bits
+
+
 def run_crawl(
     spark: SparkSession,
     corpus: DataFrame,
@@ -546,14 +628,36 @@ def run_crawl(
         # (the escape hatch must work precisely when the bloom path is the
         # thing being worked around)
         state.bloom = None
-    elif state.bloom is None:
-        state.bloom = BloomSeen(nbits=cfg.bloom_bits)
-        if not state.seen.isEmpty():
-            # resume path without a persisted bitmap: rebuild from seen
-            state.bloom.add_df(spark, state.seen.select("url"))
+    else:
+        if state.bloom is not None and _bloom_mismatch(state.bloom, cfg):
+            # ADVICE r1: a resumed bitmap sized differently from the
+            # config (e.g. the frontier outgrew the old filter) must not
+            # silently override the requested sizing — rebuild from seen
+            state.bloom = None
+        if state.bloom is None:
+            state.bloom = _new_bloom(cfg)
+            if not state.seen.isEmpty():
+                # resume path without a usable bitmap: rebuild from seen
+                state.bloom.add_df(spark, state.seen.select("url"))
 
-    while state.round < cfg.max_rounds:
-        if state.pending.isEmpty():
-            break
-        state, _ = run_round(spark, state, corpus, cfg)
+    # prepare the bucketed corpus layout once if any round may need it;
+    # persist is lazy, so a crawl whose batches all stay under the
+    # broadcast limit never materializes (or pays for) this copy
+    corpus_bucketed = None
+    if cfg.fetch_strategy != "broadcast":
+        buckets = cfg.corpus_buckets or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        corpus_bucketed = bucket_corpus(corpus, buckets).persist()
+
+    try:
+        while state.round < cfg.max_rounds:
+            if state.pending.isEmpty():
+                break
+            state, _ = run_round(spark, state, corpus, cfg, corpus_bucketed)
+    finally:
+        if corpus_bucketed is not None:
+            # round outputs are localCheckpoint'd leaves — nothing in the
+            # returned state depends on the corpus lineage
+            corpus_bucketed.unpersist(blocking=False)
     return state

@@ -249,6 +249,31 @@ def q10_bfs_crawl(spark, sf_dir):
     )
 
 
+def q30_bfs_crawl_bucketed(spark, sf_dir):
+    """Flagship crawl on the no-broadcast scale path: fetch_strategy =
+    "bucketed" (shuffle-hash join against the url-partitioned corpus
+    layout) with Spark's auto-broadcast disabled for the whole run, so the
+    plan provably works when a BFS layer outgrows the 8 GB broadcast cap.
+    Oracle: same recursive-CTE BFS ground truth as q10."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        web_pages = corpus_mod.documents_corpus(spark, sf_dir)
+        cfg = frontier.CrawlConfig(
+            max_depth=4, budget_per_round=None, per_host_cap=None, max_rounds=12,
+            collect_metrics=False, fetch_strategy="bucketed",
+        )
+        state = frontier.run_crawl(spark, web_pages, [corpus_mod.doc_url(0)], cfg)
+        # materialize the fold while broadcast is still disabled so every
+        # join in this query's lifetime ran without one
+        out = state.pages.select(
+            "url", "depth", "last_crawl_status", "first_crawled_round"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
+
+
 def q11_events_rollup(spark, sf_dir):
     """A6 — round-metrics-style rollup: exact decimal sums (order-
     insensitive, unlike double sums) per event_type."""

@@ -61,7 +61,12 @@ def write_checkpoint(spark: SparkSession, state, ckpt_dir: str):
         ],
     }
     if state.bloom is not None:
-        state.bloom.save(os.path.join(round_dir, "bloom.npz"))
+        from wikifrontier.seen import PartitionedBloomSeen
+
+        if isinstance(state.bloom, PartitionedBloomSeen):
+            state.bloom.save(os.path.join(round_dir, "bloom_shards"))
+        else:
+            state.bloom.save(os.path.join(round_dir, "bloom.npz"))
 
     tmp = os.path.join(round_dir, "_MANIFEST.json.tmp")
     with open(tmp, "w") as f:
@@ -110,9 +115,14 @@ def load_checkpoint(spark: SparkSession, ckpt_dir: str):
         )
         for name, ddl in TABLE_DDLS.items()
     }
+    shards_dir = os.path.join(round_dir, "bloom_shards")
     bloom_path = os.path.join(round_dir, "bloom.npz")
     bloom = None
-    if os.path.exists(bloom_path):
+    if os.path.isdir(shards_dir):
+        from wikifrontier.seen import PartitionedBloomSeen
+
+        bloom = PartitionedBloomSeen.load(shards_dir)
+    elif os.path.exists(bloom_path):
         from wikifrontier.seen import BloomSeen
 
         bloom = BloomSeen.load(bloom_path)
