@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from wikifrontier import queries as Q
 from wikifrontier.corpus import bfs_layers_oracle_sql
-from wikifrontier.dedup import LSH_BANDS, MINHASH_PERMS, SIMHASH_BITS
+from wikifrontier.dedup import LSH_BANDS, MINHASH_PERMS, SIMHASH_BANDS, SIMHASH_BITS
+from wikifrontier.frontier import ERROR_TYPES
 from wikifrontier.textops import BPE_RE, LANG_PROFILES, STOPWORDS, TOKEN_RE
 
 
@@ -108,6 +109,26 @@ FILTER_REASON = f"""
        ELSE NULL END
 """
 
+# q32 ruleset (queries.ROBOTS_Q32) with precedence pre-resolved: denied iff
+# some Disallow prefix matches and no longer Allow prefix does
+FILTER_REASON_ROBOTS = f"""
+  CASE WHEN depth > 4 THEN 'depth'
+       WHEN host NOT IN ('en.wikipedia.org') THEN 'domain'
+       WHEN {PREFIX_HIT} THEN 'prefix'
+       WHEN regexp_replace(path, '^/+|/+$', '', 'g') = ''
+            AND host IN ('', 'en.wikipedia.org') THEN 'home_page'
+       WHEN NOT starts_with(path, '/wiki/Doc_77')
+            AND (starts_with(path, '/wiki/Doc_7')
+                 OR starts_with(path, '/wiki/Doc_3')) THEN 'robots_txt'
+       ELSE NULL END
+"""
+
+_ERR_LIST = ", ".join(f"'{t}'" for t in ERROR_TYPES)
+ERROR_CLASS = (
+    f"([{_ERR_LIST}])"
+    "[((instr('0123456789abcdef', substr(sha256(url), 1, 1)) - 1) % 6) + 1]"
+)
+
 EVENT_FRONTIER = """
 pending AS (
   SELECT 'https://en.wikipedia.org/wiki/E' || event_id AS url,
@@ -174,6 +195,60 @@ tok AS (SELECT doc_id, unnest(list_distinct({TOKS})) AS tk FROM {source}),
 th AS (SELECT doc_id, sha256(tk) AS h FROM tok),
 votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id)
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM votes"""
+
+
+def _simhash_cte(source: str) -> str:
+    """Same computation as _simhash_sql but packaged as a `sim` CTE."""
+    body = _simhash_sql(source)
+    ctes, final = body.rsplit("SELECT", 1)
+    return f"{ctes.rstrip()},\nsim AS (SELECT{final})"
+
+
+def _kmeans_sql(iters: int = 2, k: int = 8) -> str:
+    """CTE chain replaying similarity.kmeans_centroids: c0 = seed codebook,
+    then per iteration argmax-assign → quantized-exact per-dim means →
+    codebook rebuild with empty-cluster fallback. Final codebook CTE is
+    c{iters} (centroid_id, cvec)."""
+    cos = COSINE.format(a="v.embedding", b="c.cvec")
+    parts = [
+        f"""c0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+  FROM embeddings WHERE vec_id < {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos} DESC, c.centroid_id) AS rn
+    FROM embeddings v CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+ex{i} AS (
+  SELECT a.centroid_id,
+         unnest(generate_series(1, len(v.embedding))) AS pos,
+         unnest(v.embedding) AS x
+  FROM embeddings v JOIN a{i} a USING (vec_id)
+),
+m{i} AS (
+  SELECT centroid_id, pos,
+         CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+           / count(*) / 1000000 AS m
+  FROM ex{i} GROUP BY centroid_id, pos
+),
+cn{i} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m{i} GROUP BY centroid_id
+),
+c{i} AS (
+  SELECT * FROM cn{i}
+  UNION ALL
+  SELECT p.centroid_id, p.cvec FROM {prev} p
+  WHERE p.centroid_id NOT IN (SELECT centroid_id FROM cn{i})
+)""")
+    return ",\n".join(parts)
 
 
 COSINE = (
@@ -336,6 +411,49 @@ GROUP BY p.url
 """,
         "q10_bfs_crawl": bfs_layers_oracle_sql(max_depth=4),
         "q30_bfs_crawl_bucketed": bfs_layers_oracle_sql(max_depth=4),
+        "q31_validity_dlq": """
+WITH c AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 THEN 'nota url ' || doc_id
+         WHEN doc_id % 13 = 1 THEN 'ftp://files.example.com/d' || doc_id
+         WHEN doc_id % 13 = 2 THEN 'https:///Doc_' || doc_id
+         ELSE 'https://en.wikipedia.org/wiki/Doc_' || doc_id END AS url,
+    CAST(CASE WHEN doc_id % 13 = 3 THEN -1 ELSE doc_id % 6 END AS INT) AS depth
+  FROM documents
+)
+SELECT doc_id, url, depth,
+  CASE WHEN url NOT LIKE '%://%'
+            OR lower(regexp_extract(url, '^(.*?)://', 1)) NOT IN ('http', 'https')
+       THEN 'invalid_scheme'
+       WHEN regexp_extract(url, '://([^/]*)', 1) = '' THEN 'missing_host'
+       WHEN depth IS NULL OR depth < 0 THEN 'invalid_depth'
+       END AS reject_reason
+FROM c
+""",
+        "q32_robots_filter": f"""
+WITH {CAND}, {CANON}, {PARSED}
+SELECT doc_id, canonical_url, depth, {FILTER_REASON_ROBOTS} AS filter_reason
+FROM parsed
+""",
+        "q33_error_taxonomy": f"""
+WITH o AS (
+  SELECT 'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+         CASE WHEN doc_id % 10 = 7 THEN 'SKIPPED'
+              WHEN doc_id % 4 = 1 THEN 'FAILED'
+              ELSE 'SUCCESS' END AS status
+  FROM documents
+)
+SELECT status,
+  CASE WHEN status = 'FAILED' THEN {ERROR_CLASS}
+       WHEN status = 'SKIPPED' THEN 'RobotsDisallowed' END AS error_type,
+  count(*) AS n
+FROM o GROUP BY status, error_type
+""",
+        "q35_page_categories": """
+SELECT 'https://en.wikipedia.org/wiki/Doc_' || doc_id AS source_page_url,
+       'Lang_' || lang AS category
+FROM documents
+""",
         "q11_events_rollup": """
 SELECT event_type, count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
@@ -377,6 +495,27 @@ pairs AS (
 SELECT id_a, id_b, round(({agree}) / 12.0, 6) AS est_jaccard
 FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
 WHERE round(({agree}) / 12.0, 6) >= 0.5
+""",
+        "q34_simhash_pairs": f"""
+WITH {NEARDUP}, {_simhash_cte('docs')},
+banded AS (
+  SELECT doc_id AS id, simhash,
+         unnest([{", ".join(str(b) for b in range(SIMHASH_BANDS))}]) AS band
+  FROM sim
+),
+keyed AS (
+  SELECT id, simhash, band,
+         (simhash >> (band * {SIMHASH_BITS // SIMHASH_BANDS}))
+           & {(1 << (SIMHASH_BITS // SIMHASH_BANDS)) - 1} AS key
+  FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 """,
         "q16_dedup_simhash": f"""
 WITH {_simhash_sql('documents').strip().rstrip()}
@@ -512,15 +651,15 @@ SELECT regexp_extract(url, '^https://([^/]+)', 1) AS host,
 FROM pages GROUP BY 1
 """,
         "q28_ann_ivf": f"""
-WITH assign AS (
-  SELECT vid AS vec_id, centroid_id FROM (
-    SELECT v.vec_id AS vid, c.vec_id AS centroid_id,
-           {COSINE.format(a='v.embedding', b='c.embedding')} AS sim,
+WITH {_kmeans_sql(iters=2, k=8)},
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
            row_number() OVER (
              PARTITION BY v.vec_id
-             ORDER BY {COSINE.format(a='v.embedding', b='c.embedding')} DESC,
-                      c.vec_id) AS rn
-    FROM embeddings v CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) c
+             ORDER BY {COSINE.format(a='v.embedding', b='c.cvec')} DESC,
+                      c.centroid_id) AS rn
+    FROM embeddings v CROSS JOIN c2 c
   ) WHERE rn = 1
 ),
 v AS (

@@ -126,6 +126,14 @@ def run_bench(crawl_only: bool = False) -> dict:
 
     crawl = bench_crawl(spark, n_pages)
     log(f"  crawl: {crawl}")
+
+    # measurement hygiene (VERDICT r1): the crawl leaves cached blocks,
+    # localCheckpoint leaves and old-gen garbage that inflated per-query
+    # times 3-4×. Tear the session down and sweep queries in a fresh one.
+    if not crawl_only:
+        spark.stop()
+        spark = get_session(cpus)
+        spark.sparkContext._jvm.System.gc()
     queries = {} if crawl_only else bench_queries(spark, sf_dir)
 
     total = crawl["crawl_sec"] + sum(queries.values())

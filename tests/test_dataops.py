@@ -58,8 +58,13 @@ def test_simhash_identical_and_distance(docs):
     sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
     assert sh[0] == sh[1]  # identical text → identical sketch
     assert 0 <= sh[0] < (1 << dedup.SIMHASH_BITS)
-    pairs = dedup.simhash_pairs(docs, max_hamming=3, block_col="lang").collect()
+    pairs = dedup.simhash_pairs(docs, max_hamming=3).collect()
     assert any((r["id_a"], r["id_b"]) == (0, 1) and r["hamming"] == 0 for r in pairs)
+    # nibble-band pigeonhole: every reported pair is within the radius,
+    # and no pair appears twice despite colliding in multiple bands
+    assert all(r["hamming"] <= 3 for r in pairs)
+    keys = [(r["id_a"], r["id_b"]) for r in pairs]
+    assert len(keys) == len(set(keys))
 
 
 def test_jaccard_lsh_verified(docs):

@@ -47,3 +47,27 @@ def test_spark_matches_python_reference(spark):
         for depth in (0, 3, 5):
             want = filter_reason_py(url, depth, robots_rules=ROBOTS_RULES)
             assert got[(url, depth)] == want, (url, depth, got[(url, depth)], want)
+
+
+def test_validity_gate_split(spark):
+    """S1/P7 gate: reject reasons match the Pydantic HttpUrl semantics
+    (scheme http/https + host required) plus the depth >= 0 invariant."""
+    from wikifrontier.filters import split_valid
+
+    rows = [
+        ("https://en.wikipedia.org/wiki/A", 0, None),
+        ("http://example.com/x", 3, None),
+        ("not a url", 0, "invalid_scheme"),
+        ("ftp://files.example.com/f", 0, "invalid_scheme"),
+        ("https:///nohost", 0, "missing_host"),
+        ("https://en.wikipedia.org/wiki/B", -2, "invalid_depth"),
+        (None, 1, "invalid_scheme"),
+    ]
+    df = spark.createDataFrame(
+        [(u, d) for u, d, _ in rows], "url string, depth int"
+    )
+    valid, invalid = split_valid(df)
+    want_valid = {u for u, _, r in rows if r is None}
+    assert {r["url"] for r in valid.collect()} == want_valid
+    got = {r["url"]: r["reject_reason"] for r in invalid.collect()}
+    assert got == {u: r for u, _, r in rows if r is not None}

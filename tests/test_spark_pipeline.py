@@ -195,3 +195,109 @@ class TestRecrawl:
         assert state2.pages.count() == n_pages
         bumped = state2.pages.filter(F.col("total_crawl_attempts") >= 2).count()
         assert bumped >= 25  # the popped recrawl batch was re-fetched
+
+
+class TestStatusRetryDlq:
+    """Round-2 fidelity additions: SKIPPED status, the 6-way error
+    taxonomy, bounded fetch retry, and the invalid-rows DLQ."""
+
+    def test_skipped_for_robots_denied_seed(self, spark, corpus):
+        """Seeds bypass the scheduler filter, so a robots-denied seed must
+        be declined at fetch time with SKIPPED (crawl_status.py:4-7) and
+        never hit the corpus join."""
+        cfg = CrawlConfig(robots_txt=synth.ROBOTS_TXT, max_rounds=3)
+        state = run_crawl(
+            spark, corpus,
+            [synth.page_url(synth.SEED_ID), synth.blocked_url(1)], cfg,
+        )
+        row = state.pages.filter(F.col("url") == synth.blocked_url(1)).collect()
+        assert len(row) == 1
+        assert row[0]["last_crawl_status"] == "SKIPPED"
+        assert row[0]["http_status_code"] is None
+        assert row[0]["html_content_hash"] is None
+        assert row[0]["failed_crawl_attempts"] == 0  # insert never counts
+        assert row[0]["last_error_seen"].startswith("SKIPPED")
+
+    def test_error_taxonomy_deterministic(self, spark, corpus):
+        """FAILED pages carry one of the reference's 6 error classes,
+        derived reproducibly from the url (crawler_types.py:8-40)."""
+        import hashlib
+
+        from wikifrontier.frontier import ERROR_TYPES
+
+        cfg = CrawlConfig(robots_txt=synth.ROBOTS_TXT, max_rounds=10)
+        state = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        failed = state.pages.filter(F.col("last_crawl_status") == "FAILED").collect()
+        assert failed  # Missing_ links guarantee misses
+        for r in failed:
+            nib = hashlib.sha256(r["url"].encode()).hexdigest()[0]
+            want = ERROR_TYPES[int(nib, 16) % 6]
+            assert r["last_error_seen"] == f"{want}: request failed", r["url"]
+
+    def test_fetch_retry_bounded(self, spark, corpus):
+        """download_retry analogue: a missing url is re-fetched
+        fetch_retries times, attempt counters accumulate, then the
+        frontier drains (no infinite retry loop)."""
+        cfg = CrawlConfig(
+            robots_txt=synth.ROBOTS_TXT, max_rounds=16, fetch_retries=2
+        )
+        state = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        failed = state.pages.filter(
+            F.col("last_crawl_status") == "FAILED"
+        ).collect()
+        assert failed
+        for r in failed:
+            assert r["total_crawl_attempts"] == 3, r["url"]  # 1 + 2 retries
+            assert r["failed_crawl_attempts"] == 2, r["url"]
+        assert all(r["attempts"] == 3 for r in state.retries.collect())
+        assert state.pending.isEmpty()
+        # retries must not disturb the SUCCESS page set
+        base = run_crawl(
+            spark, corpus, [synth.page_url(synth.SEED_ID)],
+            CrawlConfig(robots_txt=synth.ROBOTS_TXT, max_rounds=16),
+        )
+        assert (
+            state.pages.filter(F.col("last_crawl_status") == "SUCCESS").count()
+            == base.pages.filter(F.col("last_crawl_status") == "SUCCESS").count()
+        )
+
+    def test_dlq_empty_for_wellformed_corpus(self, spark, corpus):
+        """Parsed wiki links are always schema-valid, so the DLQ stays
+        empty on the synthetic corpus — and the table exists/loads."""
+        cfg = CrawlConfig(robots_txt=synth.ROBOTS_TXT, max_rounds=4)
+        state = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        assert state.invalid_rows.count() == 0
+        assert state.invalid_rows.columns == [
+            "url", "depth", "source_page_url", "reject_reason", "rejected_round"
+        ]
+
+
+class TestCheckpointEvery:
+    def test_amortized_checkpoint_resume(self, spark, corpus, tmp_path):
+        """checkpoint_every=3 writes rounds 3,6,… plus the final round;
+        resume from the amortized snapshots reproduces the full crawl."""
+        import os
+
+        ckpt = str(tmp_path / "ckpt_k3")
+        cfg = CrawlConfig(
+            robots_txt=synth.ROBOTS_TXT, max_rounds=5,
+            checkpoint_dir=ckpt, checkpoint_every=3,
+        )
+        run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        rounds = sorted(
+            int(e.split("=")[1])
+            for e in os.listdir(ckpt)
+            if e.startswith("round=")
+            and os.path.exists(os.path.join(ckpt, e, "_MANIFEST.json"))
+        )
+        assert 3 in rounds and max(rounds) == 5 and 4 not in rounds
+
+        cfg_resume = CrawlConfig(
+            robots_txt=synth.ROBOTS_TXT, max_rounds=10,
+            checkpoint_dir=ckpt, checkpoint_every=3,
+        )
+        state = run_crawl(
+            spark, corpus, [synth.page_url(synth.SEED_ID)], cfg_resume, resume=True
+        )
+        sim = simulate_crawl(N, max_rounds=10)
+        _assert_state_matches(state, sim)

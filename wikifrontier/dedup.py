@@ -10,7 +10,7 @@ operators provide it, all as native DataFrame ops (no Python UDFs):
 * MinHash+LSH   — shingle → 12-permutation signature → 4 bands → bucket
                   join. Candidate pairs only ever meet inside a band bucket,
                   so the join shuffles on band keys, never n².
-* SimHash       — 16-bit bitwise-majority sketch + Hamming-radius pairing.
+* SimHash       — bitwise-majority sketch + band-blocked Hamming pairing.
 * n-gram Jaccard— exact set similarity, blocked to keep the self-join
                   bounded.
 * embedding     — cosine near-dup within blocking keys.
@@ -35,7 +35,7 @@ from wikifrontier.textops import SHINGLE_K, shingles, tokens
 
 MINHASH_PERMS = 12
 LSH_BANDS = 4  # 3 rows per band
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 HEX_ALPHABET = "0123456789abcdef"
 
 
@@ -155,7 +155,7 @@ def minhash_lsh_pairs(
 
 # --- SimHash -----------------------------------------------------------------
 def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash over the distinct-token set.
+    """SIMHASH_BITS-wide SimHash over the distinct-token set.
 
     Bit j is the majority vote of token-hash nibble parities: nibble j of
     sha256(token) is mapped to ±1 via `instr` into the hex alphabet (the
@@ -178,43 +178,56 @@ def simhash(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFr
     return agg.select(F.col(id_col), bits.cast("long").alias("simhash"))
 
 
+SIMHASH_BANDS = 4  # SIMHASH_BITS/4-wide bands over the sketch
+
+
 def simhash_pairs(
     df: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    block_col: str | None = None,
+    bands: int = SIMHASH_BANDS,
 ) -> DataFrame:
-    """Near-dup pairs at Hamming distance ≤ `max_hamming`.
-
-    Block on `block_col` (e.g. lang) to bound the self-join; at real scale
-    the block key would be simhash prefix bands (pigeonhole: d≤3 over 16
-    bits ⇒ one of 4 nibble-bands equal), same join shape as LSH.
-    """
+    """Near-dup pairs at Hamming distance ≤ ``max_hamming``, blocked by
+    simhash nibble bands (pigeonhole: d ≤ bands-1 over SIMHASH_BITS bits ⇒
+    at least one of the ``bands`` equal-width bands is identical, so every
+    qualifying pair meets in some band bucket). Same equi-join shape as
+    MinHash-LSH — candidates are generated by a (band, key) bucket join,
+    never an all-pairs product, so the shuffle is keyed and linear at
+    10^10 documents."""
+    assert max_hamming < bands, "pigeonhole requires max_hamming < bands"
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
     sh = simhash(df, text, id_col)
-    if block_col is not None:
-        sh = sh.join(df.select(id_col, block_col), id_col)
-    a = sh.select(
-        *[F.col(c).alias(f"a_{c}") for c in sh.columns]
-    )
-    b = sh.select(*[F.col(c).alias(f"b_{c}") for c in sh.columns])
-    cond = F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
-    if block_col is not None:
-        join_on = F.col(f"a_{block_col}") == F.col(f"b_{block_col}")
-        joined = a.join(b, join_on)
-    else:
-        joined = a.crossJoin(b)
-    ham = F.bit_count(
-        F.col("a_simhash").bitwiseXOR(F.col("b_simhash"))
-    )
+    banded = sh.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        joined.filter(cond)
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
-            F.col(f"a_{id_col}").alias("id_a"),
-            F.col(f"b_{id_col}").alias("id_b"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

@@ -38,10 +38,30 @@ from wikifrontier.seen import BloomSeen, claim_first_wins, drop_seen
 from wikifrontier.udfs import parse_page_udf
 
 RECRAWL_INTERVAL_SECONDS = 691_200  # 8 days — crawler_prod.yml:26
-FAILED_ERROR_TYPE = "HTTPError"
-FAILED_ERROR_MESSAGE = "HTTPError: url not found in corpus"
+
+# the reference's 6-way fetch-exception taxonomy, in declaration order
+# (components/crawler/types/crawler_types.py:8-40)
+ERROR_TYPES = (
+    "HTTPError", "Timeout", "ConnectionError",
+    "TooManyRedirects", "SSLError", "RequestException",
+)
+SKIPPED_ERROR_MESSAGE = "SKIPPED: robots.txt disallowed url at fetch time"
 
 _FAILISH = ("FAILED", "SKIPPED")
+
+
+def classify_fetch_error(url_col) -> F.Column:
+    """Deterministic stand-in for the reference's exception classes: the
+    failure class of a miss is a stable function of the url (first sha256
+    nibble mod 6), so the corpus model exercises every error_type value
+    the reference can emit (crawler_types.py:8-40) — and the derivation is
+    portable to the DuckDB oracle verbatim."""
+    nibble = (
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.sha2(url_col, 256), 1, 1))
+        - 1
+    )
+    idx = (nibble % 6).cast("int")
+    return F.element_at(F.array(*[F.lit(t) for t in ERROR_TYPES]), idx + 1)
 
 
 @dataclass(frozen=True)
@@ -54,7 +74,16 @@ class CrawlConfig:
     allowed_domains: tuple[str, ...] = flt.ALLOWED_DOMAINS
     excluded_prefixes: tuple[str, ...] = flt.EXCLUDED_PREFIXES
     crawl_epoch: datetime = None  # type: ignore[assignment]
+    # Durable round snapshots. REQUIRED on multi-executor clusters: without
+    # it per-round state rests on localCheckpoint blocks whose lineage is
+    # truncated — an executor loss makes them unrecoverable and the
+    # accumulated tables grow as O(rounds) union chains. The checkpoint
+    # doubles as event-log compaction, bounding both.
     checkpoint_dir: str | None = None
+    # write the durable snapshot every K rounds (1 = every round). Larger
+    # K amortizes the per-round fixed cost; recovery replays at most K-1
+    # rounds. The final round always checkpoints.
+    checkpoint_every: int = 1
     collect_metrics: bool = True
     # Bloom pre-filter over the seen set (north_rule). None disables; the
     # default 2^22 bits ≈ 512 KiB holds ~400k URLs at <1% fp — size it to
@@ -62,9 +91,11 @@ class CrawlConfig:
     bloom_bits: int | None = 1 << 22
     # shard count of the partitioned filter (power of two). The default
     # keeps bitmap bytes off the driver entirely (seen.
-    # PartitionedBloomSeen); 0/None selects the legacy single driver
-    # bitmap — viable only while bloom_bits stays broadcast-small.
-    bloom_buckets: int | None = 16
+    # PartitionedBloomSeen) and bounds add_df's shuffle parallelism, so
+    # size it >= the executor-core count; 0/None selects the legacy
+    # single driver bitmap — viable only while bloom_bits stays
+    # broadcast-small.
+    bloom_buckets: int | None = 64
     # explicit skew spread of the popped batch across executors
     # (politeness.salted_repartition) — worthwhile when one registered
     # domain dominates the frontier (the wiki-crawl case); None leaves
@@ -74,6 +105,12 @@ class CrawlConfig:
     # start. Off for parity runs — the reference's recrawl horizon is 8
     # days and the test corpus is static.
     enable_recrawl: bool = False
+    # bounded retry of FAILED fetches (reference download_retry, 2 attempts
+    # + grace, crawler_service.py:157-190): a miss is re-enqueued for the
+    # next round until it has failed 1 + fetch_retries times. 0 = off
+    # (reference parity: its retry lives inside the HTTP call, invisible
+    # to a deterministic corpus).
+    fetch_retries: int = 0
     # fetch-join strategy (SURVEY §4.2):
     #   "broadcast" — always broadcast the popped url batch (fastest while
     #       the batch fits; the round-1 behavior);
@@ -113,9 +150,11 @@ class CrawlState:
     metrics: DataFrame
     pages_base: DataFrame
     content_base: DataFrame
+    invalid_rows: DataFrame = None  # type: ignore[assignment] — set by init/load
+    retries: DataFrame = None  # type: ignore[assignment] — set by init/load
     page_events: DataFrame | None = None
     content_events: DataFrame | None = None
-    bloom: BloomSeen | None = None
+    bloom: object | None = None  # BloomSeen | PartitionedBloomSeen
 
     @property
     def pages(self) -> DataFrame:
@@ -133,6 +172,8 @@ class CrawlState:
             "page_content": self.page_content,
             "links": self.links,
             "metrics": self.metrics,
+            "invalid_rows": self.invalid_rows,
+            "retries": self.retries,
         }
 
 
@@ -151,6 +192,8 @@ def init_state(spark: SparkSession, seeds: list[str]) -> CrawlState:
         metrics=schemas.empty_df(spark, schemas.METRICS_DDL),
         pages_base=schemas.empty_df(spark, schemas.PAGES_DDL),
         content_base=schemas.empty_df(spark, schemas.PAGE_CONTENT_DDL),
+        invalid_rows=schemas.empty_df(spark, schemas.INVALID_DDL),
+        retries=schemas.empty_df(spark, schemas.RETRIES_DDL),
     )
 
 
@@ -348,6 +391,20 @@ def run_round(
         popped = popped.localCheckpoint(eager=True)
     batch = popped.select("url", "depth")
 
+    # --- fetch-time robots check → SKIPPED (crawl_status.py:4-7) ----------
+    # The scheduler filters robots-denied *links* before they are ever
+    # queued, but seeds and recrawls reach the fetcher unfiltered — the
+    # reference declines those at fetch time and records SKIPPED. Same
+    # here: denied rows bypass the fetch join entirely.
+    skipped = None
+    if robots_rules:
+        _, _, bpath = flt.split_url(F.col("url"))
+        denied = flt.robots_denied_expr(bpath, robots_rules)
+        skipped = batch.filter(denied).select(
+            "url", "depth", F.lit("SKIPPED").alias("_status")
+        )
+        batch = batch.filter(~denied)
+
     # --- S2 fetch + X1–X7 parse: ONE pass, html never moves ---------------
     # Strategy gate (ADVICE r1 #1): a plain LEFT JOIN would sort-merge the
     # html payload, and an *unconditional* broadcast of the batch dies at
@@ -377,7 +434,7 @@ def run_round(
         .select(
             "url",
             "depth",
-            F.lit(True).alias("_found"),
+            F.lit("SUCCESS").alias("_status"),
             F.sha2(F.col("html"), 256).alias("_html_hash"),
             parse_page_udf(F.col("url"), F.col("html"), F.col("depth")).alias("p"),
         )
@@ -387,35 +444,46 @@ def run_round(
         F.broadcast(hits.select("url")) if use_broadcast else hits.select("url")
     )
     missed = batch.join(miss_probe, "url", "left_anti").select(
-        "url",
-        "depth",
-        F.lit(False).alias("_found"),
-        F.lit(None).cast("string").alias("_html_hash"),
-        F.lit(None).cast(hits.schema["p"].dataType).alias("p"),
+        "url", "depth", F.lit("FAILED").alias("_status")
     )
-    round_result = hits.unionByName(missed)
+    if skipped is not None:
+        missed = missed.unionByName(skipped)
+    p_type = hits.schema["p"].dataType
+    round_result = hits.unionByName(
+        missed.select(
+            "url",
+            "depth",
+            "_status",
+            F.lit(None).cast("string").alias("_html_hash"),
+            F.lit(None).cast(p_type).alias("p"),
+        )
+    )
 
     # --- A1 page events (delta only; fold happens lazily in .pages) -------
+    ok = F.col("_status") == "SUCCESS"
     page_events_delta = round_result.select(
         "url",
-        F.when(F.col("_found"), F.lit("SUCCESS")).otherwise(F.lit("FAILED")).alias(
-            "last_crawl_status"
-        ),
-        F.when(F.col("_found"), F.lit(200)).cast("int").alias("http_status_code"),
+        F.col("_status").alias("last_crawl_status"),
+        F.when(ok, F.lit(200)).cast("int").alias("http_status_code"),
         F.sha2(F.col("url"), 256).alias("url_hash"),
         F.col("_html_hash").alias("html_content_hash"),
         F.when(
-            F.col("_found"),
+            ok,
             F.concat(F.lit("/data/html/"), F.sha2(F.col("url"), 256), F.lit(".html.gz")),
         ).alias("compressed_filepath"),
         F.lit(round_ts).alias("last_crawled_at"),
-        F.when(F.col("_found"), F.lit(next_crawl_ts)).alias("next_crawl_at"),
-        F.when(~F.col("_found"), F.lit(FAILED_ERROR_MESSAGE)).alias("last_error_seen"),
+        F.when(ok, F.lit(next_crawl_ts)).alias("next_crawl_at"),
+        F.when(
+            F.col("_status") == "FAILED",
+            F.concat(classify_fetch_error(F.col("url")), F.lit(": request failed")),
+        )
+        .when(F.col("_status") == "SKIPPED", F.lit(SKIPPED_ERROR_MESSAGE))
+        .alias("last_error_seen"),
         F.col("depth"),
         F.lit(rnd).cast("int").alias("_round"),
     )
 
-    parsed = round_result.filter(F.col("_found"))
+    parsed = round_result.filter(ok)
     content_events_delta = parsed.select(
         F.col("url").alias("source_page_url"),
         F.col("p.title").alias("title"),
@@ -426,8 +494,24 @@ def run_round(
         F.lit(rnd).cast("int").alias("_round"),
     )
 
-    # --- §3.3 schedule: explode → D1 → F1-F5 → D2 claim -------------------
+    # --- §3.3 schedule: explode → S1/P7 gate → D1 → F1-F5 → D2 claim ------
     candidates = parsed.select(F.explode("p.links").alias("l")).select("l.*")
+
+    # S1/P7 — message validity gate ahead of dedup/filtering (the
+    # reference rejects malformed messages at queue consume, before any
+    # scheduler logic). Rejects accumulate in the invalid_rows DLQ table
+    # as a *lazy* delta over the checkpointed fetch leaf — zero cost per
+    # round until the DLQ is read or durably checkpointed.
+    vreason = flt.validity_reason(F.col("url"), F.col("depth"))
+    invalid_delta = candidates.filter(vreason.isNotNull()).select(
+        "url",
+        "depth",
+        "source_page_url",
+        vreason.alias("reject_reason"),
+        F.lit(rnd).cast("int").alias("rejected_round"),
+    )
+    new_invalid = state.invalid_rows.unionByName(invalid_delta)
+    candidates = candidates.filter(vreason.isNull())
     reason_col = flt.filter_reason(
         F.col("url"),
         F.col("depth"),
@@ -493,16 +577,48 @@ def run_round(
     schedule_delta = claimed.select(
         "url", "depth", F.lit(rnd + 1).alias("scheduled_round"), "source_page_url"
     )
+
+    # --- bounded fetch retry (download_retry analogue) --------------------
+    new_retries = state.retries
+    retry_delta = None
+    if cfg.fetch_retries > 0:
+        failed_now = (
+            round_result.filter(F.col("_status") == "FAILED")
+            .select("url", "depth")
+            .join(state.retries.select("url", "attempts"), "url", "left")
+            .select(
+                "url",
+                "depth",
+                (F.coalesce(F.col("attempts"), F.lit(0)) + 1)
+                .cast("int")
+                .alias("attempts"),
+            )
+            .localCheckpoint(eager=True)  # misses only — tiny
+        )
+        retry_delta = failed_now.filter(
+            F.col("attempts") <= cfg.fetch_retries
+        ).select(
+            "url",
+            "depth",
+            F.lit(rnd + 1).cast("int").alias("scheduled_round"),
+            F.lit("").alias("source_page_url"),
+        )
+        new_retries = state.retries.join(
+            failed_now.select("url"), "url", "left_anti"
+        ).unionByName(failed_now)
+
     if unbounded:
         # everything pending was popped — the next frontier is exactly the
         # newly claimed layer; no anti-join over the old pending needed
         new_pending = schedule_delta
     else:
-        new_pending = (
-            pending.join(popped.select("url"), "url", "left_anti")
-            .unionByName(schedule_delta)
-            .localCheckpoint(eager=True)
-        )
+        new_pending = pending.join(
+            popped.select("url"), "url", "left_anti"
+        ).unionByName(schedule_delta)
+    if retry_delta is not None:
+        new_pending = new_pending.unionByName(retry_delta)
+    if not unbounded:
+        new_pending = new_pending.localCheckpoint(eager=True)
 
     # --- event-log accumulation -------------------------------------------
     new_page_events = (
@@ -521,7 +637,7 @@ def run_round(
     if cfg.collect_metrics:
         fetch_row = round_result.agg(
             F.count("*").alias("popped"),
-            F.sum(F.col("_found").cast("long")).alias("ok"),
+            F.sum((F.col("_status") == "SUCCESS").cast("long")).alias("ok"),
         ).collect()[0]
         n_candidates = candidates.count()
         reason_counts = {
@@ -560,13 +676,18 @@ def run_round(
         metrics=new_metrics,
         pages_base=state.pages_base,
         content_base=state.content_base,
+        invalid_rows=new_invalid,
+        retries=new_retries,
         page_events=new_page_events,
         content_events=new_content_events,
         bloom=state.bloom,
     )
 
     # --- durable checkpoint (optional; also compacts the event log) -------
-    if cfg.checkpoint_dir is not None:
+    if (
+        cfg.checkpoint_dir is not None
+        and (rnd + 1) % max(cfg.checkpoint_every, 1) == 0
+    ):
         from wikifrontier import state as state_io
 
         new_state = state_io.write_checkpoint(spark, new_state, cfg.checkpoint_dir)
@@ -660,4 +781,12 @@ def run_crawl(
             # round outputs are localCheckpoint'd leaves — nothing in the
             # returned state depends on the corpus lineage
             corpus_bucketed.unpersist(blocking=False)
+
+    if cfg.checkpoint_dir is not None:
+        from wikifrontier import state as state_io
+
+        # the final round always checkpoints, whatever checkpoint_every —
+        # a resumed job must never replay completed work past the end
+        if state_io.latest_round(cfg.checkpoint_dir) != state.round:
+            state = state_io.write_checkpoint(spark, state, cfg.checkpoint_dir)
     return state

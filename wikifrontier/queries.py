@@ -299,6 +299,104 @@ def q12_events_json(spark, sf_dir):
     )
 
 
+def q31_validity_dlq(spark, sf_dir):
+    """S1/P7 — the message validity gate + DLQ side output
+    (shared/rabbitmq/schemas/crawling.py:13-35, message_handler.py:37-41):
+    deterministic malformed rows (no scheme / wrong scheme / empty host /
+    negative depth) classified by reject reason; NULL = passes the gate."""
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 13
+    url = (
+        F.when(m == 0, F.concat(F.lit("nota url "), F.col("doc_id")))
+        .when(m == 1, F.concat(F.lit("ftp://files.example.com/d"), F.col("doc_id")))
+        .when(m == 2, F.concat(F.lit("https:///Doc_"), F.col("doc_id")))
+        .otherwise(
+            F.concat(F.lit("https://en.wikipedia.org/wiki/Doc_"), F.col("doc_id"))
+        )
+    )
+    depth = (
+        F.when(m == 3, F.lit(-1)).otherwise(F.col("doc_id") % 6).cast("int")
+    )
+    cand = docs.select("doc_id", url.alias("url"), depth.alias("depth"))
+    return cand.select(
+        "doc_id",
+        "url",
+        "depth",
+        filters.validity_reason(F.col("url"), F.col("depth")).alias("reject_reason"),
+    )
+
+
+# robots ruleset for q32 — longest-prefix-first precedence, Allow overrides
+# (mirrors components/scheduler/core/filter.py:80-89 + urllib.robotparser)
+ROBOTS_Q32 = """User-agent: *
+Disallow: /wiki/Doc_7
+Allow: /wiki/Doc_77
+Disallow: /wiki/Doc_3
+"""
+
+
+def q32_robots_filter(spark, sf_dir):
+    """F5 — the filter chain with a NONEMPTY robots.txt: Doc_7*/Doc_3*
+    denied, Doc_77* re-allowed by the longer Allow rule. Exercises rule
+    precedence (longest first, Allow wins) under the oracle."""
+    cand = candidate_urls(load(spark, sf_dir, "documents"))
+    canonical = F.regexp_replace(F.col("url"), "[#?].*$", "")
+    rules = filters.parse_robots(ROBOTS_Q32)
+    return cand.select(
+        "doc_id",
+        canonical.alias("canonical_url"),
+        "depth",
+        filters.filter_reason(
+            canonical, F.col("depth"), robots_rules=rules
+        ).alias("filter_reason"),
+    )
+
+
+def q33_error_taxonomy(spark, sf_dir):
+    """Crawler error taxonomy + SKIPPED (crawler_types.py:8-40,
+    crawl_status.py:4-7): deterministic fetch outcomes — robots-declined →
+    SKIPPED, corpus misses → FAILED with the 6-way error class from
+    frontier.classify_fetch_error — aggregated per (status, error_type)."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://en.wikipedia.org/wiki/Doc_"), F.col("doc_id"))
+    status = (
+        F.when(F.col("doc_id") % 10 == 7, F.lit("SKIPPED"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("FAILED"))
+        .otherwise(F.lit("SUCCESS"))
+    )
+    out = docs.select(url.alias("url"), status.alias("status"))
+    err = (
+        F.when(
+            F.col("status") == "FAILED", frontier.classify_fetch_error(F.col("url"))
+        )
+        .when(F.col("status") == "SKIPPED", F.lit("RobotsDisallowed"))
+    )
+    return (
+        out.select("status", err.alias("error_type"))
+        .groupBy("status", "error_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q35_page_categories(spark, sf_dir):
+    """page_categories parity view (reference categories M:N,
+    database/db_models/models.py:192-200,256-275): the real parse UDF (X2)
+    over the documents corpus, categories exploded to one row per
+    (page, category) natural key — dropDuplicates stands in for the
+    association table's unique constraint. Oracle = the generator's
+    closed-form category ('Lang_' || lang per page)."""
+    from wikifrontier.udfs import parse_page_udf
+
+    web = corpus_mod.documents_corpus(spark, sf_dir)
+    parsed = web.select(
+        F.col("url").alias("source_page_url"),
+        parse_page_udf(F.col("url"), F.col("html"), F.lit(0)).alias("p"),
+    )
+    return parsed.select(
+        "source_page_url", F.explode("p.categories").alias("category")
+    ).dropDuplicates(["source_page_url", "category"])
+
+
 # --- training-data-pipeline queries -----------------------------------------
 def q13_dedup_exact(spark, sf_dir):
     """Exact dedup (hash-groupBy) on a normalized key (first-5-token prefix)."""
@@ -324,7 +422,7 @@ def q15_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q16_dedup_simhash(spark, sf_dir):
-    """16-bit SimHash sketch per document."""
+    """SimHash sketch (SIMHASH_BITS wide) per document."""
     return dedup.simhash(load(spark, sf_dir, "documents"))
 
 
@@ -333,6 +431,14 @@ def q17_dedup_ngram_jaccard(spark, sf_dir):
     candidates proposed by MinHash-LSH bands (never an n² block)."""
     docs = neardup_docs(load(spark, sf_dir, "documents"))
     return dedup.jaccard_lsh_verified(docs, threshold=0.5)
+
+
+def q34_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3) over documents ∪ derived
+    near-dups, candidates from nibble-band buckets (pigeonhole) — the
+    banded equi-join pair path, no cartesian anywhere."""
+    docs = neardup_docs(load(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(docs, max_hamming=3)
 
 
 def q18_dedup_embedding(spark, sf_dir):
@@ -401,15 +507,12 @@ def q26_multimodal_features(spark, sf_dir):
 
 
 def q28_ann_ivf(spark, sf_dir):
-    """IVF ANN top-10: 8-centroid codebook (vec_id < 8 as deterministic
-    centroids), queries probe only their own inverted list."""
+    """IVF ANN top-10 with a LEARNED codebook: 2 deterministic k-means
+    iterations (seeded from the 8 lowest-id vectors, exact quantized
+    means) — queries probe only their own inverted list."""
     emb = load(spark, sf_dir, "embeddings")
-    return sim.ivf_topk(
-        emb,
-        emb.filter(F.col("vec_id") < 5),
-        emb.filter(F.col("vec_id") < 8),
-        k=10,
-    )
+    cents = sim.kmeans_centroids(emb, k=8, iters=2)
+    return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=10)
 
 
 def q29_metrics_rollup(spark, sf_dir):

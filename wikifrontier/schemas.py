@@ -50,6 +50,19 @@ PAGE_CONTENT_DDL = (
     "text_content string, text_content_hash string, parsed_at timestamp"
 )
 
+# per-url failed-fetch attempt counters driving bounded retry
+# (reference download_retry: 2 attempts + grace,
+# components/crawler/services/crawler_service.py:157-190)
+RETRIES_DDL = "url string, depth int, attempts int"
+
+# DLQ side output (reference per-queue dead-letter exchange,
+# shared/rabbitmq/queue_service.py:39-71 + message_handler.py:37-41):
+# rows failing the P7/S1 validity gate, with the reject reason
+INVALID_DDL = (
+    "url string, depth int, source_page_url string, reject_reason string, "
+    "rejected_round int"
+)
+
 # per-round counters (reference Prometheus metrics, components/*/monitoring)
 METRICS_DDL = (
     "round int, urls_popped long, fetch_success long, fetch_failed long, "

@@ -192,8 +192,8 @@ class PartitionedBloomSeen:
     def __init__(
         self,
         storage_dir: str | None = None,
-        buckets: int = 16,
-        nbits_per_bucket: int = 1 << 18,
+        buckets: int = 64,
+        nbits_per_bucket: int = 1 << 16,
         k: int = 7,
     ):
         assert nbits_per_bucket & (nbits_per_bucket - 1) == 0, "power of two"
@@ -332,12 +332,18 @@ def claim_first_wins(candidates: DataFrame) -> DataFrame:
     codegen into interpreted struct comparison (measured 4.4× slower at
     12M candidates). NUL as separator keeps byte order identical to the
     (source, seq) tuple order even when one source url is a prefix of
-    another; in_page_seq is < 10^10 by construction (links per page)."""
+    another. A NULL source coalesces to '' (sorts first — same as the
+    window formulation's NULLS FIRST) and the seq is clamped to ≥ 0 so
+    the 10-char pad provably covers the int32 range (max 2147483647 = 10
+    digits); in_page_seq is a document-order index, never negative by
+    construction."""
     payload = [c for c in candidates.columns if c != "url"]
     order_key = F.concat_ws(
         "\x00",
-        F.col("source_page_url"),
-        F.lpad(F.col("in_page_seq").cast("string"), 10, "0"),
+        F.coalesce(F.col("source_page_url"), F.lit("")),
+        F.lpad(
+            F.greatest(F.col("in_page_seq"), F.lit(0)).cast("string"), 10, "0"
+        ),
     )
     return (
         candidates.groupBy("url")

@@ -106,6 +106,59 @@ def ivf_assign(
     )
 
 
+KMEANS_SCALE = 1_000_000  # 1e-6 component quantization for exact sums
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic distributed Lloyd iterations for the IVF codebook.
+
+    * seed codebook: the k lowest-id vectors (closed-form, no RNG);
+    * assign: max cosine with centroid-id tie-break (ivf_assign);
+    * update: per-dimension mean over each cluster, computed as an EXACT
+      integer sum of 1e-6-quantized components — order-independent, so
+      the DuckDB oracle replays every iteration bit-identically (a plain
+      double sum would drift with aggregation order). Empty clusters keep
+      their previous centroid.
+
+    Plan per iteration: broadcast codebook → argmax → posexplode →
+    groupBy (centroid, dim) with map-side partial sums → k·d-row codebook
+    rebuild. All shuffles are keyed on (centroid_id, dim) — no step is
+    proportional to n² at 10^10 vectors, and the codebook stays tiny.
+    """
+    cents = vectors.filter(F.col(id_col) < k).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(vec_col),
+    )
+    for _ in range(iters):
+        assign = ivf_assign(vectors, cents, vec_col, id_col)
+        exploded = vectors.join(assign, id_col).select(
+            "centroid_id", F.posexplode(vec_col).alias("pos", "x")
+        )
+        q = F.round(F.col("x").cast("double") * KMEANS_SCALE).cast("long")
+        means = exploded.groupBy("centroid_id", "pos").agg(
+            (F.sum(q).cast("double") / F.count("*") / KMEANS_SCALE).alias("m")
+        )
+        new = (
+            means.groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                F.col("centroid_id").alias(id_col),
+                F.transform("pm", lambda s: s["m"]).alias(vec_col),
+            )
+        )
+        cents = new.unionByName(
+            cents.join(new.select(id_col), id_col, "left_anti")
+        ).localCheckpoint(eager=True)  # k rows; prevents per-use
+        # re-evaluation of the nested iteration lineage
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

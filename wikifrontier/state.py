@@ -28,6 +28,8 @@ TABLE_DDLS = {
     "page_content": schemas.PAGE_CONTENT_DDL,
     "links": schemas.LINKS_DDL,
     "metrics": schemas.METRICS_DDL,
+    "invalid_rows": schemas.INVALID_DDL,
+    "retries": schemas.RETRIES_DDL,
 }
 
 
@@ -84,6 +86,8 @@ def write_checkpoint(spark: SparkSession, state, ckpt_dir: str):
         metrics=reloaded["metrics"],
         pages_base=reloaded["pages"],
         content_base=reloaded["page_content"],
+        invalid_rows=reloaded["invalid_rows"],
+        retries=reloaded["retries"],
         bloom=state.bloom,
     )
 
@@ -134,5 +138,7 @@ def load_checkpoint(spark: SparkSession, ckpt_dir: str):
         metrics=tables["metrics"],
         pages_base=tables["pages"],
         content_base=tables["page_content"],
+        invalid_rows=tables["invalid_rows"],
+        retries=tables["retries"],
         bloom=bloom,
     )
