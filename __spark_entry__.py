@@ -23,7 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from wikifrontier import queries as Q
 from wikifrontier.corpus import bfs_layers_oracle_sql
-from wikifrontier.dedup import LSH_BANDS, MINHASH_PERMS, SIMHASH_BANDS, SIMHASH_BITS
+from wikifrontier.dedup import (
+    LSH_BANDS, MINHASH_PERMS, MINHASH_SLICE, SIMHASH_BANDS, SIMHASH_BITS,
+)
 from wikifrontier.frontier import ERROR_TYPES
 from wikifrontier.textops import BPE_RE, LANG_PROFILES, STOPWORDS, TOKEN_RE
 
@@ -159,17 +161,20 @@ SHINGLE3 = (
 
 
 def _minhash_sig_sql(source: str) -> str:
-    """Signature CTE over `source` (needs doc_id, text)."""
+    """Signature CTE over `source` (needs doc_id, text) — one sha256 per
+    shingle, disjoint 5-hex-char slices as permutations (dedup.
+    minhash_component)."""
     mins = ",\n    ".join(
-        f"min(substr(sha256('{p}:' || shingle), 1, 16)) AS h{p}"
+        f"min(substr(h, {1 + p * MINHASH_SLICE}, {MINHASH_SLICE})) AS h{p}"
         for p in range(MINHASH_PERMS)
     )
     return f"""
 tok AS (SELECT doc_id, {TOKS} AS t FROM {source}),
 sh AS (SELECT doc_id, unnest({SHINGLE3}) AS shingle FROM tok),
+shh AS (SELECT doc_id, sha256(shingle) AS h FROM sh),
 sig AS (
   SELECT doc_id, {mins}
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 )"""
 
 

@@ -54,11 +54,17 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
 
 
 # --- MinHash -----------------------------------------------------------------
-def minhash_component(shingle: Column, perm: int) -> Column:
-    """One signature component: sha256 of the seeded shingle, first 16 hex
-    chars. min() over these (string order) = minhash under permutation
-    `perm`."""
-    return F.substring(F.sha2(F.concat(F.lit(f"{perm}:"), shingle), 256), 1, 16)
+MINHASH_SLICE = 5  # hex chars (20 bits) per permutation slice
+
+
+def minhash_component(hash_col: Column, perm: int) -> Column:
+    """One signature component: a disjoint 5-hex-char slice of the single
+    sha256 of the shingle. The 12 slices are bit-disjoint (12×5 ≤ 64 hex
+    chars), so min() over each slice (string order) is an independent
+    minhash permutation — ONE sha256 per shingle instead of one per
+    permutation (12× less hashing on the dominant dedup cost; slice ties
+    at 2^20 values are rare enough not to dent the banding S-curve)."""
+    return F.substring(hash_col, 1 + perm * MINHASH_SLICE, MINHASH_SLICE)
 
 
 def minhash_signatures(
@@ -71,10 +77,13 @@ def minhash_signatures(
     partition to one partial row per doc before the exchange.
     """
     sh = df.select(
-        F.col(id_col), F.explode(shingles(tokens(F.col(text)))).alias("shingle")
+        F.col(id_col),
+        F.explode(
+            F.transform(shingles(tokens(F.col(text))), lambda s: F.sha2(s, 256))
+        ).alias("sh_hash"),
     )
     aggs = [
-        F.min(minhash_component(F.col("shingle"), p)).alias(f"h{p}")
+        F.min(minhash_component(F.col("sh_hash"), p)).alias(f"h{p}")
         for p in range(MINHASH_PERMS)
     ]
     return sh.groupBy(id_col).agg(*aggs)

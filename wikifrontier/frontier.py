@@ -155,13 +155,21 @@ class CrawlState:
     page_events: DataFrame | None = None
     content_events: DataFrame | None = None
     bloom: object | None = None  # BloomSeen | PartitionedBloomSeen
+    # True until a durable checkpoint backs the base tables: lets the
+    # views skip the full-outer join against a provably-empty base (one
+    # whole shuffle+join off the hot fold on never-checkpointed crawls)
+    bases_empty: bool = True
 
     @property
     def pages(self) -> DataFrame:
+        if self.bases_empty and self.page_events is not None:
+            return fold_pages_insert(self.page_events)
         return combine_pages(self.pages_base, self.page_events)
 
     @property
     def page_content(self) -> DataFrame:
+        if self.bases_empty and self.content_events is not None:
+            return _latest_content(self.content_events)
         return combine_content(self.content_base, self.content_events)
 
     def tables(self) -> dict[str, DataFrame]:
@@ -227,6 +235,41 @@ def _fold_page_events(events: DataFrame) -> DataFrame:
     )
 
 
+def fold_pages_insert(events: DataFrame) -> DataFrame:
+    """A1 fold when every row is an INSERT (no pre-existing base): the
+    same result combine_pages produces against an empty base, without the
+    full-outer join — the first event never counts as failed."""
+    agg = _fold_page_events(events)
+    return agg.select(
+        "url",
+        "last_crawl_status",
+        "http_status_code",
+        "url_hash",
+        "html_content_hash",
+        "compressed_filepath",
+        "last_crawled_at",
+        "next_crawl_at",
+        F.col("_n_events").cast("int").alias("total_crawl_attempts"),
+        (F.col("_n_failed_total") - F.col("_first_failed"))
+        .cast("int")
+        .alias("failed_crawl_attempts"),
+        "last_error_seen",
+        "depth",
+        F.col("_first_round").alias("first_crawled_round"),
+    )
+
+
+def _latest_content(events: DataFrame) -> DataFrame:
+    """A3 last-write-wins fold of the content event log."""
+    return events.groupBy("source_page_url").agg(
+        F.max_by("title", "_round").alias("title"),
+        F.max_by("categories", "_round").alias("categories"),
+        F.max_by("text_content", "_round").alias("text_content"),
+        F.max_by("text_content_hash", "_round").alias("text_content_hash"),
+        F.max_by("parsed_at", "_round").alias("parsed_at"),
+    )
+
+
 def combine_pages(base: DataFrame, events: DataFrame | None) -> DataFrame:
     """base pages table ⊕ event log → current pages table (lazy)."""
     if events is None:
@@ -279,13 +322,7 @@ def combine_content(base: DataFrame, events: DataFrame | None) -> DataFrame:
     source_page_url, over the parsed-content event log."""
     if events is None:
         return base
-    latest = events.groupBy("source_page_url").agg(
-        F.max_by("title", "_round").alias("title"),
-        F.max_by("categories", "_round").alias("categories"),
-        F.max_by("text_content", "_round").alias("text_content"),
-        F.max_by("text_content_hash", "_round").alias("text_content_hash"),
-        F.max_by("parsed_at", "_round").alias("parsed_at"),
-    )
+    latest = _latest_content(events)
     kept = base.join(latest.select("source_page_url"), "source_page_url", "left_anti")
     return kept.unionByName(latest)
 
@@ -681,6 +718,7 @@ def run_round(
         page_events=new_page_events,
         content_events=new_content_events,
         bloom=state.bloom,
+        bases_empty=state.bases_empty,
     )
 
     # --- durable checkpoint (optional; also compacts the event log) -------

@@ -89,6 +89,7 @@ def write_checkpoint(spark: SparkSession, state, ckpt_dir: str):
         invalid_rows=reloaded["invalid_rows"],
         retries=reloaded["retries"],
         bloom=state.bloom,
+        bases_empty=False,
     )
 
 
@@ -141,4 +142,5 @@ def load_checkpoint(spark: SparkSession, ckpt_dir: str):
         invalid_rows=tables["invalid_rows"],
         retries=tables["retries"],
         bloom=bloom,
+        bases_empty=False,
     )
