@@ -416,6 +416,13 @@ GROUP BY p.url
 """,
         "q10_bfs_crawl": bfs_layers_oracle_sql(max_depth=4),
         "q30_bfs_crawl_bucketed": bfs_layers_oracle_sql(max_depth=4),
+        "q36_seen_partitioned_bloom": f"""
+WITH {CAND}
+SELECT doc_id, url, depth FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand s WHERE s.doc_id % 2 = 0 AND s.url = c.url
+)
+""",
         "q31_validity_dlq": """
 WITH c AS (
   SELECT doc_id,

@@ -71,3 +71,30 @@ def test_validity_gate_split(spark):
     assert {r["url"] for r in valid.collect()} == want_valid
     got = {r["url"]: r["reject_reason"] for r in invalid.collect()}
     assert got == {u: r for u, _, r in rows if r is not None}
+
+
+def test_salted_repartition_spreads_single_host(spark):
+    """North-rule skew handling: a single-registered-domain batch (the
+    en.wikipedia case) must spread across many partitions, lose no rows,
+    and keep salt deterministic (same url → same partition)."""
+    from pyspark.sql import functions as F
+
+    from wikifrontier.politeness import salted_repartition
+
+    batch = spark.range(4000).select(
+        F.concat(F.lit("https://en.wikipedia.org/wiki/P"), F.col("id")).alias("url"),
+        F.lit(1).alias("depth"),
+        F.lit(0).alias("scheduled_round"),
+        F.lit("").alias("source_page_url"),
+    )
+    out = salted_repartition(batch, num_partitions=16)
+    sizes = out.rdd.glom().map(len).collect()
+    assert sum(sizes) == 4000
+    assert len(sizes) == 16
+    # one host, but the salt spreads it: no partition holds the batch,
+    # and most partitions are non-empty
+    assert max(sizes) < 4000 * 0.25
+    assert sum(1 for s in sizes if s > 0) >= 12
+    # deterministic: repartitioning again yields identical placement
+    again = salted_repartition(batch, num_partitions=16).rdd.glom().map(len).collect()
+    assert sizes == again

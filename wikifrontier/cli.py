@@ -36,9 +36,15 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--per-host-cap", type=int, default=None)
     c.add_argument("--max-depth", type=int, default=4)
     c.add_argument("--checkpoint", type=str, default=None)
+    c.add_argument("--checkpoint-every", type=int, default=1,
+                   help="durable snapshot every K rounds (final always)")
     c.add_argument("--resume", action="store_true")
     c.add_argument("--salt-partitions", type=int, default=None)
     c.add_argument("--no-bloom", action="store_true")
+    c.add_argument("--fetch-retries", type=int, default=0,
+                   help="bounded re-fetch of FAILED urls (download_retry)")
+    c.add_argument("--fetch-strategy", choices=("auto", "broadcast", "bucketed"),
+                   default="auto")
     c.add_argument("--master", type=str, default=None)
 
     r = sub.add_parser("report", help="summarize a checkpoint")
@@ -78,8 +84,11 @@ def cmd_crawl(args) -> int:
         max_rounds=args.rounds,
         robots_txt=synth.ROBOTS_TXT if not args.corpus else "",
         checkpoint_dir=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
         salt_partitions=args.salt_partitions,
         bloom_bits=None if args.no_bloom else 1 << 22,
+        fetch_retries=args.fetch_retries,
+        fetch_strategy=args.fetch_strategy,
     )
     state = run_crawl(spark, corpus, seeds, cfg, resume=args.resume)
     summary = {
@@ -89,6 +98,8 @@ def cmd_crawl(args) -> int:
         "links": state.links.count(),
         "pending": state.pending.count(),
         "seen": state.seen.count(),
+        "invalid_rows": state.invalid_rows.count(),
+        "retried": state.retries.count(),
     }
     print(json.dumps(summary))
     return 0

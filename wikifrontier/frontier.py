@@ -159,6 +159,10 @@ class CrawlState:
     # views skip the full-outer join against a provably-empty base (one
     # whole shuffle+join off the hot fold on never-checkpointed crawls)
     bases_empty: bool = True
+    # exact |pending| carried from the previous round when the loop can
+    # prove it (unbounded, no recrawl/retry): saves the auto fetch-gate's
+    # per-round count() job
+    pending_rows_hint: int | None = None
 
     @property
     def pages(self) -> DataFrame:
@@ -453,6 +457,16 @@ def run_round(
         use_broadcast = True
     elif cfg.fetch_strategy == "bucketed":
         use_broadcast = False
+    elif (
+        cfg.budget_per_round is not None
+        and cfg.budget_per_round <= cfg.broadcast_row_limit
+    ):
+        # auto, budgeted: the pop caps the batch below the limit a priori
+        use_broadcast = True
+    elif state.pending_rows_hint is not None:
+        # auto, unbounded: last round's claim count IS |pending| (free
+        # statistic from the bloom build — no count() job)
+        use_broadcast = state.pending_rows_hint <= cfg.broadcast_row_limit
     else:  # auto: count the popped batch (cheap — popped/pending are
         # materialized leaves) and gate on the configured row limit
         use_broadcast = popped.count() <= cfg.broadcast_row_limit
@@ -588,10 +602,11 @@ def run_round(
             winners, state.seen, state.bloom, spark
         ).localCheckpoint(eager=True)
 
+    n_claimed_hint = None
     if state.bloom is not None:
         # incrementally fold the round's claims into the persistent filter
         # (probe plans above already materialized against the old snapshot)
-        state.bloom.add_df(spark, claimed.select("url"))
+        n_claimed_hint = state.bloom.add_df(spark, claimed.select("url"))
 
     new_seen = state.seen.unionByName(
         claimed.select("url", "depth", F.lit(rnd).alias("claimed_round"), "source_page_url")
@@ -719,6 +734,13 @@ def run_round(
         content_events=new_content_events,
         bloom=state.bloom,
         bases_empty=state.bases_empty,
+        # hint is only sound when next round's pending is exactly this
+        # round's claims (nothing unpopped, no recrawl/retry re-enqueues)
+        pending_rows_hint=(
+            n_claimed_hint
+            if (unbounded and retry_delta is None and not cfg.enable_recrawl)
+            else None
+        ),
     )
 
     # --- durable checkpoint (optional; also compacts the event log) -------
@@ -811,7 +833,11 @@ def run_crawl(
 
     try:
         while state.round < cfg.max_rounds:
-            if state.pending.isEmpty():
+            # the carried claim count doubles as the drain check — only
+            # rounds without a hint pay the isEmpty probe job
+            if state.pending_rows_hint == 0:
+                break
+            if state.pending_rows_hint is None and state.pending.isEmpty():
                 break
             state, _ = run_round(spark, state, corpus, cfg, corpus_bucketed)
     finally:

@@ -326,6 +326,28 @@ def q31_validity_dlq(spark, sf_dir):
     )
 
 
+def q36_seen_partitioned_bloom(spark, sf_dir):
+    """D1 through the PartitionedBloomSeen scale path: the per-bucket
+    shard filter pre-prunes the anti-join. Bloom false positives only
+    cost a redundant probe, so the result is EXACTLY the plain anti-join
+    — which is the oracle (same derivation as q04)."""
+    import tempfile
+
+    cand = candidate_urls(load(spark, sf_dir, "documents")).select(
+        "doc_id", "url", "depth"
+    )
+    seen_df = cand.filter(F.col("doc_id") % 2 == 0).select("url")
+    bloom = seen.PartitionedBloomSeen(
+        storage_dir=tempfile.mkdtemp(prefix="wikifrontier_q36_"),
+        buckets=16,
+        nbits_per_bucket=1 << 14,
+    )
+    bloom.add_df(spark, seen_df)
+    return seen.drop_seen(
+        cand.localCheckpoint(eager=True), seen_df, bloom, spark
+    )
+
+
 # robots ruleset for q32 — longest-prefix-first precedence, Allow overrides
 # (mirrors components/scheduler/core/filter.py:80-89 + urllib.robotparser)
 ROBOTS_Q32 = """User-agent: *

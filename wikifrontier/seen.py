@@ -81,26 +81,30 @@ class BloomSeen:
         self._live_bcast = None  # previous round's probe broadcast
 
     # --- maintenance -------------------------------------------------------
-    def add_df(self, spark: SparkSession, urls: DataFrame) -> None:
+    def add_df(self, spark: SparkSession, urls: DataFrame) -> int:
         """OR the bitmap of ``urls`` (a DataFrame with a `url` column) into
-        this filter. One narrow Spark job over the delta."""
+        this filter. One narrow Spark job over the delta; returns the row
+        count (free statistic for callers)."""
         nbits, k, nwords = self.nbits, self.k, len(self.bitmap)
 
         def build(batches):
             bm = np.zeros(nwords, dtype=np.uint64)
+            n = 0
             for pdf in batches:
                 h = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+                n += len(h)
                 for word, bit in _bloom_positions(h, nbits, k):
                     np.bitwise_or.at(bm, word, np.uint64(1) << bit)
-            yield pd.DataFrame({"bm": [bm.tobytes()]})
+            yield pd.DataFrame({"bm": [bm.tobytes()], "n": [n]})
 
         parts = (
             urls.select(F.xxhash64("url").alias("h"))
-            .mapInPandas(build, "bm binary")
+            .mapInPandas(build, "bm binary, n long")
             .collect()
         )
         for row in parts:
             self.bitmap |= np.frombuffer(row["bm"], dtype=np.uint64)
+        return sum(row["n"] for row in parts)
 
     # --- probe -------------------------------------------------------------
     def maybe_seen_col(self, spark: SparkSession, url_col) -> F.Column:
@@ -211,9 +215,11 @@ class PartitionedBloomSeen:
         return F.pmod(F.xxhash64(url_col), F.lit(self.buckets)).cast("int")
 
     # --- maintenance -------------------------------------------------------
-    def add_df(self, spark: SparkSession, urls: DataFrame) -> None:
+    def add_df(self, spark: SparkSession, urls: DataFrame) -> int:
         """OR ``urls`` into the shard files. One Spark job: shuffle the
-        8-byte hashes on the bucket key, then one writer per shard."""
+        8-byte hashes on the bucket key, then one writer per shard.
+        Returns the number of rows added — free statistics callers reuse
+        (e.g. as next round's frontier-size hint)."""
         nbits, k, d = self.nbits, self.k, self.storage_dir
         nwords = nbits >> 6
 
@@ -230,7 +236,7 @@ class PartitionedBloomSeen:
             os.replace(tmp, path)
             return pd.DataFrame({"bucket": [bucket], "n": [len(pdf)]})
 
-        (
+        rows = (
             urls.select(F.xxhash64("url").alias("h"))
             .withColumn("bucket", F.pmod(F.col("h"), F.lit(self.buckets)).cast("int"))
             .groupBy("bucket")
@@ -238,6 +244,7 @@ class PartitionedBloomSeen:
             .collect()  # tiny: one (bucket, count) row per touched shard
         )
         self.version += 1
+        return sum(r["n"] for r in rows)
 
     # --- probe -------------------------------------------------------------
     def maybe_seen_col(self, spark: SparkSession, url_col) -> F.Column:
