@@ -37,3 +37,43 @@ def test_windowed_host_throughput(spark, tmp_path):
     assert rows[("h1.example.org", 0)] == (3, 3)   # :00, :20, :40
     assert rows[("h1.example.org", 1)] == (3, 3)   # 1:00, 1:20, 1:40
     assert rows[("h2.example.org", 0)] == (3, 0)   # FAILED events count 0 success
+
+
+def test_stateful_host_rate_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-host cumulative counters survive a
+    stream restart through the checkpoint (GroupState), and the rate
+    flag fires for a host fetching faster than the politeness budget."""
+    events_dir = str(tmp_path / "ev2")
+    ckpt = str(tmp_path / "ckpt2")
+    t0 = datetime(2025, 8, 15, 12, 0, 0)
+
+    # h1: 4 fetches 20s apart (0.05/s, polite); h3: 5 fetches in the same
+    # second via 0-gap timestamps? use 6 events 0.1s apart -> 10/s
+    _write_events(spark, events_dir, t0, 4, "h1.example.org")
+    rows = [
+        (f"https://h3.example.org/p{i}", "h3.example.org", "SUCCESS",
+         t0 + timedelta(milliseconds=100 * i))
+        for i in range(6)
+    ]
+    spark.createDataFrame(rows, streaming.EVENT_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+
+    out = streaming.stateful_host_rate(
+        streaming.read_event_stream(spark, events_dir), rate_limit_per_sec=1.0
+    )
+    first = {r["host"]: r for r in streaming.run_available_now_collect(out, ckpt)}
+    assert first["h1.example.org"]["n_total"] == 4
+    assert first["h1.example.org"]["over_limit"] is False
+    assert first["h3.example.org"]["n_total"] == 6
+    assert first["h3.example.org"]["over_limit"] is True
+
+    # land more h1 events, restart from the same checkpoint: cumulative
+    # count proves the GroupState survived the restart
+    _write_events(spark, events_dir, t0 + timedelta(minutes=5), 3, "h1.example.org")
+    out2 = streaming.stateful_host_rate(
+        streaming.read_event_stream(spark, events_dir), rate_limit_per_sec=1.0
+    )
+    second = {r["host"]: r for r in streaming.run_available_now_collect(out2, ckpt)}
+    assert second["h1.example.org"]["n_total"] == 7
+    assert second["h1.example.org"]["batch_n"] == 3

@@ -67,6 +67,94 @@ def windowed_host_throughput(
     )
 
 
+HOST_RATE_OUTPUT_DDL = (
+    "host string, batch_n long, n_total long, last_fetch_at timestamp, "
+    "over_limit boolean"
+)
+HOST_RATE_STATE_DDL = "n_total long, last_fetch_epoch double"
+
+
+def stateful_host_rate(
+    events: DataFrame,
+    rate_limit_per_sec: float = 1.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful streaming operator (`applyInPandasWithState`): a
+    per-host fetch clock maintained in GroupState across micro-batches —
+    the streaming analogue of the reference's per-worker politeness rate
+    limiter (@limits 1 req/s, components/crawler/core/http_fetcher.py:
+    29-41). State per host = cumulative fetch count + last-fetch epoch;
+    each batch emits the host's cumulative totals and whether the batch's
+    observed rate exceeded the politeness budget.
+
+    State is keyed by host (bounded by the registered-domain count, not
+    the URL count) and survives restarts through the checkpoint — the
+    same mechanism that makes any custom stateful operator feasible at
+    perpetual-crawl lifetimes."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n_prev, last_prev = (
+            state.get if state.exists else (0, float("-inf"))
+        )
+        n_batch = 0
+        t_min = float("inf")
+        t_max = last_prev
+        for pdf in pdfs:
+            ts = pdf["last_crawled_at"]
+            n_batch += len(pdf)
+            if len(pdf):
+                epochs = ts.astype("int64") / 1e9
+                t_min = min(t_min, float(epochs.min()))
+                t_max = max(t_max, float(epochs.max()))
+        n_total = n_prev + n_batch
+        state.update((n_total, t_max))
+        span = max(t_max - min(t_min, t_max), 1e-9)
+        over = n_batch > 1 and (n_batch / span) > rate_limit_per_sec
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "batch_n": [n_batch],
+                "n_total": [n_total],
+                "last_fetch_at": [pd.Timestamp(t_max, unit="s")],
+                "over_limit": [bool(over)],
+            }
+        )
+
+    return (
+        events.withWatermark("last_crawled_at", watermark)
+        .groupBy("host")
+        .applyInPandasWithState(
+            update,
+            HOST_RATE_OUTPUT_DDL,
+            HOST_RATE_STATE_DDL,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now_collect(stream_df: DataFrame, checkpoint_dir: str) -> list:
+    """Drain the source through a `foreachBatch` collector and return the
+    emitted rows. Unlike the memory sink, foreachBatch supports resuming
+    from the checkpoint — the restart path stateful operators need."""
+    rows: list = []
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        rows.extend(batch_df.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, checkpoint_dir: str
 ) -> None:
