@@ -1,0 +1,99 @@
+"""Physical-plan invariants (SURVEY §4.2): the properties that make the
+engine 100 TB-shaped, asserted on `explain("formatted")` output so a
+regression that silently changes the plan shape fails loudly.
+
+* column pruning reaches the parquet scan (ReadSchema carries only used
+  columns — a scan reading `text` for a doc_id-only query is wrong);
+* predicate pushdown reaches the scan (PushedFilters non-empty);
+* similarity pair generation is NEVER a cartesian product;
+* the bucketed fetch join is a shuffle-hash join with no sort and no
+  exchange on the (html-bearing) corpus side.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikifrontier import dedup, frontier, queries, synth
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_chain_prunes_columns(spark):
+    plan = plan_of(queries.q02_filter_chain(spark, SF_DIR))
+    # q02 touches only doc_id — the documents scan must not read text
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+
+
+def test_recrawl_scan_pushes_predicate(spark):
+    plan = plan_of(queries.q09_recrawl_due(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderdate)" in plan or "LessThan(o_orderdate" in plan
+
+
+def test_lsh_pairs_no_cartesian(spark):
+    docs = queries.neardup_docs(queries.load(spark, SF_DIR, "documents"))
+    for df in (
+        dedup.minhash_lsh_pairs(docs, threshold=0.5),
+        dedup.simhash_pairs(docs, max_hamming=3),
+        dedup.jaccard_lsh_verified(docs, threshold=0.5),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_fetch_join_shape(spark):
+    """No broadcast, no sort, and no exchange on the corpus side: the
+    html payload stays exactly where the bucketed layout put it."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        corpus = synth.corpus_df(spark, 200)
+        bucketed = frontier.bucket_corpus(corpus, 8).persist()
+        bucketed.count()
+        batch = corpus.select("url", F.lit(0).alias("depth")).localCheckpoint()
+        plan = plan_of(frontier._fetch_join(batch, bucketed, use_broadcast=False))
+        assert "ShuffledHashJoin" in plan
+        assert "Sort" not in plan
+        assert "BroadcastHashJoin" not in plan
+        # exactly one exchange above the cache boundary — the frontier
+        # side; the InMemoryTableScan of the bucketed corpus feeds the
+        # join directly (exchanges *inside* InMemoryRelation are the
+        # one-time layout write, not per-join motion)
+        body = plan.split("== Physical Plan ==")[1].split("(1) ")[0]
+        join_level = body.split("InMemoryTableScan")[0]
+        assert join_level.count("Exchange") == 1
+        bucketed.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_claim_has_partial_aggregation(spark):
+    """D2 must keep its map-side combine: two HashAggregates around one
+    exchange (the property that makes the claim's shuffle O(distinct)."""
+    cands = spark.range(1000).select(
+        F.concat(F.lit("https://x/"), (F.col("id") % 100)).alias("url"),
+        F.lit("s").alias("source_page_url"),
+        F.col("id").cast("int").alias("in_page_seq"),
+        F.lit(1).alias("depth"),
+    )
+    from wikifrontier.seen import claim_first_wins
+
+    plan = plan_of(claim_first_wins(cands))
+    body = plan.split("== Physical Plan ==")[1]
+    summary = body.split("(1) ")[0]
+    # partial aggregate below the exchange, final above it (min_by over a
+    # struct payload plans as SortAggregate — the partial still shrinks
+    # each partition to one row per url before the shuffle)
+    assert summary.count("Aggregate") == 2
+    pre_exchange = summary.split("Exchange")[1]
+    assert "Aggregate" in pre_exchange
+    assert "Window" not in plan  # the slow formulation this replaced
