@@ -102,6 +102,37 @@ def bench_crawl(spark, n_pages: int) -> dict:
     }
 
 
+def bench_crawl_checkpointed(spark, n_pages: int, every: int = 4) -> dict:
+    """The same multi-round crawl with durable round snapshots every
+    `every` rounds — the resumable-production configuration. Reported
+    separately so the durability overhead (parquet snapshot + manifest
+    commit per K rounds) is visible next to the in-memory figure."""
+    import shutil
+    import tempfile
+
+    from wikifrontier import synth
+    from wikifrontier.frontier import CrawlConfig, run_crawl
+
+    corpus = synth.corpus_df(spark, n_pages).cache()
+    corpus.count()
+    ckpt = tempfile.mkdtemp(prefix="wikifrontier_bench_ckpt_")
+    cfg = CrawlConfig(
+        max_depth=8, max_rounds=12, robots_txt=synth.ROBOTS_TXT,
+        collect_metrics=False, checkpoint_dir=ckpt, checkpoint_every=every,
+    )
+    t0 = time.time()
+    state = run_crawl(spark, corpus, [synth.page_url(0)], cfg)
+    crawled = state.pages.count()
+    elapsed = time.time() - t0
+    corpus.unpersist()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return {
+        "crawl_ckpt_sec": round(elapsed, 3),
+        "checkpoint_every": every,
+        "pages_per_sec": round(crawled / elapsed, 2),
+    }
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -126,6 +157,8 @@ def run_bench(crawl_only: bool = False) -> dict:
 
     crawl = bench_crawl(spark, n_pages)
     log(f"  crawl: {crawl}")
+    crawl_ckpt = bench_crawl_checkpointed(spark, n_pages)
+    log(f"  crawl_checkpointed: {crawl_ckpt}")
 
     # measurement hygiene (VERDICT r1): the crawl leaves cached blocks,
     # localCheckpoint leaves and old-gen garbage that inflated per-query
@@ -145,6 +178,7 @@ def run_bench(crawl_only: bool = False) -> dict:
         "sf": sf,
         "cpus": cpus,
         "crawl": crawl,
+        "crawl_checkpointed": crawl_ckpt,
         "total_sec": round(total, 3),
     }
     spark.stop()
