@@ -461,6 +461,17 @@ SELECT status,
   count(*) AS n
 FROM o GROUP BY status, error_type
 """,
+        "q37_priority_pop": f"""
+WITH {EVENT_FRONTIER},
+links AS (
+  SELECT 'https://en.wikipedia.org/wiki/E' || (event_id % 200) AS url FROM events
+),
+scores AS (SELECT url, count(*) AS in_degree FROM links GROUP BY url)
+SELECT p.url, p.depth, p.scheduled_round, p.source_page_url
+FROM pending p LEFT JOIN scores s USING (url)
+ORDER BY p.depth, coalesce(s.in_degree, 0) DESC, p.url
+LIMIT 100
+""",
         "q35_page_categories": """
 SELECT 'https://en.wikipedia.org/wiki/Doc_' || doc_id AS source_page_url,
        'Lang_' || lang AS category

@@ -33,6 +33,29 @@ def pop_frontier(pending: DataFrame, budget: int | None) -> DataFrame:
     return pending.orderBy(*POP_ORDER).limit(budget)
 
 
+def scored_pop(
+    pending: DataFrame, links: DataFrame, budget: int
+) -> DataFrame:
+    """Priority pop (north_rule: "priority queue (depth + link-score
+    ordering)"): order by (depth asc, in-degree desc, url) where the
+    score is the url's in-degree in the discovered link graph — popular
+    pages jump the queue within their BFS layer. Plan shape: one keyed
+    groupBy over links + a left join, then the same distributed top-k as
+    the FIFO pop (TakeOrderedAndProject — never a global sort).
+
+    The FIFO `pop_frontier` stays the parity default (the reference pops
+    in insertion order); this is the scored alternative a production
+    crawl enables."""
+    scores = links.groupBy("url").agg(F.count("*").alias("_in_degree"))
+    return (
+        pending.join(scores, "url", "left")
+        .withColumn("_in_degree", F.coalesce(F.col("_in_degree"), F.lit(0)))
+        .orderBy(F.col("depth"), F.col("_in_degree").desc(), F.col("url"))
+        .limit(budget)
+        .drop("_in_degree")
+    )
+
+
 def cap_per_host(batch: DataFrame, per_host_cap: int | None) -> DataFrame:
     """Keep at most per_host_cap rows per host, FIFO order within host."""
     if per_host_cap is None:

@@ -400,6 +400,20 @@ def q33_error_taxonomy(spark, sf_dir):
     )
 
 
+def q37_priority_pop(spark, sf_dir):
+    """Scored frontier pop (north_rule "depth + link-score ordering"):
+    top-100 of the events-derived frontier ordered by (depth, in-degree
+    desc, url), in-degree from a derived link table."""
+    events = load(spark, sf_dir, "events")
+    pending = event_frontier(events)
+    links = events.select(
+        F.concat(
+            F.lit("https://en.wikipedia.org/wiki/E"), F.col("event_id") % 200
+        ).alias("url")
+    )
+    return politeness.scored_pop(pending, links, budget=100)
+
+
 def q35_page_categories(spark, sf_dir):
     """page_categories parity view (reference categories M:N,
     database/db_models/models.py:192-200,256-275): the real parse UDF (X2)
