@@ -137,22 +137,38 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding, scored by signature
-    agreement (the MinHash Jaccard estimate), filtered at `threshold`."""
-    sigs, pairs = lsh_candidate_pairs(df, text, id_col)
+    agreement (the MinHash Jaccard estimate), filtered at `threshold`.
+
+    The fixed-width packed signature (12×5 hex chars) rides through the
+    band join, so the per-pair score is computed in place — no re-join of
+    the signature table onto the pair set (two whole shuffles saved vs
+    the join-back formulation; identical values)."""
+    sigs = minhash_signatures(df, text, id_col).localCheckpoint(eager=False)
     sig_cols = [F.col(f"h{p}") for p in range(MINHASH_PERMS)]
-    a = sigs.select(
-        F.col(id_col).alias("id_a"), *[c.alias(f"a_h{p}") for p, c in enumerate(sig_cols)]
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.concat_ws("", *sig_cols).alias("sig"),
+        F.explode(F.array(*lsh_band_keys(sig_cols))).alias("band_key"),
     )
-    b = sigs.select(
-        F.col(id_col).alias("id_b"), *[c.alias(f"b_h{p}") for p, c in enumerate(sig_cols)]
-    )
+    w = MINHASH_SLICE
     agree = sum(
-        F.when(F.col(f"a_h{p}") == F.col(f"b_h{p}"), 1).otherwise(0)
+        (
+            F.substring(F.col("sig_a"), 1 + p * w, w)
+            == F.substring(F.col("sig_b"), 1 + p * w, w)
+        ).cast("int")
         for p in range(MINHASH_PERMS)
     )
     return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
         .select(
             "id_a",
             "id_b",
