@@ -72,6 +72,39 @@ class TestPartitionedBloom:
         pre = {r["url"] for r in drop_seen(cands, seen, bloom, spark).collect()}
         assert plain == pre
 
+    def test_retry_duplicate_delta_is_idempotent(self, spark, urls, tmp_path):
+        """Simulated task retry / speculative attempt (VERDICT r2 #2):
+        re-applying the same delta (same version, different attempt file)
+        must not lose bits — zero false negatives, before and after
+        compaction."""
+        import glob
+        import os
+        import shutil
+
+        d = str(tmp_path / "shards_retry")
+        bloom = PartitionedBloomSeen(
+            storage_dir=d, buckets=4, nbits_per_bucket=1 << 14, k=5,
+        )
+        seen = urls.limit(500)
+        bloom.add_df(spark, seen)
+        # a retried attempt = a byte-identical delta under another attempt
+        # id; fabricate it by duplicating every delta file of this version
+        for p in glob.glob(os.path.join(d, "bucket_*.v1.a*.npy")):
+            shutil.copyfile(p, p.replace(".npy", "") + "999.npy")
+        bloom.version += 1  # cache-bust so the probe re-reads files
+
+        flagged = seen.withColumn("m", bloom.maybe_seen_col(spark, F.col("url")))
+        assert flagged.filter(~F.col("m")).count() == 0
+
+        # interleave: a NEW round's delta lands, then compaction folds all
+        # of it — still zero false negatives, and the deltas are gone
+        more = urls.limit(900)
+        bloom.add_df(spark, more)
+        bloom.compact(spark)
+        assert glob.glob(os.path.join(d, "bucket_*.v*.npy")) == []
+        flagged = more.withColumn("m", bloom.maybe_seen_col(spark, F.col("url")))
+        assert flagged.filter(~F.col("m")).count() == 0
+
     def test_incremental_update_and_snapshot(self, spark, urls, tmp_path):
         bloom = PartitionedBloomSeen(
             storage_dir=str(tmp_path / "shards3"), buckets=4,

@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--resume", action="store_true")
     c.add_argument("--salt-partitions", type=int, default=None)
     c.add_argument("--no-bloom", action="store_true")
+    c.add_argument("--bloom-storage-dir", type=str, default=None,
+                   help="shard dir of the partitioned seen-filter; must be "
+                        "shared storage on multi-node clusters (tempdir "
+                        "fallback is local-mode-only)")
     c.add_argument("--fetch-retries", type=int, default=0,
                    help="bounded re-fetch of FAILED urls (download_retry)")
     c.add_argument("--fetch-strategy", choices=("auto", "broadcast", "bucketed"),
@@ -87,6 +91,7 @@ def cmd_crawl(args) -> int:
         checkpoint_every=args.checkpoint_every,
         salt_partitions=args.salt_partitions,
         bloom_bits=None if args.no_bloom else 1 << 22,
+        bloom_storage_dir=args.bloom_storage_dir,
         fetch_retries=args.fetch_retries,
         fetch_strategy=args.fetch_strategy,
     )

@@ -94,14 +94,22 @@ VALIDITY_REASONS = ("invalid_scheme", "missing_host", "invalid_depth")
 
 def validity_reason(url: Column, depth: Column) -> Column:
     """P7/S1 — the message validity gate. The reference validates every
-    consumed message against a Pydantic schema whose url field is
-    HttpUrl (scheme http/https + host required,
-    shared/rabbitmq/schemas/crawling.py:13-35) and rejects failures to a
+    consumed message against a Pydantic schema
+    (shared/rabbitmq/schemas/crawling.py:13-35) and rejects failures to a
     per-queue DLQ (message_handler.py:37-41, DLX setup
     shared/rabbitmq/queue_service.py:39-71). Returns the first reject
     reason, NULL for rows that pass — callers route non-NULL rows to the
     ``invalid_rows`` side table (the DLQ analogue) instead of silently
-    dropping them."""
+    dropping them.
+
+    INTENTIONALLY STRICTER than the reference validator (ADVICE r2 #2):
+    the reference only requires urlparse scheme+netloc to be present, so
+    e.g. ``ftp://files.example.com/d`` passes its gate (and then dies at
+    fetch time in requests). This gate additionally restricts the scheme
+    to http/https — the Pydantic-HttpUrl shape the schema's field name
+    implies — because a non-HTTP url can never be fetched by this engine
+    and belongs in the DLQ with a reason, not in a fetch-time error
+    path. Documented deviation, exercised by q31."""
     scheme, host, _ = split_url(url)
     has_sep = F.length(scheme) < F.length(url)  # '://' present
     return (

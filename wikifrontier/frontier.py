@@ -96,6 +96,12 @@ class CrawlConfig:
     # single driver bitmap — viable only while bloom_bits stays
     # broadcast-small.
     bloom_buckets: int | None = 64
+    # shard-file directory of the partitioned filter. REQUIRED on a
+    # multi-node cluster (a DFS/NFS/object-store mount visible to every
+    # executor — the same contract as any Spark checkpoint location);
+    # None falls back to a driver-local tempdir, correct only in
+    # local[*] mode (ADVICE r2 #1).
+    bloom_storage_dir: str | None = None
     # explicit skew spread of the popped batch across executors
     # (politeness.salted_repartition) — worthwhile when one registered
     # domain dominates the frontier (the wiki-crawl case); None leaves
@@ -103,8 +109,16 @@ class CrawlConfig:
     salt_partitions: int | None = None
     # rescheduler (S7/A5): re-enqueue pages past next_crawl_at at round
     # start. Off for parity runs — the reference's recrawl horizon is 8
-    # days and the test corpus is static.
+    # days and the test corpus is static. With recrawl on, the loop runs
+    # exactly max_rounds rounds (a crawled page always becomes due again
+    # after recrawl_interval_s, so "frontier drained" is never terminal —
+    # the reference rescheduler likewise loops forever,
+    # rescheduler_service.py:36-71).
     enable_recrawl: bool = False
+    # recrawl horizon (reference crawler_prod.yml:26 — 8 days). One round
+    # advances the crawl clock by 1 s, so a page crawled in round r is
+    # due again in round r + recrawl_interval_s + 1.
+    recrawl_interval_s: int = RECRAWL_INTERVAL_SECONDS
     # bounded retry of FAILED fetches (reference download_retry, 2 attempts
     # + grace, crawler_service.py:157-190): a miss is re-enqueued for the
     # next round until it has failed 1 + fetch_retries times. 0 = off
@@ -400,7 +414,7 @@ def run_round(
     """
     rnd = state.round
     round_ts = cfg.crawl_epoch + timedelta(seconds=rnd)
-    next_crawl_ts = round_ts + timedelta(seconds=RECRAWL_INTERVAL_SECONDS)
+    next_crawl_ts = round_ts + timedelta(seconds=cfg.recrawl_interval_s)
     robots_rules = flt.parse_robots(cfg.robots_txt)
     unbounded = cfg.budget_per_round is None and cfg.per_host_cap is None
 
@@ -765,6 +779,7 @@ def _new_bloom(cfg: CrawlConfig):
 
     if cfg.bloom_buckets:
         return PartitionedBloomSeen(
+            storage_dir=cfg.bloom_storage_dir,
             buckets=cfg.bloom_buckets,
             nbits_per_bucket=max(cfg.bloom_bits // cfg.bloom_buckets, 1 << 12),
         )
@@ -800,7 +815,9 @@ def run_crawl(
     if resume and cfg.checkpoint_dir is not None:
         from wikifrontier import state as state_io
 
-        state = state_io.load_checkpoint(spark, cfg.checkpoint_dir)
+        state = state_io.load_checkpoint(
+            spark, cfg.checkpoint_dir, bloom_storage_dir=cfg.bloom_storage_dir
+        )
     if state is None:
         state = init_state(spark, seeds)
 
@@ -834,11 +851,14 @@ def run_crawl(
     try:
         while state.round < cfg.max_rounds:
             # the carried claim count doubles as the drain check — only
-            # rounds without a hint pay the isEmpty probe job
-            if state.pending_rows_hint == 0:
-                break
-            if state.pending_rows_hint is None and state.pending.isEmpty():
-                break
+            # rounds without a hint pay the isEmpty probe job. With
+            # recrawl on there is no drain: crawled pages keep becoming
+            # due, so the loop runs to max_rounds (perpetual-crawl model)
+            if not cfg.enable_recrawl:
+                if state.pending_rows_hint == 0:
+                    break
+                if state.pending_rows_hint is None and state.pending.isEmpty():
+                    break
             state, _ = run_round(spark, state, corpus, cfg, corpus_bucketed)
     finally:
         if corpus_bucketed is not None:

@@ -330,22 +330,21 @@ def q36_seen_partitioned_bloom(spark, sf_dir):
     """D1 through the PartitionedBloomSeen scale path: the per-bucket
     shard filter pre-prunes the anti-join. Bloom false positives only
     cost a redundant probe, so the result is EXACTLY the plain anti-join
-    — which is the oracle (same derivation as q04)."""
-    import tempfile
-
+    — which is the oracle (same derivation as q04). The result is
+    materialized eagerly so the shard tempdir can be removed before
+    returning (ADVICE r2 #4: sweeps were leaking /tmp shard dirs)."""
     cand = candidate_urls(load(spark, sf_dir, "documents")).select(
         "doc_id", "url", "depth"
     )
     seen_df = cand.filter(F.col("doc_id") % 2 == 0).select("url")
-    bloom = seen.PartitionedBloomSeen(
-        storage_dir=tempfile.mkdtemp(prefix="wikifrontier_q36_"),
-        buckets=16,
-        nbits_per_bucket=1 << 14,
-    )
-    bloom.add_df(spark, seen_df)
-    return seen.drop_seen(
-        cand.localCheckpoint(eager=True), seen_df, bloom, spark
-    )
+    bloom = seen.PartitionedBloomSeen(buckets=16, nbits_per_bucket=1 << 14)
+    try:
+        bloom.add_df(spark, seen_df)
+        return seen.drop_seen(
+            cand.localCheckpoint(eager=True), seen_df, bloom, spark
+        ).localCheckpoint(eager=True)
+    finally:
+        bloom.cleanup()
 
 
 # robots ruleset for q32 — longest-prefix-first precedence, Allow overrides

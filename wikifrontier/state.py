@@ -18,6 +18,7 @@ import json
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from wikifrontier import schemas
 
@@ -51,22 +52,30 @@ def write_checkpoint(spark: SparkSession, state, ckpt_dir: str):
         for name in tables
     }
 
+    # per-partition row counts, JVM-side and columnar (VERDICT r2 #2: the
+    # old rdd.glom().map(len) deserialized every frontier row through
+    # Python just to take lengths). Partitions with zero rows are simply
+    # absent — the manifest stat is informational lineage, nothing reads
+    # it back for logic.
+    part_rows = (
+        reloaded["pending"]
+        .groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .orderBy("pid")
+        .collect()
+    )
     manifest = {
         "round": state.round,
         "tables": sorted(tables),
-        "pending_partition_rows": [
-            int(n)
-            for n in reloaded["pending"]
-            .rdd.glom()
-            .map(len)
-            .collect()
-        ],
+        "pending_partition_rows": [int(r["count"]) for r in part_rows],
     }
     if state.bloom is not None:
         from wikifrontier.seen import PartitionedBloomSeen
 
         if isinstance(state.bloom, PartitionedBloomSeen):
-            state.bloom.save(os.path.join(round_dir, "bloom_shards"))
+            # spark → the shard deltas are compacted (distributed, one
+            # task per bucket) before the snapshot copy
+            state.bloom.save(os.path.join(round_dir, "bloom_shards"), spark=spark)
         else:
             state.bloom.save(os.path.join(round_dir, "bloom.npz"))
 
@@ -106,17 +115,30 @@ def latest_round(ckpt_dir: str) -> int | None:
     return best
 
 
-def load_checkpoint(spark: SparkSession, ckpt_dir: str):
-    """Load the newest complete round snapshot, or None."""
+def load_checkpoint(
+    spark: SparkSession, ckpt_dir: str, bloom_storage_dir: str | None = None
+):
+    """Load the newest complete round snapshot, or None.
+
+    ``bloom_storage_dir`` — working dir for the re-opened partitioned
+    seen-filter (shared storage on clusters; tempdir fallback is
+    local-mode-only)."""
     from wikifrontier.frontier import CrawlState
 
     n = latest_round(ckpt_dir)
     if n is None:
         return None
     round_dir = os.path.join(ckpt_dir, f"round={n}")
+    # tables absent on disk (e.g. a checkpoint written before a state
+    # table existed) load as empty — ADVICE r2: resume must not break on
+    # pre-existing snapshots when the schema set grows
     tables = {
-        name: spark.read.schema(schemas.ddl_to_schema(ddl)).parquet(
-            os.path.join(round_dir, name)
+        name: (
+            spark.read.schema(schemas.ddl_to_schema(ddl)).parquet(
+                os.path.join(round_dir, name)
+            )
+            if os.path.isdir(os.path.join(round_dir, name))
+            else schemas.empty_df(spark, ddl)
         )
         for name, ddl in TABLE_DDLS.items()
     }
@@ -126,7 +148,7 @@ def load_checkpoint(spark: SparkSession, ckpt_dir: str):
     if os.path.isdir(shards_dir):
         from wikifrontier.seen import PartitionedBloomSeen
 
-        bloom = PartitionedBloomSeen.load(shards_dir)
+        bloom = PartitionedBloomSeen.load(shards_dir, storage_dir=bloom_storage_dir)
     elif os.path.exists(bloom_path):
         from wikifrontier.seen import BloomSeen
 
