@@ -22,7 +22,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from wikifrontier import queries as Q
-from wikifrontier.corpus import bfs_layers_oracle_sql
+from wikifrontier.corpus import (
+    bfs_layers_oracle_sql,
+    page_content_oracle_sql,
+    recrawl_oracle_sql,
+    retry_crawl_oracle_sql,
+)
 from wikifrontier.dedup import (
     LSH_BANDS, MINHASH_PERMS, MINHASH_SLICE, SIMHASH_BANDS, SIMHASH_BITS,
 )
@@ -416,6 +421,11 @@ GROUP BY p.url
 """,
         "q10_bfs_crawl": bfs_layers_oracle_sql(max_depth=4),
         "q30_bfs_crawl_bucketed": bfs_layers_oracle_sql(max_depth=4),
+        "q38_page_content_values": page_content_oracle_sql(max_depth=4),
+        "q39_crawl_retry": retry_crawl_oracle_sql(max_depth=4, fetch_retries=2),
+        "q40_crawl_recrawl": recrawl_oracle_sql(
+            max_depth=4, max_rounds=10, recrawl_interval_s=3
+        ),
         "q36_seen_partitioned_bloom": f"""
 WITH {CAND}
 SELECT doc_id, url, depth FROM cand c
@@ -714,6 +724,25 @@ SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        count(*) AS n,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+        "q41_multimodal_decode": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 3 AS INT) AS sel,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT media_id,
+  CASE sel WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(CASE sel WHEN 0 THEN 1 ELSE (n % 240) + 1 END AS INT) AS n_frames,
+  CAST(CASE sel WHEN 0 THEN (n % 31) + 1
+           WHEN 1 THEN 8000
+           ELSE 16 * ((n % 64) + 1) END AS INT) AS width,
+  CAST(CASE sel WHEN 0 THEN (n % 17) + 1
+           WHEN 1 THEN (media_id % 2) + 1
+           ELSE 9 * ((n % 64) + 1) END AS INT) AS height,
+  CASE sel WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'fake' END AS codec
+FROM m
 """,
         "q26_multimodal_features": """
 WITH m AS (

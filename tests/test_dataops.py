@@ -207,3 +207,35 @@ def test_multimodal_plumbing(docs):
 def test_decode_media_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"bytes", "image")
+
+
+def test_real_codec_roundtrip():
+    """BMP/WAV stdlib codecs: make → decode inverts exactly, and
+    decode_media routes by container magic without the fake flag."""
+    bmp = multimodal.make_bmp(13, 7, b"pixelbytes")
+    assert multimodal.decode_bmp(bmp) == {"n_frames": 1, "width": 13, "height": 7}
+    assert multimodal.decode_media(bmp, "image") == {
+        "n_frames": 1, "width": 13, "height": 7,
+    }
+    wav = multimodal.make_wav(240, sample_rate=8000, channels=2, sample_bytes=b"pcm")
+    assert multimodal.decode_wav(wav) == {
+        "n_frames": 240, "width": 8000, "height": 2,
+    }
+    assert multimodal.sniff_codec(bmp) == "bmp"
+    assert multimodal.sniff_codec(wav) == "wav"
+    assert multimodal.sniff_codec(b"plain text") is None
+
+
+def test_attach_media_encoded_real_decode(docs):
+    """attach_media_encoded payloads decode through the REAL parsers for
+    image/audio; video stays on the fake path."""
+    feats = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(
+            multimodal.attach_media_encoded(docs), include_codec=True
+        ).collect()
+    }
+    by_kind = {r["kind"]: r["codec"] for r in feats.values()}
+    assert by_kind.get("image") == "bmp"
+    assert by_kind.get("audio") == "wav"
+    assert by_kind.get("video") == "fake"

@@ -108,19 +108,20 @@ def documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bfs_layers_oracle_sql(max_depth: int = 4) -> str:
-    """DuckDB recursive-CTE ground truth for the flagship crawl: min BFS
-    depth per reachable doc from seed Doc_0 under the closed-form edges.
-    Matches the engine's pages table on (url, depth, last_crawl_status,
-    first_crawled_round)."""
+def _reach_ctes(max_depth: int, src_predicate: str = "") -> str:
+    """Shared WITH RECURSIVE fragment: min BFS depth per doc reachable
+    from Doc_0 under the closed-form edges. ``src_predicate`` (SQL over
+    ``doc_id``) restricts which pages may EXPAND — the retry oracle uses
+    it to model planted fetch misses (a FAILED page is claimed but never
+    parsed, so its out-edges don't exist)."""
     edge_list = ", ".join(
         f"(({m} * doc_id + {c}) % nn.n)" for m, c in EDGE_PARAMS
     )
-    return f"""
-WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+    where = f"WHERE {src_predicate}" if src_predicate else ""
+    return f"""nn AS (SELECT count(*) AS n FROM documents),
 edges AS (
   SELECT doc_id AS src, unnest([{edge_list}]) AS dst
-  FROM documents, nn
+  FROM documents, nn {where}
 ),
 reach(id, depth) AS (
   SELECT CAST(0 AS BIGINT), 0
@@ -128,11 +129,117 @@ reach(id, depth) AS (
   SELECT e.dst, r.depth + 1
   FROM reach r JOIN edges e ON e.src = r.id
   WHERE r.depth < {max_depth}
-)
+),
+layer AS (SELECT id, CAST(min(depth) AS INT) AS depth FROM reach GROUP BY id)"""
+
+
+def bfs_layers_oracle_sql(max_depth: int = 4) -> str:
+    """DuckDB recursive-CTE ground truth for the flagship crawl: min BFS
+    depth per reachable doc from seed Doc_0 under the closed-form edges.
+    Matches the engine's pages table on (url, depth, last_crawl_status,
+    first_crawled_round)."""
+    return f"""
+WITH RECURSIVE {_reach_ctes(max_depth)}
 SELECT
   '{URL_PREFIX}' || id AS url,
-  CAST(min(depth) AS INT) AS depth,
+  depth,
   'SUCCESS' AS last_crawl_status,
-  CAST(min(depth) AS INT) AS first_crawled_round
-FROM reach GROUP BY id
+  depth AS first_crawled_round
+FROM layer
+"""
+
+
+def page_content_oracle_sql(max_depth: int = 4) -> str:
+    """Ground truth for the parsed-content VALUES of the flagship crawl
+    (VERDICT r2 "do this" #1 — A3/X1–X5 value surface): for every
+    reachable page, the title / category / clean-text the real parse UDF
+    must extract, reconstructed closed-form from the render_html template
+    (deterministic arithmetic — reference parity surface:
+    components/parser/core/wiki_content_extractor.py:30-75,
+    components/db_writer/core/db_writer.py:164-217).
+
+    The expected clean text replays extract._extract_clean_text exactly:
+    the content div's text lines (the document text, then the 7 anchor
+    texts in template order), each stripped, blanks dropped, joined by
+    newline. sha256 of that string is the text_content_hash."""
+    anchor_lines = (
+        "['Link to Doc_' || ((2 * d.doc_id + 1) % nn.n), "
+        "'Link to Doc_' || ((3 * d.doc_id + 7) % nn.n), "
+        "'Link to Doc_' || ((5 * d.doc_id + 11) % nn.n), "
+        "'Fragment link', 'Category link', 'Special link', 'External']"
+    )
+    return f"""
+WITH RECURSIVE {_reach_ctes(max_depth)},
+content AS (
+  SELECT d.doc_id,
+    'Doc ' || d.doc_id || ' - Wikipedia' AS title,
+    'Lang_' || d.lang AS categories_joined,
+    array_to_string(
+      list_concat(
+        list_filter(
+          list_transform(string_split(d.text, chr(10)), x -> trim(x)),
+          x -> x <> ''),
+        {anchor_lines}),
+      chr(10)) AS clean_text
+  FROM documents d, nn
+)
+SELECT '{URL_PREFIX}' || l.id AS source_page_url,
+  c.title,
+  c.categories_joined,
+  sha256(c.clean_text) AS text_content_hash,
+  CAST(length(c.clean_text) AS BIGINT) AS text_len
+FROM layer l JOIN content c ON c.doc_id = l.id
+"""
+
+
+# planted fetch misses for the retry crawl (q39): these doc ids are
+# dropped from the corpus, so fetching them FAILs deterministically.
+# 0 % 17 != MISS_MOD so the seed always survives.
+MISS_DIVISOR, MISS_MOD = 17, 5
+
+
+def retry_crawl_oracle_sql(max_depth: int = 4, fetch_retries: int = 2) -> str:
+    """Ground truth for the bounded-retry crawl (q39): BFS expands only
+    through present (fetch-SUCCESS) pages; a missing page is claimed at
+    its min present-parent depth, then fetched 1 + fetch_retries times
+    (rounds d, d+1, …), every attempt FAILED. Replays the reference's
+    attempt arithmetic (insert never counts as failed, every later
+    attempt does — db_writer.py:42-102; bounded download_retry —
+    crawler_service.py:157-190)."""
+    miss = f"id % {MISS_DIVISOR} = {MISS_MOD}"
+    total = 1 + fetch_retries
+    return f"""
+WITH RECURSIVE {_reach_ctes(max_depth, f"doc_id % {MISS_DIVISOR} <> {MISS_MOD}")},
+named AS (SELECT '{URL_PREFIX}' || id AS url, id, depth FROM layer)
+SELECT url,
+  CASE WHEN {miss} THEN 'FAILED' ELSE 'SUCCESS' END AS last_crawl_status,
+  CAST(CASE WHEN {miss} THEN {total} ELSE 1 END AS INT) AS total_crawl_attempts,
+  CAST(CASE WHEN {miss} THEN {total - 1} ELSE 0 END AS INT) AS failed_crawl_attempts,
+  depth,
+  depth AS first_crawled_round
+FROM named
+"""
+
+
+def recrawl_oracle_sql(
+    max_depth: int = 4, max_rounds: int = 10, recrawl_interval_s: int = 3
+) -> str:
+    """Ground truth for the rescheduler crawl (q40): with the recrawl
+    horizon shrunk to ``recrawl_interval_s`` seconds and one round = one
+    second of crawl clock, a page first crawled in round d is re-fetched
+    every (interval + 1) rounds — strict ``next_crawl_at < now``
+    (db_reader.py:109-151 effective predicate, rescheduler loop
+    rescheduler_service.py:36-71). Closed form over R = max_rounds:
+    attempts = 1 + floor((R - 1 - d) / period), last crawl round =
+    d + period * floor((R - 1 - d) / period)."""
+    period = recrawl_interval_s + 1
+    k = f"(({max_rounds} - 1 - depth) // {period})"
+    return f"""
+WITH RECURSIVE {_reach_ctes(max_depth)}
+SELECT '{URL_PREFIX}' || id AS url,
+  depth,
+  CAST(1 + {k} AS INT) AS total_crawl_attempts,
+  CAST(0 AS INT) AS failed_crawl_attempts,
+  CAST(depth + {period} * {k} AS BIGINT) AS last_crawled_round
+FROM layer
 """

@@ -274,6 +274,78 @@ def q30_bfs_crawl_bucketed(spark, sf_dir):
     return out
 
 
+def q38_page_content_values(spark, sf_dir):
+    """A3/X1–X5 VALUE surface (VERDICT r2 #1): the flagship crawl's
+    parsed-content table — title, joined sorted categories, clean-text
+    hash and length per crawled url, all produced by the real fused parse
+    UDF through the real round loop. Oracle: closed-form reconstruction
+    of the render_html template text (corpus.page_content_oracle_sql)."""
+    web_pages = corpus_mod.documents_corpus(spark, sf_dir)
+    cfg = frontier.CrawlConfig(
+        max_depth=4, budget_per_round=None, per_host_cap=None, max_rounds=12,
+        collect_metrics=False,
+    )
+    state = frontier.run_crawl(spark, web_pages, [corpus_mod.doc_url(0)], cfg)
+    return state.page_content.select(
+        "source_page_url",
+        "title",
+        F.array_join(F.array_sort("categories"), "|").alias("categories_joined"),
+        "text_content_hash",
+        F.length("text_content").cast("long").alias("text_len"),
+    )
+
+
+def q39_crawl_retry(spark, sf_dir):
+    """Bounded fetch retry at crawl level (VERDICT r2 #4; reference
+    download_retry, crawler_service.py:157-190): the flagship corpus with
+    every doc_id % 17 == 5 page REMOVED, fetch_retries=2 — a missing url
+    is claimed once, then fetched (and FAILs) in 3 consecutive rounds.
+    Oracle replays the attempt arithmetic and the present-pages-only BFS
+    (corpus.retry_crawl_oracle_sql)."""
+    web_pages = corpus_mod.documents_corpus(spark, sf_dir)
+    did = F.regexp_extract(F.col("url"), r"Doc_(\d+)$", 1).cast("long")
+    corpus_missing = web_pages.filter(
+        did % corpus_mod.MISS_DIVISOR != corpus_mod.MISS_MOD
+    )
+    cfg = frontier.CrawlConfig(
+        max_depth=4, budget_per_round=None, per_host_cap=None, max_rounds=12,
+        collect_metrics=False, fetch_retries=2,
+    )
+    state = frontier.run_crawl(spark, corpus_missing, [corpus_mod.doc_url(0)], cfg)
+    return state.pages.select(
+        "url",
+        "last_crawl_status",
+        "total_crawl_attempts",
+        "failed_crawl_attempts",
+        "depth",
+        "first_crawled_round",
+    )
+
+
+def q40_crawl_recrawl(spark, sf_dir):
+    """Rescheduler at crawl level (S7/A5 under oracle; reference
+    rescheduler_service.py:36-71): recrawl horizon shrunk to 3 s of crawl
+    clock so pages re-enter the frontier every 4 rounds over a 10-round
+    run. Oracle: closed-form recrawl-period arithmetic per BFS layer
+    (corpus.recrawl_oracle_sql)."""
+    web_pages = corpus_mod.documents_corpus(spark, sf_dir)
+    cfg = frontier.CrawlConfig(
+        max_depth=4, budget_per_round=None, per_host_cap=None, max_rounds=10,
+        collect_metrics=False, enable_recrawl=True, recrawl_interval_s=3,
+    )
+    state = frontier.run_crawl(spark, web_pages, [corpus_mod.doc_url(0)], cfg)
+    epoch_s = int(cfg.crawl_epoch.timestamp())
+    return state.pages.select(
+        "url",
+        "depth",
+        "total_crawl_attempts",
+        "failed_crawl_attempts",
+        (F.unix_timestamp("last_crawled_at") - F.lit(epoch_s))
+        .cast("long")
+        .alias("last_crawled_round"),
+    )
+
+
 def q11_events_rollup(spark, sf_dir):
     """A6 — round-metrics-style rollup: exact decimal sums (order-
     insensitive, unlike double sums) per event_type."""
@@ -539,6 +611,21 @@ def q26_multimodal_features(spark, sf_dir):
     """mapInPandas decode/feature plumbing (deterministic fake codec)."""
     docs = load(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.attach_media(docs))
+
+
+def q41_multimodal_decode(spark, sf_dir):
+    """REAL codec decode (TD13 upgrade, VERDICT r2 #6): image/audio
+    payloads are genuine BMP / RIFF-WAVE containers assembled from the
+    document text, and the mapInPandas feature pass parses their headers
+    with the stdlib struct codecs (decode_bmp / decode_wav — no fake).
+    Video has no available codec and stays on the documented fake.
+    Oracle replays the closed-form container dimensions; the `codec`
+    column proves which rows took the real path."""
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.attach_media_encoded(docs)
+    return multimodal.extract_features(media, include_codec=True).select(
+        "media_id", "kind", "n_frames", "width", "height", "codec"
+    )
 
 
 def q28_ann_ivf(spark, sf_dir):
