@@ -744,6 +744,38 @@ SELECT media_id,
   CASE sel WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'fake' END AS codec
 FROM m
 """,
+        "q42_salted_repartition": """
+WITH batch AS (
+  SELECT 'https://h' || (user_id % 10) || '.com/e/' || event_id AS url
+  FROM events
+),
+salted AS (
+  SELECT url,
+    CAST(((instr('0123456789abcdef', substr(sha256(url), 1, 1)) - 1) * 16
+          + (instr('0123456789abcdef', substr(sha256(url), 2, 1)) - 1)) % 64
+      AS INT) AS salt,
+    regexp_extract(url, '^https://([^/]+)', 1) AS host
+  FROM batch
+)
+SELECT salt, count(*) AS n, count(DISTINCT host) AS n_hosts,
+       min(url) AS first_url
+FROM salted GROUP BY salt
+""",
+        "q43_host_rate_clock": """
+WITH t AS (
+  SELECT 'h' || (user_id % 10) || '.com' AS host,
+         TIMESTAMP '2025-01-15 00:00:00'
+           + (event_id % 3600) * INTERVAL 1 SECOND AS ts
+  FROM events
+)
+SELECT host,
+  count(*) AS batch_n,
+  count(*) AS n_total,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_fetch,
+  (count(*) > 1 AND count(*) * 1000000
+     > 1.0 * (epoch_us(max(ts)) - epoch_us(min(ts)))) AS over_limit
+FROM t GROUP BY host
+""",
         "q26_multimodal_features": """
 WITH m AS (
   SELECT doc_id AS media_id,

@@ -69,11 +69,34 @@ def cap_per_host(batch: DataFrame, per_host_cap: int | None) -> DataFrame:
     )
 
 
-def salted_repartition(df: DataFrame, num_partitions: int, salt_buckets: int = 64) -> DataFrame:
+def portable_salt(url_col, salt_buckets: int = 64) -> F.Column:
+    """Engine-portable salt key: value of the first two sha256 hex
+    nibbles mod salt_buckets (the q33 nibble idiom — replayable verbatim
+    in any SQL engine, unlike xxhash64). Marginally more expensive than
+    xxhash64, so the default salt stays xxhash64; use this variant where
+    an external system must reproduce the bucketing."""
+    h = F.sha2(url_col, 256)
+    n1 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    n2 = F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1)) - 1
+    return ((n1 * 16 + n2) % salt_buckets).cast("int")
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    salt_buckets: int = 64,
+    salt_col: F.Column | None = None,
+) -> DataFrame:
     """Spread a skewed single-host batch across executors:
-    repartition on (host, xxhash64(url) % salt) — north_rule skew handling."""
+    repartition on (host, xxhash64(url) % salt) — north_rule skew
+    handling. ``salt_col`` overrides the salt expression (e.g.
+    portable_salt for oracle-replayable bucketing)."""
     host = F.parse_url(F.col("url"), F.lit("HOST"))
-    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    salt = (
+        salt_col
+        if salt_col is not None
+        else F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    )
     return df.repartition(num_partitions, host, salt)
 
 

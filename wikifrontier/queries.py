@@ -680,6 +680,86 @@ def q27_host_state(spark, sf_dir):
     )
 
 
+def q42_salted_repartition(spark, sf_dir):
+    """Salted skew repartition under oracle (VERDICT r2 #8): the q07-style
+    skewed batch (10 hosts, thousands of urls each) is spread over
+    (host, salt) with the engine-portable sha256-nibble salt
+    (politeness.portable_salt), then summarized per salt bucket. The
+    repartition exchange is in the executed plan (pytest asserts the
+    physical spread; test_filters_spark); the oracle replays the salt
+    derivation and per-bucket membership exactly."""
+    events = load(spark, sf_dir, "events")
+    batch = events.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 10),
+            F.lit(".com/e/"),
+            F.col("event_id"),
+        ).alias("url")
+    )
+    salt = politeness.portable_salt(F.col("url"), 64)
+    spread = politeness.salted_repartition(
+        batch.withColumn("salt", salt), 32, salt_col=F.col("salt")
+    )
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    return spread.groupBy("salt").agg(
+        F.count("*").alias("n"),
+        F.countDistinct(host).alias("n_hosts"),
+        F.min("url").alias("first_url"),
+    )
+
+
+def q43_host_rate_clock(spark, sf_dir):
+    """The applyInPandasWithState politeness clock as an oracle-gated
+    batch query (VERDICT r2 #8): events-derived fetch telemetry (10
+    hosts, second-offset timestamps closed-form in event_id) is landed as
+    ONE parquet file, drained through the real streaming operator in a
+    single availableNow micro-batch, and the emitted per-host rows are
+    returned. Exact-integer μs rate arithmetic makes every column —
+    including over_limit — replayable in SQL."""
+    import shutil
+    import tempfile
+
+    from wikifrontier import streaming
+
+    events = load(spark, sf_dir, "events")
+    base = F.unix_timestamp(F.lit("2025-01-15 00:00:00"))
+    telemetry = events.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("user_id") % 10),
+            F.lit(".com/e/"),
+            F.col("event_id"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("user_id") % 10), F.lit(".com")).alias("host"),
+        F.lit("SUCCESS").alias("last_crawl_status"),
+        F.timestamp_seconds(base + F.col("event_id") % 3600).alias(
+            "last_crawled_at"
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="wikifrontier_q43_")
+    try:
+        events_dir = f"{work}/events"
+        telemetry.coalesce(1).write.parquet(events_dir)
+        out = streaming.stateful_host_rate(
+            streaming.read_event_stream(spark, events_dir),
+            rate_limit_per_sec=1.0,
+        )
+        rows = streaming.run_available_now_collect(out, f"{work}/ckpt")
+        result = spark.createDataFrame(rows, streaming.HOST_RATE_OUTPUT_DDL)
+        return result.select(
+            "host",
+            "batch_n",
+            "n_total",
+            F.date_format("last_fetch_at", "yyyy-MM-dd HH:mm:ss").alias(
+                "last_fetch"
+            ),
+            "over_limit",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

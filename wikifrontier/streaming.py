@@ -71,7 +71,7 @@ HOST_RATE_OUTPUT_DDL = (
     "host string, batch_n long, n_total long, last_fetch_at timestamp, "
     "over_limit boolean"
 )
-HOST_RATE_STATE_DDL = "n_total long, last_fetch_epoch double"
+HOST_RATE_STATE_DDL = "n_total long, last_fetch_us long"
 
 
 def stateful_host_rate(
@@ -83,9 +83,15 @@ def stateful_host_rate(
     per-host fetch clock maintained in GroupState across micro-batches —
     the streaming analogue of the reference's per-worker politeness rate
     limiter (@limits 1 req/s, components/crawler/core/http_fetcher.py:
-    29-41). State per host = cumulative fetch count + last-fetch epoch;
+    29-41). State per host = cumulative fetch count + last-fetch clock;
     each batch emits the host's cumulative totals and whether the batch's
     observed rate exceeded the politeness budget.
+
+    The clock is integer MICROSECONDS (timestamps are μs-exact in both
+    Spark and parquet), so the rate test
+    ``n / span > limit  ⟺  n * 1e6 > limit * span_us`` is exact integer
+    arithmetic — deterministic and replayable by an external oracle, no
+    float-division ulp hazards.
 
     State is keyed by host (bounded by the registered-domain count, not
     the URL count) and survives restarts through the checkpoint — the
@@ -95,29 +101,30 @@ def stateful_host_rate(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        n_prev, last_prev = (
-            state.get if state.exists else (0, float("-inf"))
-        )
+        n_prev, last_prev_us = state.get if state.exists else (0, None)
         n_batch = 0
-        t_min = float("inf")
-        t_max = last_prev
+        t_min_us = None
+        t_max_us = last_prev_us if last_prev_us is not None else None
         for pdf in pdfs:
             ts = pdf["last_crawled_at"]
             n_batch += len(pdf)
             if len(pdf):
-                epochs = ts.astype("int64") / 1e9
-                t_min = min(t_min, float(epochs.min()))
-                t_max = max(t_max, float(epochs.max()))
+                us = ts.astype("int64") // 1000
+                mn, mx = int(us.min()), int(us.max())
+                t_min_us = mn if t_min_us is None else min(t_min_us, mn)
+                t_max_us = mx if t_max_us is None else max(t_max_us, mx)
         n_total = n_prev + n_batch
-        state.update((n_total, t_max))
-        span = max(t_max - min(t_min, t_max), 1e-9)
-        over = n_batch > 1 and (n_batch / span) > rate_limit_per_sec
+        state.update((n_total, int(t_max_us)))
+        span_us = t_max_us - t_min_us if t_min_us is not None else 0
+        # a batch of n>1 fetches inside span seconds violates the budget
+        # when n/span > limit; span 0 (same-instant fetches) always does
+        over = n_batch > 1 and n_batch * 1_000_000 > rate_limit_per_sec * span_us
         yield pd.DataFrame(
             {
                 "host": [key[0]],
                 "batch_n": [n_batch],
                 "n_total": [n_total],
-                "last_fetch_at": [pd.Timestamp(t_max, unit="s")],
+                "last_fetch_at": [pd.Timestamp(int(t_max_us), unit="us")],
                 "over_limit": [bool(over)],
             }
         )
