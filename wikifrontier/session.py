@@ -57,7 +57,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/bench noise); SPARK_GRAFT_UI=true turns
+        # it on for runs that read the REST status API (the scaling
+        # bench's shuffle local/remote attribution)
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     spark = builder.getOrCreate()
     _ship_package(spark)
