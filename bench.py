@@ -88,11 +88,28 @@ def shuffle_attribution(spark) -> dict | None:
             f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=10
         ) as resp:
             stages = json.load(resp)
+        top = sorted(
+            stages, key=lambda s: s.get("executorRunTime", 0), reverse=True
+        )[:6]
         return {
             "shuffle_local_bytes": sum(s.get("shuffleLocalBytesRead", 0) for s in stages),
             "shuffle_remote_bytes": sum(s.get("shuffleRemoteBytesRead", 0) for s in stages),
             "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            "executor_run_time_ms": sum(s.get("executorRunTime", 0) for s in stages),
+            "executor_cpu_time_ms": sum(
+                s.get("executorCpuTime", 0) for s in stages
+            ) // 1_000_000,  # ns → ms
             "n_stages": len(stages),
+            "top_stages": [
+                {
+                    "id": s.get("stageId"),
+                    "name": (s.get("name") or "")[:70],
+                    "run_ms": s.get("executorRunTime", 0),
+                    "cpu_ms": s.get("executorCpuTime", 0) // 1_000_000,
+                    "remote_bytes": s.get("shuffleRemoteBytesRead", 0),
+                }
+                for s in top
+            ],
         }
     except Exception as exc:  # attribution is best-effort telemetry
         log(f"shuffle attribution unavailable: {exc}")
@@ -304,11 +321,19 @@ def run_mega_round() -> dict:
     # the real round carries the partitioned seen-filter build + probe —
     # measure it (distributed work, part of the scaling story)
     state.bloom = _new_bloom(cfg)
+    before = shuffle_attribution(spark)  # untimed setup (corpus gen/bucket)
     t0 = time.time()
     state, _ = run_round(spark, state, corpus, cfg, corpus_bucketed)
     crawled = state.pages.count()
     elapsed = time.time() - t0
     attrib = shuffle_attribution(spark)
+    if attrib is not None and before is not None:
+        # report only the timed round's shuffle motion (top_stages stays
+        # the whole-app view; the heavy stages are all in the round)
+        attrib = {
+            k: (attrib[k] - before[k] if isinstance(attrib[k], int) else attrib[k])
+            for k in attrib
+        }
     state.bloom.cleanup()
     spark.stop()
     out = {

@@ -148,6 +148,28 @@ class TestCheckpointResume:
         sim = simulate_crawl(N, max_rounds=10)
         _assert_state_matches(state, sim)
 
+    def test_load_tolerates_missing_side_tables(self, spark, corpus, tmp_path):
+        """ADVICE r2: a snapshot written before a state table existed (here
+        simulated by deleting its dir) must load with that table empty, not
+        raise — schema growth cannot brick existing checkpoints."""
+        import os
+        import shutil
+
+        from wikifrontier import state as state_io
+
+        ckpt = str(tmp_path / "ckpt_compat")
+        cfg = CrawlConfig(
+            robots_txt=synth.ROBOTS_TXT, max_rounds=2, checkpoint_dir=ckpt
+        )
+        run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        n = state_io.latest_round(ckpt)
+        for table in ("retries", "invalid_rows"):
+            shutil.rmtree(os.path.join(ckpt, f"round={n}", table))
+        st = state_io.load_checkpoint(spark, ckpt)
+        assert st is not None and st.round == n
+        assert st.retries.count() == 0 and st.invalid_rows.count() == 0
+        assert st.pages.count() > 0  # the surviving tables still load
+
 
 class TestRecrawl:
     def test_recrawl_due_and_requeue(self, spark, corpus):

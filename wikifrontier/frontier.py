@@ -471,19 +471,28 @@ def run_round(
         use_broadcast = True
     elif cfg.fetch_strategy == "bucketed":
         use_broadcast = False
-    elif (
-        cfg.budget_per_round is not None
-        and cfg.budget_per_round <= cfg.broadcast_row_limit
-    ):
-        # auto, budgeted: the pop caps the batch below the limit a priori
-        use_broadcast = True
-    elif state.pending_rows_hint is not None:
-        # auto, unbounded: last round's claim count IS |pending| (free
-        # statistic from the bloom build — no count() job)
-        use_broadcast = state.pending_rows_hint <= cfg.broadcast_row_limit
-    else:  # auto: count the popped batch (cheap — popped/pending are
-        # materialized leaves) and gate on the configured row limit
-        use_broadcast = popped.count() <= cfg.broadcast_row_limit
+    else:
+        # auto: broadcast cost is rows × executors (every executor JVM
+        # deserializes its own copy of the batch), so the row limit is
+        # scaled down by the executor count — measured on local-cluster
+        # 4×8 the broadcast fetch is 26% slower than the bucketed join at
+        # 1M popped rows, while single-JVM local[*] prefers broadcast to
+        # 4M+ (BASELINE.md round-3 attribution). getExecutorMemoryStatus
+        # counts driver+executors; local[*] (size 1) → divisor 1.
+        n_exec = max(
+            1, spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
+        )
+        limit = cfg.broadcast_row_limit // n_exec
+        if cfg.budget_per_round is not None and cfg.budget_per_round <= limit:
+            # auto, budgeted: the pop caps the batch below the limit a priori
+            use_broadcast = True
+        elif state.pending_rows_hint is not None:
+            # auto, unbounded: last round's claim count IS |pending| (free
+            # statistic from the bloom build — no count() job)
+            use_broadcast = state.pending_rows_hint <= limit
+        else:  # auto: count the popped batch (cheap — popped/pending are
+            # materialized leaves) and gate on the configured row limit
+            use_broadcast = popped.count() <= limit
     if use_broadcast:
         fetch_corpus = corpus
     elif corpus_bucketed is not None:
