@@ -294,6 +294,26 @@ class TestStatusRetryDlq:
         ]
 
 
+class TestInMemoryCompaction:
+    def test_compact_every_preserves_state(self, spark, corpus):
+        """compact_every folds the event log into localCheckpointed bases
+        mid-crawl; the final pages/page_content/links tables must be
+        row-identical to the uncompacted crawl (same combine algebra as
+        the durable checkpoint, which TestCheckpointResume pins)."""
+        from dataclasses import replace
+
+        cfg = CrawlConfig(robots_txt=synth.ROBOTS_TXT, max_rounds=6)
+        plain = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        compacted = run_crawl(
+            spark, corpus, [synth.page_url(synth.SEED_ID)],
+            replace(cfg, compact_every=2),
+        )
+        for table in ("pages", "page_content", "links"):
+            a = sorted(map(tuple, getattr(plain, table).collect()))
+            b = sorted(map(tuple, getattr(compacted, table).collect()))
+            assert a == b, table
+
+
 class TestCheckpointEvery:
     def test_amortized_checkpoint_resume(self, spark, corpus, tmp_path):
         """checkpoint_every=3 writes rounds 3,6,… plus the final round;
