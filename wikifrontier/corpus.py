@@ -206,8 +206,17 @@ def retry_crawl_oracle_sql(max_depth: int = 4, fetch_retries: int = 2) -> str:
     attempt arithmetic (insert never counts as failed, every later
     attempt does — db_writer.py:42-102; bounded download_retry —
     crawler_service.py:157-190)."""
+    from wikifrontier.frontier import ERROR_TYPES
+
     miss = f"id % {MISS_DIVISOR} = {MISS_MOD}"
     total = 1 + fetch_retries
+    err_list = ", ".join(f"'{t}'" for t in ERROR_TYPES)
+    # the deterministic error classifier (frontier.classify_fetch_error)
+    # replayed in SQL — same derivation q33 uses
+    err = (
+        f"([{err_list}])"
+        "[((instr('0123456789abcdef', substr(sha256(url), 1, 1)) - 1) % 6) + 1]"
+    )
     return f"""
 WITH RECURSIVE {_reach_ctes(max_depth, f"doc_id % {MISS_DIVISOR} <> {MISS_MOD}")},
 named AS (SELECT '{URL_PREFIX}' || id AS url, id, depth FROM layer)
@@ -216,7 +225,8 @@ SELECT url,
   CAST(CASE WHEN {miss} THEN {total} ELSE 1 END AS INT) AS total_crawl_attempts,
   CAST(CASE WHEN {miss} THEN {total - 1} ELSE 0 END AS INT) AS failed_crawl_attempts,
   depth,
-  depth AS first_crawled_round
+  depth AS first_crawled_round,
+  CASE WHEN {miss} THEN {err} || ': request failed' END AS last_error_seen
 FROM named
 """
 

@@ -336,6 +336,7 @@ def q39_crawl_retry(spark, sf_dir):
         "failed_crawl_attempts",
         "depth",
         "first_crawled_round",
+        "last_error_seen",
     )
 
 
