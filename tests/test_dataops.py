@@ -226,6 +226,33 @@ def test_real_codec_roundtrip():
     assert multimodal.sniff_codec(b"plain text") is None
 
 
+def test_gzip_store_roundtrip(spark, tmp_path):
+    """S3/S4: executor-side gz-per-page write, binaryFile re-scan, byte
+    identity; a corrupted/missing file flags ok=False, not a crash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wikifrontier import htmlstore
+
+    pages = spark.range(20).select(
+        F.concat(F.lit("https://en.wikipedia.org/wiki/G"), F.col("id")).alias("url"),
+        F.encode(F.concat(F.lit("<html>page "), F.col("id"), F.lit("</html>")), "utf-8").alias("html"),
+    )
+    store = str(tmp_path / "gzstore")
+    written = htmlstore.write_gzip_store(pages, store)
+    assert written.count() == 20
+    back = htmlstore.read_gzip_store(spark, store)
+    ok = htmlstore.roundtrip_check(pages, back)
+    assert ok.filter(~F.col("ok")).count() == 0
+
+    # drop one file: its url must flag ok=False
+    victim = sorted(os.listdir(store))[0]
+    os.remove(os.path.join(store, victim))
+    ok2 = htmlstore.roundtrip_check(pages, htmlstore.read_gzip_store(spark, store))
+    assert ok2.filter(~F.col("ok")).count() == 1
+
+
 def test_attach_media_encoded_real_decode(docs):
     """attach_media_encoded payloads decode through the REAL parsers for
     image/audio; video stays on the fake path."""

@@ -782,6 +782,30 @@ def q43_host_rate_clock(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q44_gzip_store_roundtrip(spark, sf_dir):
+    """S3/S4 — the reference's gzip-file-per-page HTML store
+    (downloader.py:8-44) done distributed: write every rendered page as
+    {sha256(url)}.html.gz from executor tasks, re-scan the directory
+    through the binaryFile source + gunzip, and verify byte-identical
+    round-trip per url. Oracle: every document url round-trips (ok =
+    true)."""
+    import shutil
+    import tempfile
+
+    from wikifrontier import htmlstore
+
+    web = corpus_mod.documents_corpus(spark, sf_dir).localCheckpoint(eager=True)
+    store = tempfile.mkdtemp(prefix="wikifrontier_q44_")
+    try:
+        htmlstore.write_gzip_store(web, store).count()  # materialize writes
+        read_back = htmlstore.read_gzip_store(spark, store)
+        return htmlstore.roundtrip_check(web, read_back).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
