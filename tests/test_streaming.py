@@ -44,7 +44,10 @@ def test_stateful_host_rate_across_restarts(spark, tmp_path):
     stream restart through the checkpoint (GroupState), and the rate
     flag fires for a host fetching faster than the politeness budget."""
     events_dir = str(tmp_path / "ev2")
-    ckpt = str(tmp_path / "ckpt2")
+    # version-suffixed location: a HOST_RATE_STATE_DDL format bump changes
+    # the dir instead of feeding an old-format checkpoint to the operator
+    ckpt = streaming.host_rate_checkpoint_dir(str(tmp_path / "ckpt2"))
+    assert ckpt.endswith(f"host_rate_v{streaming.HOST_RATE_STATE_VERSION}")
     t0 = datetime(2025, 8, 15, 12, 0, 0)
 
     # h1: 4 fetches 20s apart (0.05/s, polite); h3: 5 fetches in the same

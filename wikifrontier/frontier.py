@@ -401,6 +401,32 @@ def bucket_corpus(corpus: DataFrame, buckets: int) -> DataFrame:
     return corpus.select("url", "html").repartition(buckets, "url")
 
 
+def _executor_count(spark: SparkSession) -> int:
+    """Executor JVM count for the broadcast-cost gate — PUBLIC API only
+    (ADVICE r3 #4 replaced the private `_jsc...getExecutorMemoryStatus()`
+    call): `statusTracker().getExecutorInfos()` lists driver + executors.
+
+    Before executors register (dynamic allocation warm-up) the tracker
+    reports only the driver; rather than letting the divisor collapse to
+    1 — which would let a large batch broadcast cluster-wide — clamp to
+    the count implied by the configured `spark.executor.instances` when
+    that is set. Any tracker failure degrades to the conservative
+    configured value (or 1 in local mode, where broadcast is correct)."""
+    configured = 0
+    try:
+        configured = int(spark.conf.get("spark.executor.instances", "0") or 0)
+    except Exception:
+        pass
+    try:
+        # local[*] reports exactly one entry (the driver doubles as the
+        # executor) → count 1; cluster mode reports driver + N → N.
+        registered = len(spark.sparkContext.statusTracker().getExecutorInfos())
+        live = max(1, registered - 1) if registered > 1 else 1
+    except Exception:
+        live = 1
+    return max(live, configured, 1)
+
+
 def _fetch_join(batch: DataFrame, corpus: DataFrame, use_broadcast: bool):
     """S2 fetch: frontier batch ⋈ corpus on url. Both shapes keep html in
     place — the broadcast shape ships only urls to the corpus, the
@@ -490,12 +516,8 @@ def run_round(
         # scaled down by the executor count — measured on local-cluster
         # 4×8 the broadcast fetch is 26% slower than the bucketed join at
         # 1M popped rows, while single-JVM local[*] prefers broadcast to
-        # 4M+ (BASELINE.md round-3 attribution). getExecutorMemoryStatus
-        # counts driver+executors; local[*] (size 1) → divisor 1.
-        n_exec = max(
-            1, spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1
-        )
-        limit = cfg.broadcast_row_limit // n_exec
+        # 4M+ (BASELINE.md round-3 attribution). local[*] → divisor 1.
+        limit = cfg.broadcast_row_limit // _executor_count(spark)
         if cfg.budget_per_round is not None and cfg.budget_per_round <= limit:
             # auto, budgeted: the pop caps the batch below the limit a priori
             use_broadcast = True
@@ -904,17 +926,29 @@ def run_crawl(
                 if state.pending_rows_hint is None and state.pending.isEmpty():
                     break
             state, _ = run_round(spark, state, corpus, cfg, corpus_bucketed)
+
+        if cfg.checkpoint_dir is not None:
+            from wikifrontier import state as state_io
+
+            # the final round always checkpoints, whatever
+            # checkpoint_every — a resumed job must never replay
+            # completed work past the end
+            if state_io.latest_round(cfg.checkpoint_dir) != state.round:
+                state = state_io.write_checkpoint(spark, state, cfg.checkpoint_dir)
     finally:
         if corpus_bucketed is not None:
             # round outputs are localCheckpoint'd leaves — nothing in the
             # returned state depends on the corpus lineage
             corpus_bucketed.unpersist(blocking=False)
-
-    if cfg.checkpoint_dir is not None:
-        from wikifrontier import state as state_io
-
-        # the final round always checkpoints, whatever checkpoint_every —
-        # a resumed job must never replay completed work past the end
-        if state_io.latest_round(cfg.checkpoint_dir) != state.round:
-            state = state_io.write_checkpoint(spark, state, cfg.checkpoint_dir)
+        # ADVICE r3 #5: every bloom in this function was materialized
+        # here (fresh via _new_bloom or re-opened by load_checkpoint);
+        # when it fell back to a driver-local tempdir (no
+        # bloom_storage_dir configured), remove it — the checkpoint copy
+        # of the shards (written above) is the durable one, and every
+        # returned round output is a localCheckpoint'd leaf that never
+        # re-reads the working shards. cleanup() is a no-op for
+        # caller-provided storage dirs.
+        if state.bloom is not None and getattr(state.bloom, "_owns_dir", False):
+            state.bloom.cleanup()
+            state.bloom = None
     return state

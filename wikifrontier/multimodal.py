@@ -93,10 +93,25 @@ def make_bmp(width: int, height: int, pixel_bytes: bytes = b"") -> bytes:
 
 
 def decode_bmp(data: bytes) -> dict:
-    """Parse the BITMAPINFOHEADER of a BMP payload → (1 frame, w, h)."""
-    if data[:2] != b"BM" or len(data) < 26:
+    """Parse the BITMAPINFOHEADER of a BMP payload → (1 frame, w, h).
+
+    Validates the full fixed header (DIB size 40, planes == 1, a legal
+    bpp, sane dimensions) — not just the 2-byte magic — so arbitrary
+    bytes that happen to start with b'BM' are rejected with ValueError
+    instead of yielding garbage dimensions (ADVICE r3 #1)."""
+    if data[:2] != b"BM" or len(data) < 54:
         raise ValueError("not a BMP payload")
+    dib_size = struct.unpack_from("<I", data, 14)[0]
     width, height = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    if (
+        dib_size != 40
+        or planes != 1
+        or bpp not in (1, 4, 8, 16, 24, 32)
+        or not (0 < width <= 1 << 20)
+        or not (0 < abs(height) <= 1 << 20)
+    ):
+        raise ValueError("malformed BMP header")
     return {"n_frames": 1, "width": width, "height": abs(height)}
 
 
@@ -129,9 +144,13 @@ def decode_wav(data: bytes) -> dict:
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         if cid == b"fmt ":
-            _, channels, sample_rate, _, block_align, _ = struct.unpack_from(
+            fmt_tag, channels, sample_rate, _, block_align, _ = struct.unpack_from(
                 "<HHIIHH", data, pos + 8
             )
+            # strict PCM validation so near-miss bytes fail loudly
+            # rather than yielding garbage features (ADVICE r3 #1)
+            if fmt_tag != 1 or channels < 1 or block_align < 1:
+                raise ValueError("malformed WAV fmt chunk")
         elif cid == b"data":
             data_size = size
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -158,12 +177,23 @@ def decode_media(payload: bytes, kind: str, fake: bool = False) -> dict:
 
     BMP and WAV decode for real (stdlib parsers above). Other containers
     need codec libraries not present in this environment — callers must
-    opt into the deterministic fake for those."""
+    opt into the deterministic fake for those.
+
+    The real-codec path is taken only when the declared ``kind`` agrees
+    with the sniffed container (image→bmp, audio→wav): an opaque text
+    payload can legitimately start with b'BM' or a RIFF/WAVE prefix, and
+    mis-routing it into a struct parser would either raise on a short
+    body or return garbage dimensions. With ``fake=True`` a failed real
+    decode also falls back to the deterministic stand-in rather than
+    failing the task (ADVICE r3 #1)."""
     codec = sniff_codec(payload)
-    if codec == "bmp":
-        return decode_bmp(payload)
-    if codec == "wav":
-        return decode_wav(payload)
+    kind_for_codec = {"bmp": "image", "wav": "audio"}
+    if codec is not None and kind_for_codec[codec] == kind:
+        try:
+            return decode_bmp(payload) if codec == "bmp" else decode_wav(payload)
+        except ValueError:
+            if not fake:
+                raise
     if not fake:
         raise NotImplementedError(
             "payload is not a BMP/WAV container; other formats require "
@@ -258,7 +288,13 @@ def extract_features(
                     hashlib.sha256(raw[:64]).hexdigest()[:16]
                 )
                 if include_codec:
-                    out["codec"].append(sniff_codec(raw) or "fake")
+                    # report the path decode_media actually took: real
+                    # codec only when sniff AND declared kind agree.
+                    sniffed = sniff_codec(raw)
+                    real = sniffed is not None and (
+                        ("image" if sniffed == "bmp" else "audio") == kind
+                    )
+                    out["codec"].append(sniffed if real else "fake")
             yield pd.DataFrame(out)
 
     schema = FEATURE_DDL + (", codec string" if include_codec else "")

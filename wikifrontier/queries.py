@@ -100,8 +100,14 @@ _FILTER_CHAIN_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _filter_chain(spark, sf_dir) -> DataFrame:
-    key = (id(spark), sf_dir)
+    # keyed on the session OBJECT (not id(): CPython reuses ids after GC,
+    # which could hand a new session a plan bound to a dead one — ADVICE
+    # r3 #2); the identity check below also rejects a stale entry whose
+    # session was stopped and replaced.
+    key = (spark, sf_dir)
     df = _FILTER_CHAIN_MEMO.get(key)
+    if df is not None and df.sparkSession is not spark:
+        df = None
     if df is None:
         cand = candidate_urls(load(spark, sf_dir, "documents"))
         canonical = F.regexp_replace(F.col("url"), "[#?].*$", "")
@@ -767,7 +773,9 @@ def q43_host_rate_clock(spark, sf_dir):
             streaming.read_event_stream(spark, events_dir),
             rate_limit_per_sec=1.0,
         )
-        rows = streaming.run_available_now_collect(out, f"{work}/ckpt")
+        rows = streaming.run_available_now_collect(
+            out, streaming.host_rate_checkpoint_dir(f"{work}/ckpt")
+        )
         result = spark.createDataFrame(rows, streaming.HOST_RATE_OUTPUT_DDL)
         return result.select(
             "host",

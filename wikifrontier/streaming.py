@@ -71,7 +71,26 @@ HOST_RATE_OUTPUT_DDL = (
     "host string, batch_n long, n_total long, last_fetch_at timestamp, "
     "over_limit boolean"
 )
+# STATE-FORMAT v2 (ADVICE r3 #3): v1 stored `last_fetch_epoch double`
+# (float seconds); v2 stores exact integer microseconds. A checkpoint
+# written by v1 is NOT resumable under this DDL — Spark rejects the state
+# schema change at restore. Callers must derive the checkpoint location
+# with `host_rate_checkpoint_dir()` so each state version gets its own
+# directory and a version bump re-bootstraps state instead of corrupting
+# or failing a v1 restore mid-crawl.
+HOST_RATE_STATE_VERSION = 2
 HOST_RATE_STATE_DDL = "n_total long, last_fetch_us long"
+
+
+def host_rate_checkpoint_dir(base_dir: str) -> str:
+    """Version-suffixed checkpoint location for stateful_host_rate.
+
+    The state row format is part of the checkpoint contract; suffixing
+    the directory with the state version keeps an old-format checkpoint
+    from being fed to a new operator (restore would fail or misread)."""
+    import os
+
+    return os.path.join(base_dir, f"host_rate_v{HOST_RATE_STATE_VERSION}")
 
 
 def stateful_host_rate(
