@@ -27,6 +27,7 @@ from wikifrontier.corpus import (
     page_content_oracle_sql,
     recrawl_oracle_sql,
     retry_crawl_oracle_sql,
+    retry_recrawl_oracle_sql,
 )
 from wikifrontier.dedup import (
     LSH_BANDS, MINHASH_PERMS, MINHASH_SLICE, SIMHASH_BANDS, SIMHASH_BITS,
@@ -422,7 +423,14 @@ GROUP BY p.url
         "q10_bfs_crawl": bfs_layers_oracle_sql(max_depth=4),
         "q30_bfs_crawl_bucketed": bfs_layers_oracle_sql(max_depth=4),
         "q38_page_content_values": page_content_oracle_sql(max_depth=4),
+        # q45 crawls the MALFORMED corpus (8 adversarial markup families,
+        # corpus.render_html_adversarial) — extraction-invariant by
+        # contract, so the clean-template reconstruction is its oracle too
+        "q45_adversarial_html_crawl": page_content_oracle_sql(max_depth=4),
         "q39_crawl_retry": retry_crawl_oracle_sql(max_depth=4, fetch_retries=2),
+        "q46_crawl_retry_recrawl": retry_recrawl_oracle_sql(
+            max_depth=4, fetch_retries=2, max_rounds=10, recrawl_interval_s=3
+        ),
         "q40_crawl_recrawl": recrawl_oracle_sql(
             max_depth=4, max_rounds=10, recrawl_interval_s=3
         ),

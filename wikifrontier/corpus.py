@@ -70,20 +70,123 @@ def render_html(doc_id: int, text: str, lang: str, n: int) -> str:
     return "\n".join(lines)
 
 
+# adversarial malformation families (q45): doc_id % ADV_FAMILIES selects
+# one of 8 templates. Every family is EXTRACTION-INVARIANT by design —
+# the recovery rules (extract.py R1–R6) must produce byte-identical
+# title/categories/clean-text AND the identical out-edge set as the clean
+# template, so the q38 oracle (page_content_oracle_sql) doubles as the
+# ground truth for the malformed corpus.
+ADV_FAMILIES = 8
+
+
+def render_html_adversarial(doc_id: int, text: str, lang: str, n: int) -> str:
+    """render_html with a doc_id-selected malformation family injected.
+
+    Families: 0 clean · 1 unclosed <p> · 2 stray end tags · 3 doctype +
+    comments · 4 <script> with decoy markup · 5 <style> block · 6
+    entity-encoded texts · 7 case/quote chaos + duplicate attrs."""
+    fam = doc_id % ADV_FAMILIES
+    t = edge_targets(doc_id, n)
+
+    title_text = f"Doc {doc_id} - Wikipedia"
+    cat_text = f"Category:Lang_{lang}"
+    if fam == 6:
+        title_text = f"Doc {doc_id} - Wikip&#101;dia"  # decodes to 'Wikipedia'
+        cat_text = f"Category&#58;Lang_{lang}"  # decodes to 'Category:...'
+
+    head = f"<head><title>{title_text}</title></head>"
+    if fam == 3:
+        head = f"<head><!-- head noise --><title>{title_text}</title></head>"
+
+    para = f"<p>{text}</p>"
+    if fam == 1:
+        para = f"<p>{text}"  # unclosed: R1/R4 must still bound it at </div>
+
+    anchors = [
+        f'<a href="/wiki/Doc_{t[0]}" id="l0">Link to Doc_{t[0]}</a>',
+        f'<a href="/wiki/Doc_{t[1]}" title="Doc {t[1]}">Link to Doc_{t[1]}</a>',
+        f'<a href="/wiki/Doc_{t[2]}">Link to Doc_{t[2]}</a>',
+        f'<a href="/wiki/Doc_{t[3]}#sec">Fragment link</a>',
+        f'<a href="/wiki/Category:Lang_{lang}">Category link</a>',
+        '<a href="/wiki/Special:Random">Special link</a>',
+        f'<a href="https://example.org/d{doc_id}" rel="nofollow">External</a>',
+    ]
+    if fam == 6:
+        anchors[3] = f'<a href="/wiki/Doc_{t[3]}#sec">Fragment&#32;link</a>'
+        anchors[4] = f'<a href="/wiki/Category:Lang_{lang}">C&#97;tegory link</a>'
+    if fam == 7:
+        # uppercase + unquoted attrs (R6 lowercasing) and a duplicate
+        # href whose decoy second value must LOSE (R3 first-wins)
+        anchors[0] = f"<A HREF=/wiki/Doc_{t[0]} ID=l0>Link to Doc_{t[0]}</A>"
+        anchors[1] = (
+            f'<a href="/wiki/Doc_{t[1]}" href="/wiki/Doc_999999999"'
+            f' title="Doc {t[1]}">Link to Doc_{t[1]}</a>'
+        )
+
+    content = [para]
+    if fam == 2:
+        content.append("</span>")  # stray end tags: ignored, no text
+    content.extend(anchors)
+    if fam == 2:
+        content.append("</em>")
+    if fam == 3:
+        content.append(f"<!-- <p>ghost {doc_id}</p> -->")
+    if fam == 4:
+        content.append(
+            '<script>var s = "</div>"; '
+            "document.write('<a href=\"/wiki/Doc_999999999\">fake</a>');</script>"
+        )
+    if fam == 5:
+        content.append("<style>#mw-content-text p { color: red }</style>")
+
+    div_open = '<div id="mw-content-text">'
+    catlinks_open = '<div id="mw-normal-catlinks"><ul>'
+    if fam == 7:
+        div_open = '<DIV ID="mw-content-text">'
+        catlinks_open = '<DIV ID="mw-normal-catlinks"><UL>'
+
+    lines = []
+    if fam == 3:
+        lines.append("<!DOCTYPE html>")
+    lines += [
+        "<html>",
+        head,
+        "<body>",
+        f'<h1 id="firstHeading">Doc {doc_id}</h1>',
+        catlinks_open,
+        "<li><a>Categories</a></li>",
+        f"<li><a>{cat_text}</a></li>",
+        "</ul></div>",
+        div_open,
+        *content,
+        "</div>",
+        f'<div id="footer">Footer noise {doc_id}.</div>',
+        "</body>",
+        "</html>",
+    ]
+    if fam == 3:
+        lines.append("<!-- trailing noise -->")
+    return "\n".join(lines)
+
+
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def documents_corpus(
+    spark: SparkSession, sf_dir: str, adversarial: bool = False
+) -> DataFrame:
     """documents.parquet → web_pages DataFrame (distributed render).
 
     The page count n parameterizes the modular link graph; it is the one
-    driver-side scalar (a count, not a collect of rows).
-    """
+    driver-side scalar (a count, not a collect of rows). With
+    ``adversarial=True`` each page goes through render_html_adversarial —
+    same extracted values and edges, malformed markup (q45)."""
     import pandas as pd
 
     docs = load_documents(spark, sf_dir)
     n = docs.count()
+    render_fn = render_html_adversarial if adversarial else render_html
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -94,7 +197,7 @@ def documents_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                     {
                         "url": doc_url(i),
                         "warc_ts": WARC_EPOCH + timedelta(seconds=i),
-                        "html": render_html(i, str(text), str(lang), n).encode(),
+                        "html": render_fn(i, str(text), str(lang), n).encode(),
                         "text": None,
                         "lang": str(lang),
                     }
@@ -226,6 +329,54 @@ SELECT url,
   CAST(CASE WHEN {miss} THEN {total - 1} ELSE 0 END AS INT) AS failed_crawl_attempts,
   depth,
   depth AS first_crawled_round,
+  CASE WHEN {miss} THEN {err} || ': request failed' END AS last_error_seen
+FROM named
+"""
+
+
+def retry_recrawl_oracle_sql(
+    max_depth: int = 4,
+    fetch_retries: int = 2,
+    max_rounds: int = 10,
+    recrawl_interval_s: int = 3,
+) -> str:
+    """Ground truth for the COMBINED retry × recrawl crawl (q46 — VERDICT
+    r3 "do this" #8): planted misses AND the rescheduler in one run, so
+    the attempt-counter algebra both paths share is exercised together.
+
+    The interaction is closed-form because the two mechanisms never touch
+    the same page on a static corpus: a missing page always FAILs, and a
+    FAILED fetch writes next_crawl_at = NULL (frontier.py page event:
+    only SUCCESS carries the horizon), so exhausted-retry pages are never
+    rescheduled — their arithmetic is exactly q39's (total = 1+retries,
+    failed = total-1, last crawl at round d + retries). A present page
+    always SUCCEEDs, is never retried, and recrawls on q40's period —
+    total = 1 + floor((R-1-d)/period), failed = 0. BFS reach expands
+    through present pages only (a FAILED page never parses)."""
+    from wikifrontier.frontier import ERROR_TYPES
+
+    miss = f"id % {MISS_DIVISOR} = {MISS_MOD}"
+    total_miss = 1 + fetch_retries
+    period = recrawl_interval_s + 1
+    k = f"(({max_rounds} - 1 - depth) // {period})"
+    err_list = ", ".join(f"'{t}'" for t in ERROR_TYPES)
+    err = (
+        f"([{err_list}])"
+        "[((instr('0123456789abcdef', substr(sha256(url), 1, 1)) - 1) % 6) + 1]"
+    )
+    return f"""
+WITH RECURSIVE {_reach_ctes(max_depth, f"doc_id % {MISS_DIVISOR} <> {MISS_MOD}")},
+named AS (SELECT '{URL_PREFIX}' || id AS url, id, depth FROM layer)
+SELECT url,
+  CASE WHEN {miss} THEN 'FAILED' ELSE 'SUCCESS' END AS last_crawl_status,
+  CAST(CASE WHEN {miss} THEN {total_miss} ELSE 1 + {k} END AS INT)
+    AS total_crawl_attempts,
+  CAST(CASE WHEN {miss} THEN {total_miss - 1} ELSE 0 END AS INT)
+    AS failed_crawl_attempts,
+  depth,
+  depth AS first_crawled_round,
+  CAST(CASE WHEN {miss} THEN depth + {fetch_retries}
+       ELSE depth + {period} * {k} END AS BIGINT) AS last_crawled_round,
   CASE WHEN {miss} THEN {err} || ': request failed' END AS last_error_seen
 FROM named
 """

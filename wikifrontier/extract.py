@@ -14,9 +14,43 @@ step (reference ``wiki_content_extractor.py:141-159``: readability summary →
 ``text_content()`` → line-normalize) is re-specified as: take the main
 content container (``<div id="mw-content-text">`` — which is exactly the node
 readability selects on wiki-shaped pages), concatenate its text nodes in
-document order (lxml ``text_content()`` semantics: no separators inserted),
-strip, then ``'\n'.join(line.strip() for line in text.splitlines() if
-line.strip())`` — the reference's own normalization, byte-for-byte.
+document order (lxml ``text_content()`` semantics: no separators inserted)
+EXCLUDING ``<script>``/``<style>`` subtrees (readability's cleaner removes
+both before ``text_content()`` runs), strip, then ``'\n'.join(line.strip()
+for line in text.splitlines() if line.strip())`` — the reference's own
+normalization, byte-for-byte.
+
+RECOVERY CONTRACT (the documented libxml2-parity rules for malformed
+markup — each is pinned byte-exact by tests/test_extract_adversarial.py):
+
+* R1 — auto-close: opening tag T implicitly closes the element on top of
+  the open stack while that element is in ``_CLOSED_BY[T]`` (libxml2's
+  ``htmlAutoClose`` against its start-close table): a closes a; p closes
+  p; li closes li|p; td/th close td|th|p; tr closes tr|td|th|p; dd/dt
+  close dd|dt|p; option closes option; block containers (div, ul, ol,
+  table, blockquote, pre, h1–h6, section, article, header, footer, nav,
+  aside, form, hr) close an open p. The check is iterative against the
+  stack top only, so an intervening container (``<li><ul><li>``) keeps
+  nesting, as in libxml2.
+* R2 — a self-closing slash on a NON-void element (``<a/>``) is ignored:
+  the element opens normally and swallows following content until
+  closed (HTML parsers only honor the slash on void elements).
+* R3 — duplicate attributes: the FIRST occurrence wins (libxml2 drops
+  repeats; ``dict(attrs)`` would keep the last).
+* R4 — stray end tags with no matching open element are ignored; an end
+  tag closes every element above its match on the stack (both already
+  libxml2's recovery).
+* R5 — comments, doctypes, and processing instructions contribute no
+  text and no elements; ``<script>``/``<style>`` bodies are CDATA (a
+  ``<a href>`` inside script source is text, not a link) — identical in
+  html.parser and libxml2's HTML mode.
+* R6 — selector parity: ``//title/text()`` = first direct text node
+  scanning ALL <title> elements in document order;
+  ``//div[@id="mw-content-text"]`` / ``//div[@id="mw-normal-catlinks"]``
+  match DIV elements only; category ``.//a/text()`` = DIRECT text
+  children of each anchor (a ``<b>`` wrapper hides the text; a comment
+  splits one anchor into two category entries — exactly lxml's text()
+  node list).
 
 URL canonicalization uses the stdlib ``urllib.parse`` exactly as the
 reference does (``wiki_link_extractor.py:110-120``): ``urljoin`` against the
@@ -47,6 +81,30 @@ VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
 
+# R1 auto-close table (module docstring): opening the KEY tag pops the
+# stack top while the top's tag is in the value set — libxml2's
+# htmlAutoClose behavior restricted to the start-close pairs the wiki
+# page shapes can hit.
+_P_CLOSERS = frozenset({"p"})
+_CLOSED_BY: dict[str, frozenset] = {
+    "a": frozenset({"a"}),
+    "p": _P_CLOSERS,
+    "li": frozenset({"li", "p"}),
+    "dd": frozenset({"dd", "dt", "p"}),
+    "dt": frozenset({"dd", "dt", "p"}),
+    "td": frozenset({"td", "th", "p"}),
+    "th": frozenset({"td", "th", "p"}),
+    "tr": frozenset({"tr", "td", "th", "p"}),
+    "option": frozenset({"option"}),
+    **{
+        blk: _P_CLOSERS
+        for blk in (
+            "div ul ol table blockquote pre h1 h2 h3 h4 h5 h6 "
+            "section article header footer nav aside form hr".split()
+        )
+    },
+}
+
 
 # --- minimal DOM ------------------------------------------------------------
 class _Node:
@@ -58,8 +116,18 @@ class _Node:
         self.children: list[object] = []  # _Node | str
 
 
+def _first_wins(attrs: list[tuple[str, str | None]]) -> dict[str, str | None]:
+    """R3: libxml2 keeps the first of duplicate attributes."""
+    out: dict[str, str | None] = {}
+    for k, v in attrs:
+        if k not in out:
+            out[k] = v
+    return out
+
+
 class _TreeBuilder(HTMLParser):
-    """Tolerant HTML → tiny tree. convert_charrefs=True decodes entities."""
+    """Tolerant HTML → tiny tree under the R1–R5 recovery contract
+    (module docstring). convert_charrefs=True decodes entities."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -67,16 +135,27 @@ class _TreeBuilder(HTMLParser):
         self._stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
-        node = _Node(tag, dict(attrs))
+        # R1: implied end tags — pop while the open element is closed by
+        # this start tag (iterative, top-of-stack only, like libxml2)
+        closes = _CLOSED_BY.get(tag)
+        if closes is not None:
+            while len(self._stack) > 1 and self._stack[-1].tag in closes:
+                self._stack.pop()
+        node = _Node(tag, _first_wins(attrs))
         self._stack[-1].children.append(node)
         if tag not in VOID_ELEMENTS:
             self._stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        self._stack[-1].children.append(_Node(tag, dict(attrs)))
+        # R2: "<a/>" is NOT self-closing in HTML — only void elements
+        # honor the slash; everything else opens normally
+        if tag in VOID_ELEMENTS:
+            self._stack[-1].children.append(_Node(tag, _first_wins(attrs)))
+        else:
+            self.handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag):
-        # pop to the nearest matching open tag; ignore stray end tags
+        # R4: pop to the nearest matching open tag; ignore stray end tags
         for i in range(len(self._stack) - 1, 0, -1):
             if self._stack[i].tag == tag:
                 del self._stack[i:]
@@ -101,27 +180,30 @@ def _iter_nodes(node: _Node):
             yield from _iter_nodes(child)
 
 
-def _find_first_by_id(root: _Node, element_id: str) -> _Node | None:
+def _find_first_div_by_id(root: _Node, element_id: str) -> _Node | None:
+    """R6: the reference selectors are ``//div[@id=...]`` — DIV only, so
+    a same-id span/section is NOT the container."""
     for node in _iter_nodes(root):
-        if node.attrs.get("id") == element_id:
+        if node.tag == "div" and node.attrs.get("id") == element_id:
             return node
     return None
 
 
-def _find_first_tag(root: _Node, tag: str) -> _Node | None:
-    for node in _iter_nodes(root):
-        if node.tag == tag:
-            return node
-    return None
-
-
-def _text_nodes(node: _Node):
-    """All text chunks under node in document order (lxml text() semantics)."""
+def _text_nodes(node: _Node, skip: frozenset | None = None):
+    """All text chunks under node in document order (lxml text_content()
+    semantics); subtrees whose tag is in ``skip`` contribute nothing."""
     for child in node.children:
         if isinstance(child, str):
             yield child
-        else:
-            yield from _text_nodes(child)
+        elif skip is None or child.tag not in skip:
+            yield from _text_nodes(child, skip)
+
+
+def _direct_text_nodes(node: _Node):
+    """Only the text children of node itself — XPath ``text()``."""
+    for child in node.children:
+        if isinstance(child, str):
+            yield child
 
 
 def text_content(node: _Node) -> str:
@@ -182,30 +264,36 @@ def determine_link_type(
 
 # --- content extraction (X1–X5, X7) ----------------------------------------
 def _extract_title(root: _Node) -> str | None:
-    """X1 — first text node of the first <title>, stripped; None if absent."""
-    title_el = _find_first_tag(root, "title")
-    if title_el is None:
-        return None
-    for chunk in _text_nodes(title_el):
-        return chunk.strip()
+    """X1 — ``//title/text()`` then ``[0].strip()``
+    (wiki_content_extractor.py:84-90): the xpath collects the DIRECT text
+    nodes of every <title> in document order, so an empty first title
+    falls through to a later one (R6)."""
+    for node in _iter_nodes(root):
+        if node.tag != "title":
+            continue
+        for chunk in _direct_text_nodes(node):
+            return chunk.strip()
     return None
 
 
 def _extract_categories(root: _Node) -> list[str]:
     """X2 — wiki_content_extractor.py:109-138.
 
-    Text nodes of <a> descendants of the first div#mw-normal-catlinks; skip
-    the literal 'Categories'; strip a 'Category:' prefix. (Reference compares
-    the raw text node — no strip().)
+    ``.//a/text()`` under the first div#mw-normal-catlinks — the DIRECT
+    text children of each anchor (R6: an element wrapper hides its text;
+    a comment inside one anchor yields two separate entries, matching
+    lxml's text() node list); skip the literal 'Categories'; strip a
+    'Category:' prefix. (Reference compares the raw text node — no
+    strip().)
     """
-    catlinks = _find_first_by_id(root, "mw-normal-catlinks")
+    catlinks = _find_first_div_by_id(root, "mw-normal-catlinks")
     if catlinks is None:
         return []
     categories: list[str] = []
     for node in _iter_nodes(catlinks):
         if node.tag != "a":
             continue
-        for text in _text_nodes(node):
+        for text in _direct_text_nodes(node):
             if text == "Categories":
                 continue
             if text.startswith("Category:"):
@@ -215,14 +303,19 @@ def _extract_categories(root: _Node) -> list[str]:
     return categories
 
 
+_CLEAN_TEXT_SKIP = frozenset({"script", "style"})
+
+
 def _extract_clean_text(content_div: _Node) -> str | None:
     """X4 — text_content of the main container, line-normalized.
 
     Reference: readability summary → text_content → '\n'.join(stripped
-    non-blank lines) (wiki_content_extractor.py:141-159). See module
-    docstring for the readability→content-div substitution.
+    non-blank lines) (wiki_content_extractor.py:141-159). Readability's
+    DOM cleaner drops <script>/<style> before text_content runs, so
+    those subtrees are excluded here too. See module docstring for the
+    readability→content-div substitution.
     """
-    text = text_content(content_div).strip()
+    text = "".join(_text_nodes(content_div, _CLEAN_TEXT_SKIP)).strip()
     return "\n".join(line.strip() for line in text.splitlines() if line.strip())
 
 
@@ -247,7 +340,7 @@ def extract_content(url: str, html: str) -> dict:
         title = TITLE_MISSING_SENTINEL
 
     categories = _extract_categories(root)
-    content_div = _find_first_by_id(root, "mw-content-text")
+    content_div = _find_first_div_by_id(root, "mw-content-text")
     if content_div is None:
         return {
             "source_page_url": url,
@@ -277,7 +370,7 @@ def extract_links(source_page_url: str, html: str, depth: int) -> list[dict]:
     if not html.strip():
         return []
     root = parse_html(html)
-    content_div = _find_first_by_id(root, "mw-content-text")
+    content_div = _find_first_div_by_id(root, "mw-content-text")
     if content_div is None:
         return []
 

@@ -814,6 +814,65 @@ def q44_gzip_store_roundtrip(spark, sf_dir):
         shutil.rmtree(store, ignore_errors=True)
 
 
+def q46_crawl_retry_recrawl(spark, sf_dir):
+    """Combined retry × recrawl crawl (VERDICT r3 "do this" #8): planted
+    fetch misses (doc_id % 17 == 5 removed) AND the rescheduler in one
+    run — the two attempt-counter paths (q39's bounded retry, q40's
+    recrawl period) share the A1 fold and must compose. Oracle:
+    corpus.retry_recrawl_oracle_sql replays both arithmetics plus the
+    interaction rule (FAILED fetches carry next_crawl_at NULL, so
+    exhausted-retry pages are never rescheduled)."""
+    web_pages = corpus_mod.documents_corpus(spark, sf_dir)
+    did = F.regexp_extract(F.col("url"), r"Doc_(\d+)$", 1).cast("long")
+    corpus_missing = web_pages.filter(
+        did % corpus_mod.MISS_DIVISOR != corpus_mod.MISS_MOD
+    )
+    cfg = frontier.CrawlConfig(
+        max_depth=4, budget_per_round=None, per_host_cap=None, max_rounds=10,
+        collect_metrics=False, fetch_retries=2,
+        enable_recrawl=True, recrawl_interval_s=3,
+    )
+    state = frontier.run_crawl(spark, corpus_missing, [corpus_mod.doc_url(0)], cfg)
+    epoch_s = int(cfg.crawl_epoch.timestamp())
+    return state.pages.select(
+        "url",
+        "last_crawl_status",
+        "total_crawl_attempts",
+        "failed_crawl_attempts",
+        "depth",
+        "first_crawled_round",
+        (F.unix_timestamp("last_crawled_at") - F.lit(epoch_s))
+        .cast("long")
+        .alias("last_crawled_round"),
+        "last_error_seen",
+    )
+
+
+def q45_adversarial_html_crawl(spark, sf_dir):
+    """X4/X6 recovery-contract surface (VERDICT r3 "do this" #1): the
+    flagship crawl over a corpus whose every page is malformed — one of 8
+    families per doc_id (unclosed <p>, stray end tags, doctype+comments,
+    <script>/<style> decoys inside mw-content-text, entity-encoded text,
+    case/quote chaos + duplicate attrs; corpus.render_html_adversarial).
+    Every family is extraction-invariant under the documented libxml2
+    recovery rules (extract.py R1–R6), so the oracle is the SAME
+    closed-form content reconstruction as q38 — a hash mismatch on any
+    page means a recovery rule broke."""
+    web_pages = corpus_mod.documents_corpus(spark, sf_dir, adversarial=True)
+    cfg = frontier.CrawlConfig(
+        max_depth=4, budget_per_round=None, per_host_cap=None, max_rounds=12,
+        collect_metrics=False,
+    )
+    state = frontier.run_crawl(spark, web_pages, [corpus_mod.doc_url(0)], cfg)
+    return state.page_content.select(
+        "source_page_url",
+        "title",
+        F.array_join(F.array_sort("categories"), "|").alias("categories_joined"),
+        "text_content_hash",
+        F.length("text_content").cast("long").alias("text_len"),
+    )
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
