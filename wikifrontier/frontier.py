@@ -643,7 +643,29 @@ def run_round(
         claimed = claim_first_wins(
             unseen.filter(F.col("_reason").isNull())
         ).localCheckpoint(eager=True)
+        # ONE driver action for all round counters (was 4 jobs: an
+        # agg-collect, two counts, and a groupBy-collect): tag each frame
+        # with (src, k) and count in a single grouped aggregate. The
+        # partial agg collapses every partition to a handful of (src, k)
+        # rows before the shuffle. This MUST run here — before
+        # bloom.add_df() below mutates the shard files — because a cache
+        # miss on `unseen` would recompute drop_seen against the grown
+        # bloom and skew the dedup/filter counters (observed as
+        # links_dedup_dropped drift when the tally ran post-fold).
+        tag = lambda df, src, k: df.select(  # noqa: E731
+            F.lit(src).alias("src"), k.alias("k")
+        )
+        metric_tallies = (
+            tag(round_result, "fetch", F.col("_status"))
+            .unionByName(tag(candidates, "cand", F.lit(None).cast("string")))
+            .unionByName(tag(unseen, "unseen", F.col("_reason")))
+            .unionByName(tag(claimed, "claim", F.lit(None).cast("string")))
+            .groupBy("src", "k")
+            .count()
+            .collect()
+        )
     else:
+        metric_tallies = None
         # fast path: F → D2 → D1. The claimed/link/seen/frontier STATE is
         # identical (seen-dedup removes whole urls; the claim picks
         # within-url winners — the two commute), but the anti-join now
@@ -745,22 +767,21 @@ def run_round(
     # --- A6 metrics -------------------------------------------------------
     counters: dict = {"round": rnd}
     if cfg.collect_metrics:
-        fetch_row = round_result.agg(
-            F.count("*").alias("popped"),
-            F.sum((F.col("_status") == "SUCCESS").cast("long")).alias("ok"),
-        ).collect()[0]
-        n_candidates = candidates.count()
-        reason_counts = {
-            r["_reason"]: r["cnt"]
-            for r in unseen.groupBy("_reason").agg(F.count("*").alias("cnt")).collect()
-        }
+        by_src: dict = {}
+        for r in metric_tallies:
+            by_src.setdefault(r["src"], {})[r["k"]] = r["count"]
+        fetch_counts = by_src.get("fetch", {})
+        n_popped = sum(fetch_counts.values())
+        n_ok = fetch_counts.get("SUCCESS", 0)
+        reason_counts = by_src.get("unseen", {})
+        n_candidates = sum(by_src.get("cand", {}).values())
         n_unseen = sum(reason_counts.values())
-        n_claimed = claimed.count()
+        n_claimed = sum(by_src.get("claim", {}).values())
         counters.update(
-            urls_popped=fetch_row["popped"] or 0,
-            fetch_success=fetch_row["ok"] or 0,
-            fetch_failed=(fetch_row["popped"] or 0) - (fetch_row["ok"] or 0),
-            pages_parsed=fetch_row["ok"] or 0,
+            urls_popped=n_popped,
+            fetch_success=n_ok,
+            fetch_failed=n_popped - n_ok,
+            pages_parsed=n_ok,
             links_extracted=n_candidates,
             links_dedup_dropped=n_candidates - n_unseen,
             filtered_depth=reason_counts.get("depth", 0),
