@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--checkpoint", type=str, default=None)
     c.add_argument("--checkpoint-every", type=int, default=1,
                    help="durable snapshot every K rounds (final always)")
+    c.add_argument("--checkpoint-keep-last", type=int, default=2,
+                   help="retain newest K round snapshots (0 = keep all)")
     c.add_argument("--resume", action="store_true")
     c.add_argument("--salt-partitions", type=int, default=None)
     c.add_argument("--no-bloom", action="store_true")
@@ -54,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
     r = sub.add_parser("report", help="summarize a checkpoint")
     r.add_argument("--checkpoint", type=str, required=True)
     r.add_argument("--master", type=str, default=None)
+    r.add_argument("--prometheus", action="store_true",
+                   help="emit Prometheus exposition text (reference-"
+                        "parity counter names) instead of JSON")
+    r.add_argument("--textfile", type=str, default=None,
+                   help="with --prometheus: also write the exposition "
+                        "text to this path (node-exporter textfile "
+                        "collector pattern)")
     return p
 
 
@@ -89,6 +98,7 @@ def cmd_crawl(args) -> int:
         robots_txt=synth.ROBOTS_TXT if not args.corpus else "",
         checkpoint_dir=args.checkpoint,
         checkpoint_every=args.checkpoint_every,
+        checkpoint_keep_last=args.checkpoint_keep_last,
         salt_partitions=args.salt_partitions,
         bloom_bits=None if args.no_bloom else 1 << 22,
         bloom_storage_dir=args.bloom_storage_dir,
@@ -119,6 +129,14 @@ def cmd_report(args) -> int:
     if st is None:
         print(json.dumps({"error": "no complete checkpoint found"}))
         return 1
+    if args.prometheus:
+        from wikifrontier import metrics_export
+
+        text = metrics_export.prometheus_text(st.metrics)
+        if args.textfile:
+            metrics_export.write_textfile(st.metrics, args.textfile)
+        print(text, end="")
+        return 0
     print(json.dumps({
         "round": st.round,
         **{name: df.count() for name, df in st.tables().items()},

@@ -158,6 +158,13 @@ def minhash_lsh_pairs(
         ).cast("int")
         for p in range(MINHASH_PERMS)
     )
+    # score BEFORE the distinct: the per-pair estimate is a pure function
+    # of the two sigs, so duplicate band-collisions of a pair carry
+    # identical est values and the distinct still collapses them — but
+    # its shuffle rows shrink from 2×60-char packed sigs to one double,
+    # and the threshold filter drops below-threshold collisions before
+    # the exchange instead of after (the distinct's input cardinality
+    # becomes O(qualifying pairs), not O(all band collisions))
     return (
         banded.alias("a")
         .join(banded.alias("b"), "band_key")
@@ -168,13 +175,13 @@ def minhash_lsh_pairs(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .distinct()
         .select(
             "id_a",
             "id_b",
             F.round(agree / F.lit(float(MINHASH_PERMS)), 6).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
+        .distinct()
     )
 
 

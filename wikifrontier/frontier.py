@@ -84,6 +84,10 @@ class CrawlConfig:
     # K amortizes the per-round fixed cost; recovery replays at most K-1
     # rounds. The final round always checkpoints.
     checkpoint_every: int = 1
+    # keep the newest K committed round snapshots; older ones are pruned
+    # after each commit so an unbounded crawl's checkpoint dir stays
+    # O(K × state size), not O(rounds). 0 = never prune.
+    checkpoint_keep_last: int = 2
     # in-MEMORY event-log compaction every K rounds (None = off): fold the
     # accumulated page/content events into localCheckpointed base tables.
     # Matters for LONG crawls without a durable checkpoint_dir whose state
@@ -829,7 +833,9 @@ def run_round(
     ):
         from wikifrontier import state as state_io
 
-        new_state = state_io.write_checkpoint(spark, new_state, cfg.checkpoint_dir)
+        new_state = state_io.write_checkpoint(
+            spark, new_state, cfg.checkpoint_dir, keep_last=cfg.checkpoint_keep_last
+        )
     elif (
         cfg.compact_every is not None
         and (rnd + 1) % max(cfg.compact_every, 1) == 0
@@ -955,7 +961,10 @@ def run_crawl(
             # checkpoint_every — a resumed job must never replay
             # completed work past the end
             if state_io.latest_round(cfg.checkpoint_dir) != state.round:
-                state = state_io.write_checkpoint(spark, state, cfg.checkpoint_dir)
+                state = state_io.write_checkpoint(
+                    spark, state, cfg.checkpoint_dir,
+                    keep_last=cfg.checkpoint_keep_last,
+                )
     finally:
         if corpus_bucketed is not None:
             # round outputs are localCheckpoint'd leaves — nothing in the

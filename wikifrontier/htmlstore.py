@@ -23,33 +23,35 @@ from __future__ import annotations
 
 import gzip
 import hashlib
-import os
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wikifrontier import fsio
+
 
 def write_gzip_store(pages: DataFrame, storage_dir: str) -> DataFrame:
     """S3: write each (url, html) row as ``{sha256(url)}.html.gz`` under
-    ``storage_dir``; returns (url, filepath) rows. Executor-side writes,
-    tmp+rename per file (atomic against concurrent re-reads), gzip
-    mtime pinned to 0 so output bytes are deterministic."""
+    ``storage_dir``; returns (url, filepath) rows. Executor-side writes
+    through the ``fsio`` shim (tmp+rename on POSIX so concurrent
+    re-reads never see a torn file; direct single-object PUT on
+    rename-less object stores — the name is a pure function of the url,
+    so retries/speculation overwrite with identical bytes), gzip mtime
+    pinned to 0 so output bytes are deterministic."""
     import pandas as pd
 
-    os.makedirs(storage_dir, exist_ok=True)
+    fsio.get_io(storage_dir).makedirs(storage_dir)
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        io_ = fsio.get_io(storage_dir)
         for pdf in batches:
             out = {"url": [], "filepath": []}
             for url, html in zip(pdf["url"], pdf["html"]):
                 name = hashlib.sha256(str(url).encode()).hexdigest()
-                path = os.path.join(storage_dir, f"{name}.html.gz")
+                path = io_.join(storage_dir, f"{name}.html.gz")
                 raw = bytes(html) if html is not None else b""
-                tmp = f"{path}.{os.getpid()}.tmp"
-                with open(tmp, "wb") as f:
-                    f.write(gzip.compress(raw, mtime=0))
-                os.replace(tmp, path)
+                io_.write_bytes(path, gzip.compress(raw, mtime=0))
                 out["url"].append(url)
                 out["filepath"].append(path)
             yield pd.DataFrame(out)
@@ -70,7 +72,10 @@ def read_gzip_store(spark: SparkSession, storage_dir: str) -> DataFrame:
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.html.gz")
-        .load(storage_dir)
+        # strip_scheme: the test-only writeonce+file:// fake-object-store
+        # scheme is ours, not Hadoop's — Spark reads the underlying dir.
+        # Real object-store URIs (s3a://...) pass through to Hadoop.
+        .load(fsio.strip_scheme(storage_dir))
         .select("path", "content")
     )
 

