@@ -1,0 +1,55 @@
+"""spark-submit entrypoint e2e: crawl → checkpoint → report (JSON and
+Prometheus). Runs in-process — ``get_spark`` getOrCreate's the suite's
+session, so this exercises argument plumbing + output contracts, not JVM
+spin-up."""
+
+from __future__ import annotations
+
+import json
+
+from wikifrontier import cli
+
+
+def test_crawl_report_roundtrip(spark, tmp_path, capsys):
+    ckpt = str(tmp_path / "cli_ckpt")
+    rc = cli.main([
+        "crawl", "--pages", "300", "--rounds", "4", "--budget", "60",
+        "--checkpoint", ckpt, "--checkpoint-keep-last", "2",
+    ])
+    assert rc == 0
+    crawl_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert crawl_out["pages"] > 0
+    assert crawl_out["rounds"] == 4
+
+    rc = cli.main(["report", "--checkpoint", ckpt])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["round"] == 4
+    assert report["pages"] == crawl_out["pages"]
+    assert report["pending"] == crawl_out["pending"]
+
+    prom_file = tmp_path / "wikifrontier.prom"
+    rc = cli.main([
+        "report", "--checkpoint", ckpt, "--prometheus",
+        "--textfile", str(prom_file),
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "# TYPE crawl_pages_total counter" in text
+    assert 'crawl_pages_total{status="SUCCESS"}' in text
+    # the counter agrees with the state table the JSON report exposed
+    success = int(
+        next(
+            line.rsplit(" ", 1)[1]
+            for line in text.splitlines()
+            if line.startswith('crawl_pages_total{status="SUCCESS"}')
+        )
+    )
+    assert success > 0
+    assert prom_file.read_text() == text
+
+
+def test_report_missing_checkpoint(spark, tmp_path, capsys):
+    rc = cli.main(["report", "--checkpoint", str(tmp_path / "nope")])
+    assert rc == 1
+    assert "error" in json.loads(capsys.readouterr().out.strip())
