@@ -63,6 +63,19 @@ class TestFsioPrimitives:
         assert fsio.strip_scheme("file:///a/b") == "/a/b"
         assert fsio.strip_scheme("s3://bucket/k") == "s3://bucket/k"
 
+    def test_hadoop_s3_scheme_aliases_normalize(self):
+        # Spark hands out s3a:// paths; pyarrow only speaks s3:// —
+        # the shim must treat them as the same store
+        assert fsio.ArrowIO._normalize("s3a://b/k") == "s3://b/k"
+        assert fsio.ArrowIO._normalize("s3n://b/k") == "s3://b/k"
+        assert fsio.ArrowIO._normalize("gs://b/k") == "gs://b/k"
+
+    def test_io_cached_per_store_not_per_path(self, tmp_path):
+        a = fsio.get_io(str(tmp_path / "x" / "1.npy"))
+        b = fsio.get_io(str(tmp_path / "y" / "2.npy"))
+        assert a is b  # one LocalIO for every local path
+        assert fsio.get_io(wo("/p/q")) is fsio.get_io(wo("/r/s"))
+
 
 @pytest.fixture(scope="module")
 def urls(spark):

@@ -124,9 +124,21 @@ class ArrowIO:
     same interface. Paths keep their full URI form at the call sites;
     the scheme is stripped once here (`from_uri` returns fs + root)."""
 
+    @staticmethod
+    def _normalize(uri: str) -> str:
+        # Spark/Hadoop spells S3 as s3a:// (legacy s3n://); pyarrow's
+        # S3FileSystem only accepts s3://. Same store, different scheme
+        # label — normalize so one checkpoint/bloom dir string works for
+        # both the Spark writer and the side-file shim.
+        for alias in ("s3a://", "s3n://"):
+            if uri.startswith(alias):
+                return "s3://" + uri[len(alias):]
+        return uri
+
     def __init__(self, uri: str):
         import pyarrow.fs as pafs
 
+        uri = self._normalize(uri)
         self._fs, root = pafs.FileSystem.from_uri(uri)
         # from_uri resolves the *whole* uri; we only want the fs and the
         # scheme prefix so later calls can translate any sibling path
@@ -134,6 +146,7 @@ class ArrowIO:
         self.atomic_rename = isinstance(self._fs, pafs.LocalFileSystem)
 
     def _rel(self, path: str) -> str:
+        path = self._normalize(path)
         return path[len(self._prefix):] if path.startswith(self._prefix) else path
 
     def read_bytes(self, path: str) -> bytes:
@@ -218,12 +231,15 @@ def _cached_io(key: str):
 def get_io(path: str):
     """Resolve the IO backend for ``path`` from its scheme alone —
     deterministic from the string, so executor workers that only see
-    the captured directory string resolve identically to the driver."""
+    the captured directory string resolve identically to the driver.
+    Remote backends are cached per (scheme, authority), not per path —
+    one client per store, however many files pass through it."""
     if path.startswith(_WRITEONCE_PREFIX):
         return _cached_io("writeonce")
     if "://" not in path or path.startswith("file://"):
         return _cached_io("local")
-    return _cached_io(path)
+    scheme, rest = path.split("://", 1)
+    return _cached_io(f"{scheme}://{rest.split('/', 1)[0]}")
 
 
 def strip_scheme(path: str) -> str:
