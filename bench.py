@@ -244,6 +244,11 @@ def run_bench(crawl_only: bool = False) -> dict:
 # a 10^10-URL frontier actually operates in)
 SCALING_PAGES = int(os.environ.get("SPARK_GRAFT_SCALING_PAGES", "2000000"))
 SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
+# corpus layout width for the mega-round: partitions of the generated
+# corpus AND bucket count of the pre-bucketed fetch layout. 64 = 2 waves
+# on 32 slots; raise it (128/256) to shrink straggler tails in the
+# parse stage — per-partition html volume drops proportionally
+SCALING_BUCKETS = int(os.environ.get("SPARK_GRAFT_SCALING_BUCKETS", "64"))
 
 
 def cpu_ceiling(n_workers: int) -> float:
@@ -289,7 +294,7 @@ def run_mega_round() -> dict:
         else None,
     )
     n = SCALING_PAGES
-    corpus = synth.corpus_df(spark, n, partitions=64).cache()
+    corpus = synth.corpus_df(spark, n, partitions=SCALING_BUCKETS).cache()
     corpus.count()  # materialize generation outside the timed window
 
     # SPARK_GRAFT_FETCH_STRATEGY=bucketed measures the no-broadcast scale
@@ -304,11 +309,11 @@ def run_mega_round() -> dict:
     if strategy == "bucketed":
         from wikifrontier.frontier import bucket_corpus
 
-        corpus_bucketed = bucket_corpus(corpus, 64).persist()
+        corpus_bucketed = bucket_corpus(corpus, SCALING_BUCKETS).persist()
         corpus_bucketed.count()
 
     state = init_state(spark, [synth.page_url(0)])
-    state.pending = corpus.select(
+    state.pending = corpus.select(  # built BEFORE the plain cache is dropped
         "url",
         F.lit(0).alias("depth"),
         F.lit(0).alias("scheduled_round"),
@@ -321,6 +326,12 @@ def run_mega_round() -> dict:
     # the real round carries the partitioned seen-filter build + probe —
     # measure it (distributed work, part of the scaling story)
     state.bloom = _new_bloom(cfg)
+    if corpus_bucketed is not None:
+        # the round only scans the bucketed layout — holding the plain
+        # corpus cache too would double storage-memory pressure and evict
+        # the copy the round actually reads (the 100 TB analogue stores
+        # ONE bucketed table, not two layouts)
+        corpus.unpersist()
     before = shuffle_attribution(spark)  # untimed setup (corpus gen/bucket)
     t0 = time.time()
     state, _ = run_round(spark, state, corpus, cfg, corpus_bucketed)
@@ -341,6 +352,7 @@ def run_mega_round() -> dict:
         "pages_crawled": crawled,
         "pages_per_sec": round(crawled / elapsed, 2),
         "cpus": cpus,
+        "buckets": SCALING_BUCKETS,
     }
     if attrib is not None:
         out["shuffle"] = attrib
@@ -391,6 +403,14 @@ def run_scaling(cluster: bool = False) -> dict:
                 # shuffle-byte attribution per leg
                 SPARK_GRAFT_UI="true",
             )
+            if cluster:
+                # each colocated executor JVM must size its GC/JIT pools
+                # to its 8 task slots, not the 32-core machine — without
+                # this, 4 executors spawn 4×32 GC threads (see session.py)
+                env.setdefault(
+                    "SPARK_GRAFT_EXECUTOR_JAVA_OPTS",
+                    "-XX:ActiveProcessorCount=8",
+                )
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--mega-round"],
                 capture_output=True,

@@ -70,6 +70,16 @@ def get_spark(
         # bench's shuffle local/remote attribution)
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
+    # Multi-executor-per-node topology fix: an executor JVM sizes its GC /
+    # JIT / ForkJoin thread pools to the MACHINE's core count, not its task
+    # slots, so E colocated executors spawn E×ncores GC threads and
+    # oversubscribe the box during any collection. Standard operator fix is
+    # -XX:ActiveProcessorCount=<cores-per-executor> via extraJavaOptions —
+    # plumbed here so the scaling bench (and any colocated deployment) can
+    # set it per run.
+    exec_opts = os.environ.get("SPARK_GRAFT_EXECUTOR_JAVA_OPTS")
+    if exec_opts:
+        builder = builder.config("spark.executor.extraJavaOptions", exec_opts)
     spark = builder.getOrCreate()
     _ship_package(spark)
     return spark
