@@ -251,17 +251,25 @@ SCALING_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
 SCALING_BUCKETS = int(os.environ.get("SPARK_GRAFT_SCALING_BUCKETS", "64"))
 
 
-def cpu_ceiling(n_workers: int) -> float:
+def cpu_ceiling(n_workers: int, repeats: int = 3) -> float:
     """Aggregate throughput (fixed sha256 tasks/s) of n perfectly-parallel
     OS processes — measures what this box's vCPUs actually deliver at a
     given concurrency (clock scaling + hypervisor contention), independent
     of Spark. The 8→32 ratio of this number is the hardware ceiling any
-    job's scaling efficiency is bounded by."""
-    import multiprocessing as mp
+    job's scaling efficiency is bounded by.
 
-    with mp.Pool(n_workers) as pool:
-        times = pool.map(_cpu_probe_task, range(n_workers))
-    return n_workers / (sum(times) / len(times))
+    Median of ``repeats`` probes: single probes drifted 0.654–0.895 across
+    one session (hypervisor noise), which made the hardware-normalized
+    efficiency swing far more than the raw measurement it normalizes."""
+    import multiprocessing as mp
+    import statistics
+
+    samples = []
+    for _ in range(repeats):
+        with mp.Pool(n_workers) as pool:
+            times = pool.map(_cpu_probe_task, range(n_workers))
+        samples.append(n_workers / (sum(times) / len(times)))
+    return statistics.median(samples)
 
 
 def _cpu_probe_task(_) -> float:
