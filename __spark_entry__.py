@@ -30,7 +30,8 @@ from wikifrontier.corpus import (
     retry_recrawl_oracle_sql,
 )
 from wikifrontier.dedup import (
-    LSH_BANDS, MINHASH_PERMS, MINHASH_SLICE, SIMHASH_BANDS, SIMHASH_BITS,
+    CONTAINMENT_MAX_DF, LSH_BANDS, MINHASH_PERMS, MINHASH_SLICE,
+    SIMHASH_BANDS, SIMHASH_BITS,
 )
 from wikifrontier.frontier import ERROR_TYPES
 from wikifrontier.textops import BPE_RE, LANG_PROFILES, STOPWORDS, TOKEN_RE
@@ -670,6 +671,89 @@ sh AS (SELECT doc_id, unnest({SHINGLE3}) AS s FROM tok),
 h AS (SELECT doc_id, sha256(s) AS hh FROM sh)
 SELECT DISTINCT doc_id, substr(hh, 1, 16) AS fingerprint
 FROM h WHERE starts_with(hh, '0')
+""",
+        # q47: same candidate pipeline as q15 (sig → bands → scored pairs
+        # at est ≥ 0.5), then min-label transitive closure — the recursive
+        # CTE is the declarative ground truth for the engine's iterative
+        # hash-min propagation (both converge to min member id per
+        # component, exactly).
+        "q47_dedup_clusters": f"""
+WITH RECURSIVE {NEARDUP}, {_minhash_sig_sql('docs')},
+banded AS (
+  SELECT doc_id AS id, unnest([
+      {bands}]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+  WHERE round(({agree}) / 12.0, 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM scored
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM scored
+),
+walk(id, lab) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+)
+SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id
+""",
+        "q48_repetition": f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS t FROM documents),
+feats AS (
+  SELECT doc_id,
+    round(CASE WHEN len(t) > 0
+      THEN (CAST(len(t) AS DOUBLE) - CAST(len(list_distinct(t)) AS DOUBLE))
+           / CAST(len(t) AS DOUBLE) ELSE 0.0 END, 6) AS dup_word_frac,
+    round(CASE WHEN len(g3) > 0
+      THEN (CAST(len(g3) AS DOUBLE) - CAST(len(list_distinct(g3)) AS DOUBLE))
+           / CAST(len(g3) AS DOUBLE) ELSE 0.0 END, 6) AS dup_3gram_frac
+  FROM (SELECT doc_id, t, {SHINGLE3} AS g3 FROM tok)
+),
+g2 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(generate_series(1, CAST(len(t)-1 AS INT)),
+                     i -> t[i] || ' ' || t[i+1])
+    ELSE [] END) AS g
+  FROM tok
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+top2 AS (
+  SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS t2
+  FROM cnt GROUP BY doc_id
+)
+SELECT f.doc_id, dup_word_frac, dup_3gram_frac,
+       round(coalesce(t2, 0.0), 6) AS top_2gram_frac
+FROM feats f LEFT JOIN top2 USING (doc_id)
+""",
+        "q49_containment": f"""
+WITH {NEARDUP},
+tok AS (SELECT doc_id, {TOKS} AS t FROM docs),
+sh AS (SELECT doc_id, unnest({SHINGLE3}) AS s FROM tok),
+h AS (SELECT doc_id, sha256(s) AS hh FROM sh),
+fp AS (SELECT DISTINCT doc_id, substr(hh, 1, 16) AS fp
+       FROM h WHERE starts_with(hh, '0')),
+keepfp AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {CONTAINMENT_MAX_DF}),
+kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN keepfp USING (fp)),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM kept a JOIN kept b USING (fp)
+  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       round(CAST(n_common AS DOUBLE) / CAST(n_fp AS DOUBLE), 6) AS containment
+FROM m JOIN sizes s ON s.doc_id = m.id_a
+WHERE round(CAST(n_common AS DOUBLE) / CAST(n_fp AS DOUBLE), 6) >= 0.6
 """,
         "q25_multimodal_meta": """
 SELECT doc_id AS media_id,

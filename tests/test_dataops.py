@@ -88,6 +88,82 @@ def test_ngram_jaccard(docs):
     assert (0, 3) not in pairs
 
 
+def test_dedup_clusters(spark, docs):
+    # pairs: {0,1,2} chained via (0,1),(1,2); {4,5} direct; 3 singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dedup_clusters(docs, pairs).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+
+
+def test_dedup_clusters_chain_converges(spark):
+    # a pure path graph 0-1-2-...-9 needs multiple hash-min rounds
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    out = dedup.dedup_clusters(nodes, pairs).collect()
+    assert all(r["cluster_id"] == 0 for r in out) and len(out) == 10
+
+
+def test_repetition_features(spark):
+    rows = [
+        (0, "a b c a b c a b c"),   # heavy 3x repetition
+        (1, "one two three four"),  # no repetition
+        (2, ""),                    # empty → all zeros
+        (3, "x y"),                 # below 3-gram width
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = textops.repetition_features(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in feats.items()]
+        ).collect()
+    }
+    # doc 0: 9 tokens, 3 distinct → 6/9; 7 3-grams, 3 distinct → 4/7
+    assert out[0]["dup_word_frac"] == round(6 / 9, 6)
+    assert out[0]["dup_3gram_frac"] == round(4 / 7, 6)
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[2]["dup_word_frac"] == 0.0 and out[2]["dup_3gram_frac"] == 0.0
+    assert out[3]["dup_3gram_frac"] == 0.0
+
+
+def test_fingerprint_containment(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+        "one two three four five six seven eight nine ten eleven twelve"
+    )
+    toks = base.split()
+    rows = [
+        (0, base),
+        (1, " ".join(toks[:-4])),  # truncated copy → contained in 0
+        (2, "unrelated words entirely different content matter here today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.fingerprint_containment(df, threshold=0.5).collect()
+    }
+    assert (1, 0) in out and out[(1, 0)] == 1.0  # fp(1) ⊆ fp(0)
+    assert all(a != 2 and b != 2 for a, b in out)
+
+
+def test_fingerprint_containment_max_df_cap(spark):
+    # a fingerprint shared by every doc is a stop fingerprint: with the
+    # cap below the corpus size it contributes nothing
+    shared = "common shingle words repeated across docs "
+    rows = [(i, shared + f"unique tail {i} {i} {i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.fingerprint_containment(df, threshold=0.9, max_df=1).collect()
+    assert capped == []  # every fp shared by ≥2 docs → all dropped
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [

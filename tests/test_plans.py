@@ -50,6 +50,25 @@ def test_lsh_pairs_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_containment_no_cartesian(spark):
+    docs = queries.neardup_docs(queries.load(spark, SF_DIR, "documents"))
+    plan = plan_of(dedup.fingerprint_containment(docs, threshold=0.6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_round_is_keyed_join(spark):
+    """One hash-min round must be an equi-join + keyed aggregate, never a
+    nested-loop join — the property that keeps CC linear per round."""
+    nodes = spark.range(100).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(99).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    plan = plan_of(dedup.dedup_clusters(nodes, pairs, max_iter=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_fetch_join_shape(spark):
     """No broadcast, no sort, and no exchange on the corpus side: the
     html payload stays exactly where the bucketed layout put it."""

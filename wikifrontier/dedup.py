@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from wikifrontier.textops import SHINGLE_K, shingles, tokens
+from wikifrontier.textops import SHINGLE_K, fingerprints, shingles, tokens
 
 MINHASH_PERMS = 12
 LSH_BANDS = 4  # 3 rows per band
@@ -353,6 +353,124 @@ def jaccard_lsh_verified(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- duplicate clustering ----------------------------------------------------
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (id, cluster_id), where
+    cluster_id is the minimum member id (the canonical survivor a dedup
+    pass keeps). Every node appears; singletons cluster to themselves.
+
+    Algorithm: iterative hash-min label propagation — each round a node's
+    label becomes min(own, neighbors') via an equi-join on the edge list,
+    until a round changes nothing. Near-dup components are band-collision
+    cliques plus short chains, so the diameter (= round count) is tiny in
+    practice; `max_iter` bounds pathological chains. Each round is one
+    shuffle join + one groupBy keyed on node id; `localCheckpoint` cuts
+    the lineage so the plan does not grow with iterations, and the
+    convergence probe rides the same job that materializes the round's
+    labels (one action per round). At 10^10 edges the same loop holds —
+    the alternating large-star/small-star variant halves the round count
+    but shares this exact join shape; hash-min is the form whose result
+    (min id per component) the oracle's recursive CTE reproduces exactly.
+
+    The reference has no content-dedup analogue (its Redis seen-set,
+    shared/redis/cache_service.py, dedups URLs only); this is the
+    canonical-document selection step an LLM corpus pipeline runs after
+    pair generation (exact/MinHash/SimHash above).
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+        )
+    ).localCheckpoint(eager=False)
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("lab"), F.col("nlab")).alias("lab"),
+                (F.col("nlab") < F.col("lab")).alias("changed"),
+            )
+            # lazy: the convergence count below is the first action over the
+            # round's labels, so block persistence rides that same job —
+            # one action per round, lineage truncated.
+            .localCheckpoint(eager=False)
+        )
+        n_changed = updated.filter(F.col("changed")).count()
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
+
+
+# --- fingerprint containment -------------------------------------------------
+CONTAINMENT_MAX_DF = 64  # drop "stop fingerprints" shared by more docs
+
+
+def fingerprint_containment(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_df: int = CONTAINMENT_MAX_DF,
+) -> DataFrame:
+    """Directed near-containment pairs (MOSS-style): doc a is (nearly)
+    contained in doc b when |fp(a) ∩ fp(b)| / |fp(a)| ≥ ``threshold``,
+    over winnowing fingerprints (textops.fingerprints). Catches quotes,
+    mirrored fragments, and truncated copies that symmetric Jaccard
+    under-scores.
+
+    Shape: inverted-index equi-join on the 16-hex fingerprint — never an
+    all-pairs product. ``max_df`` removes "stop fingerprints" before the
+    join (a fingerprint shared by >max_df docs contributes O(df²) pair
+    rows and no containment signal — the standard posting-list cap from
+    the winnowing/plagiarism literature), which bounds the join fanout at
+    corpus scale. Denominators count the *kept* fingerprints, so the cap
+    is part of the operator contract (oracle applies it identically).
+    """
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(fingerprints(F.col(text))).alias("fp"),
+    )
+    kept = fps.join(
+        fps.groupBy("fp").count().filter(F.col("count") <= max_df).select("fp"),
+        "fp",
+        "left_semi",
+    ).localCheckpoint(eager=False)
+    sizes = kept.groupBy("id").agg(F.count("*").alias("n_fp"))
+    matches = (
+        kept.select(F.col("id").alias("id_a"), "fp")
+        .join(kept.select(F.col("id").alias("id_b"), "fp"), "fp")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        matches.join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_fp").cast("double"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )
 
 

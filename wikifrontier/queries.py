@@ -629,6 +629,55 @@ def q24_fingerprints(spark, sf_dir):
     )
 
 
+def q47_dedup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH near-dup pairs (q15
+    semantics, est. Jaccard ≥ 0.5) → one (doc_id, cluster_id) row per
+    document in documents ∪ derived near-dups, cluster_id = min member id
+    (the canonical survivor). Iterative hash-min label propagation, one
+    keyed shuffle join per round; oracle: recursive-CTE min-label
+    closure over the same edge set."""
+    docs = neardup_docs(load(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return dedup.dedup_clusters(docs, pairs)
+
+
+def q48_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition metrics: duplicate-token and
+    duplicate-3-gram fractions (pure array expressions) plus the
+    top-2-gram occupancy fraction (explode → per-gram count → per-doc
+    max/sum, map-side combine on doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    feats = textops.repetition_features(F.col("text"))
+    base = docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+    g2 = docs.select(
+        "doc_id",
+        F.explode(textops.shingles(textops.tokens(F.col("text")), 2)).alias("g"),
+    )
+    top2 = (
+        g2.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias("t2")
+        )
+    )
+    return base.join(top2, "doc_id", "left").select(
+        "doc_id",
+        "dup_word_frac",
+        "dup_3gram_frac",
+        F.round(F.coalesce(F.col("t2"), F.lit(0.0)), 6).alias("top_2gram_frac"),
+    )
+
+
+def q49_containment(spark, sf_dir):
+    """Directed fingerprint-containment pairs (MOSS-style inverted-index
+    join, stop-fingerprint df cap) over documents ∪ derived near-dups —
+    the truncated near-dup copies are the planted true positives (their
+    fingerprint sets are subsets of the originals')."""
+    docs = neardup_docs(load(spark, sf_dir, "documents"))
+    return dedup.fingerprint_containment(docs, threshold=0.6)
+
+
 def q25_multimodal_meta(spark, sf_dir):
     """Multimodal metadata over opaque binary payloads (no decode)."""
     docs = load(spark, sf_dir, "documents")

@@ -130,6 +130,39 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style intra-document repetition signals (word level; the
+    synthetic corpus has no line structure, so the line-based variants are
+    re-expressed over the token stream):
+
+    * ``dup_word_frac``  — fraction of token occurrences beyond the first
+      occurrence of each distinct token.
+    * ``dup_3gram_frac`` — same over 3-word shingles: repeated phrasing.
+
+    Both are pure array expressions (size vs array_distinct size) —
+    codegen'd, no explode, no shuffle; the companion per-gram top-2-gram
+    fraction needs per-gram counts and lives in the query layer as an
+    explode → two-level aggregate (map-side combine keyed on doc id).
+    Division/rounding order matches the oracle SQL exactly.
+    """
+    toks = tokens(text)
+    n = F.size(toks).cast("double")
+    dup_word = F.when(
+        F.size(toks) > 0,
+        (n - F.size(F.array_distinct(toks)).cast("double")) / n,
+    ).otherwise(F.lit(0.0))
+    g3 = shingles(toks, 3)
+    n3 = F.size(g3).cast("double")
+    dup_g3 = F.when(
+        F.size(g3) > 0,
+        (n3 - F.size(F.array_distinct(g3)).cast("double")) / n3,
+    ).otherwise(F.lit(0.0))
+    return {
+        "dup_word_frac": F.round(dup_word, 6),
+        "dup_3gram_frac": F.round(dup_g3, 6),
+    }
+
+
 def bpe_token_count(text: Column) -> Column:
     """Sub-token count under the BPE-ish pre-tokenization regex."""
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_RE), F.lit(0)))
