@@ -755,6 +755,64 @@ SELECT id_a, id_b, n_common,
 FROM m JOIN sizes s ON s.doc_id = m.id_a
 WHERE round(CAST(n_common AS DOUBLE) / CAST(n_fp AS DOUBLE), 6) >= 0.6
 """,
+        # q50: the full curation composition — quality + lang gates run
+        # BEFORE pair generation (so they change the signature inputs),
+        # then the q47 closure picks min-id survivors. Verifies stage
+        # ORDER, not just each stage.
+        "q50_curation_pipeline": f"""
+WITH RECURSIVE {NEARDUP},
+feat AS (
+  SELECT doc_id, text, toks,
+    len(toks) AS n,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tok_chars,
+    CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE) AS stops,
+    {lang_scores}
+  FROM (SELECT doc_id, text, {TOKS} AS toks FROM docs)
+),
+scored_docs AS (
+  SELECT doc_id, text,
+    round(least(n / 100.0, 1.0) * 0.4
+          + (CASE WHEN n > 0 THEN stops / n ELSE 0.0 END) * 0.3
+          + least((CASE WHEN n > 0 THEN tok_chars / n ELSE 0.0 END) / 8.0, 1.0)
+            * 0.3, 6) AS quality_score,
+    {lang_case} AS pred_lang,
+    CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS INT) AS n_bpe_tokens
+  FROM feat
+),
+kept AS (
+  SELECT doc_id, text, quality_score, n_bpe_tokens FROM scored_docs
+  WHERE quality_score >= 0.35 AND pred_lang = 'en'
+),
+{_minhash_sig_sql('kept')},
+banded AS (
+  SELECT doc_id AS id, unnest([
+      {bands}]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.id < b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+  WHERE round(({agree}) / 12.0, 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, lab) AS (
+  SELECT doc_id, doc_id FROM kept
+  UNION
+  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+),
+labels AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id)
+SELECT k.doc_id, k.quality_score, k.n_bpe_tokens
+FROM kept k JOIN labels l ON l.doc_id = k.doc_id AND l.cluster_id = k.doc_id
+""",
         "q25_multimodal_meta": """
 SELECT doc_id AS media_id,
   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

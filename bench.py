@@ -190,6 +190,30 @@ def bench_crawl_checkpointed(spark, n_pages: int, every: int = 4) -> dict:
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    # JIT warmup: the first explode→hash→aggregate plan in a fresh JVM
+    # pays ~10 s of one-time interpreter/C2 warmup (measured: an
+    # identical second run drops 13 s → 1.8 s). Run one small job with
+    # the same shape so the warmup is not billed to whichever query
+    # happens to sort first (q14 in the alphabetical sweep).
+    from pyspark.sql import functions as F
+    from wikifrontier.textops import shingles, tokens
+
+    warm = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(500)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    shingles(tokens(F.col("text"))), lambda s: F.sha2(s, 256)
+                )
+            ).alias("h"),
+        )
+        .groupBy("doc_id")
+        .agg(F.min("h"))
+    )
+    warm.write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
         t0 = time.time()

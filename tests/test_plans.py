@@ -69,6 +69,14 @@ def test_cluster_round_is_keyed_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_curation_pipeline_shape(spark):
+    """The composed curation plan (q50) must stay free of nested-loop
+    joins end-to-end — gates, LSH pair gen, clustering, survivor join."""
+    plan = plan_of(queries.q50_curation_pipeline(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucketed_fetch_join_shape(spark):
     """No broadcast, no sort, and no exchange on the corpus side: the
     html payload stays exactly where the bucketed layout put it."""

@@ -30,6 +30,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Rebalance a narrow scan to core-parallelism before CPU-amplifying
+    work (shingle explode → sha256, vector folds): a small-file parquet
+    scan yields fewer split partitions than cores, and every downstream
+    narrow op inherits that — measured 2 tasks on 32 cores for the whole
+    minhash stage at sf0.1 (one 580 KB file). The shuffle moves only the
+    pre-explosion rows (KBs), the hash work it unlocks is ~100× that.
+    No-op when the scan is already at least core-parallel — the 100 TB
+    case, where file count supplies the parallelism and an unconditional
+    repartition would instead COALESCE thousands of scan partitions."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
 # --- derived URL corpora (shared with oracle SQL) ---------------------------
 def candidate_urls(docs: DataFrame) -> DataFrame:
     """Deterministic raw candidate links from doc_id arithmetic: a mix of
@@ -68,6 +84,7 @@ def event_frontier(events: DataFrame) -> DataFrame:
 def neardup_docs(docs: DataFrame) -> DataFrame:
     """documents ∪ derived near-duplicates (last 3 tokens dropped, id
     offset) — gives the similarity operators true positives to find."""
+    docs = spread(docs)
     toks = textops.tokens(F.col("text"))
     trunc = F.concat_ws(" ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1))))
     dups = docs.select(
@@ -558,7 +575,7 @@ def q15_dedup_minhash_lsh(spark, sf_dir):
 
 def q16_dedup_simhash(spark, sf_dir):
     """SimHash sketch (SIMHASH_BITS wide) per document."""
-    return dedup.simhash(load(spark, sf_dir, "documents"))
+    return dedup.simhash(spread(load(spark, sf_dir, "documents")))
 
 
 def q17_dedup_ngram_jaccard(spark, sf_dir):
@@ -578,19 +595,19 @@ def q34_simhash_pairs(spark, sf_dir):
 
 def q18_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs within label blocks."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     return dedup.embedding_dup_pairs(emb, threshold=0.35)
 
 
 def q19_ann_bruteforce(spark, sf_dir):
     """Brute-force cosine top-10 for query vectors vec_id < 5."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
 def q20_ann_bucketed(spark, sf_dir):
     """Sign-LSH bucketed ANN top-10 (same queries; bucket-local probe)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     return sim.bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
@@ -623,7 +640,7 @@ def q23_token_counts(spark, sf_dir):
 
 def q24_fingerprints(spark, sf_dir):
     """Winnowing-style document fingerprints, exploded to rows."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", F.explode(textops.fingerprints(F.col("text"))).alias("fingerprint")
     )
@@ -646,7 +663,7 @@ def q48_repetition(spark, sf_dir):
     duplicate-3-gram fractions (pure array expressions) plus the
     top-2-gram occupancy fraction (explode → per-gram count → per-doc
     max/sum, map-side combine on doc_id)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     feats = textops.repetition_features(F.col("text"))
     base = docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
     g2 = docs.select(
@@ -676,6 +693,39 @@ def q49_containment(spark, sf_dir):
     fingerprint sets are subsets of the originals')."""
     docs = neardup_docs(load(spark, sf_dir, "documents"))
     return dedup.fingerprint_containment(docs, threshold=0.6)
+
+
+def q50_curation_pipeline(spark, sf_dir):
+    """End-to-end training-corpus curation, the composition an LLM-data
+    pipeline runs nightly, as ONE declarative plan: quality gate
+    (composite score ≥ 0.35) → language gate (predicted lang = en) →
+    MinHash-LSH near-dup pair generation → hash-min duplicate clustering
+    → canonical-survivor selection (doc_id = cluster min). Returns the
+    surviving corpus with its quality score and BPE token count — i.e.
+    "what would we actually train on, and how many tokens is it".
+
+    Every stage is an already-oracle-verified operator (q22, q21, q15,
+    q47); this row verifies their composition end-to-end — filters
+    applied BEFORE pair generation change the signature inputs, so a
+    wrong evaluation order shows up as a value mismatch, not just a
+    row-count drift."""
+    docs = neardup_docs(load(spark, sf_dir, "documents"))
+    qf = textops.quality_features(F.col("text"))
+    kept = docs.select(
+        "doc_id",
+        "text",
+        qf["quality_score"].alias("quality_score"),
+        textops.predicted_lang(textops.tokens(F.col("text"))).alias("pred_lang"),
+        textops.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).filter((F.col("quality_score") >= 0.35) & (F.col("pred_lang") == "en"))
+    pairs = dedup.minhash_lsh_pairs(kept, threshold=0.5).select("id_a", "id_b")
+    clusters = dedup.dedup_clusters(kept.select("doc_id"), pairs)
+    survivors = clusters.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return kept.join(survivors, "doc_id").select(
+        "doc_id", "quality_score", "n_bpe_tokens"
+    )
 
 
 def q25_multimodal_meta(spark, sf_dir):
@@ -709,7 +759,7 @@ def q28_ann_ivf(spark, sf_dir):
     """IVF ANN top-10 with a LEARNED codebook: 2 deterministic k-means
     iterations (seeded from the 8 lowest-id vectors, exact quantized
     means) — queries probe only their own inverted list."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     cents = sim.kmeans_centroids(emb, k=8, iters=2)
     return sim.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), cents, k=10)
 
