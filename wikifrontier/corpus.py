@@ -170,7 +170,12 @@ def render_html_adversarial(doc_id: int, text: str, lang: str, n: int) -> str:
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread: the render mapInPandas below amplifies each row ~100×
+    # (HTML string build); without it the whole corpus renders in the
+    # scan's 1-2 split tasks (session.spread docstring).
+    from wikifrontier.session import spread
+
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def documents_corpus(

@@ -22,28 +22,13 @@ from wikifrontier import corpus as corpus_mod
 from wikifrontier import dedup, filters, frontier, multimodal, politeness, seen
 from wikifrontier import similarity as sim
 from wikifrontier import textops
+from wikifrontier.session import spread
 
 NEARDUP_OFFSET = 1_000_000  # id offset for derived near-duplicate docs
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-def spread(df: DataFrame) -> DataFrame:
-    """Rebalance a narrow scan to core-parallelism before CPU-amplifying
-    work (shingle explode → sha256, vector folds): a small-file parquet
-    scan yields fewer split partitions than cores, and every downstream
-    narrow op inherits that — measured 2 tasks on 32 cores for the whole
-    minhash stage at sf0.1 (one 580 KB file). The shuffle moves only the
-    pre-explosion rows (KBs), the hash work it unlocks is ~100× that.
-    No-op when the scan is already at least core-parallel — the 100 TB
-    case, where file count supplies the parallelism and an unconditional
-    repartition would instead COALESCE thousands of scan partitions."""
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < p:
-        return df.repartition(p)
-    return df
 
 
 # --- derived URL corpora (shared with oracle SQL) ---------------------------

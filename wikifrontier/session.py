@@ -83,3 +83,20 @@ def get_spark(
     spark = builder.getOrCreate()
     _ship_package(spark)
     return spark
+
+
+def spread(df):
+    """Rebalance a narrow scan to core-parallelism before CPU-amplifying
+    work (shingle explode → sha256, vector folds, HTML render UDFs): a
+    small-file parquet scan yields fewer split partitions than cores,
+    and every downstream narrow op inherits that — measured 2 tasks on
+    32 cores for the whole minhash stage at sf0.1 (one 580 KB file). The
+    shuffle moves only the pre-amplification rows (KBs); the work it
+    unlocks is ~100× that. No-op when the scan is already at least
+    core-parallel — the 100 TB case, where file count supplies the
+    parallelism and an unconditional repartition would instead COALESCE
+    thousands of scan partitions."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
