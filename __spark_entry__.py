@@ -31,9 +31,10 @@ from wikifrontier.corpus import (
 )
 from wikifrontier.dedup import (
     CONTAINMENT_MAX_DF, LSH_BANDS, MINHASH_PERMS, MINHASH_SLICE,
-    SIMHASH_BANDS, SIMHASH_BITS,
+    SEGMENT_LEN, SIMHASH_BANDS, SIMHASH_BITS,
 )
 from wikifrontier.frontier import ERROR_TYPES
+from wikifrontier.linkgraph import PAGERANK_DAMPING, PAGERANK_ITERATIONS
 from wikifrontier.textops import BPE_RE, LANG_PROFILES, STOPWORDS, TOKEN_RE
 
 
@@ -280,6 +281,49 @@ _MARKER_LIST = {
     for lang, markers in LANG_PROFILES.items()
 }
 _STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _pagerank_sql() -> str:
+    """q51 oracle: chained-CTE replay of linkgraph.pagerank over the
+    derived doc_id graph. Every float op mirrors the Spark side's IEEE
+    double arithmetic (explicit DOUBLE casts — DuckDB numeric literals
+    are DECIMAL); the dangling term is present but provably zero on this
+    graph (every node carries the (i+1)%N cycle edge)."""
+    d = f"CAST({PAGERANK_DAMPING} AS DOUBLE)"
+    iters = []
+    prev = "it0"
+    for k in range(1, PAGERANK_ITERATIONS + 1):
+        iters.append(f"""
+it{k} AS (
+  SELECT nodes.id,
+         (CAST(1 AS DOUBLE) - {d}) / nn.n
+         + {d} * (coalesce(inf.w, CAST(0 AS DOUBLE))
+                  + (SELECT coalesce(sum(pr), CAST(0 AS DOUBLE)) FROM {prev}
+                     WHERE id NOT IN (SELECT src FROM edges)) / nn.n) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT dst AS id, sum(pr / od) AS w
+    FROM edges JOIN {prev} pv ON pv.id = edges.src
+               JOIN outdeg USING (src)
+    GROUP BY dst
+  ) inf ON inf.id = nodes.id
+)""")
+        prev = f"it{k}"
+    its = ",".join(iters)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 31 + 7) % nn.n FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+it0 AS (SELECT nodes.id, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),{its}
+SELECT id AS doc_id, round(pr, 8) AS pagerank FROM {prev}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -946,5 +990,34 @@ SELECT media_id, kind,
   CAST(9 * ((n % 64) + 1) AS INT) AS height,
   substr(sha256(substr(text, 1, 64)), 1, 16) AS feat_checksum
 FROM m
+""",
+        "q51_pagerank": _pagerank_sql(),
+        "q52_segment_dedup": f"""
+WITH {NEARDUP},
+tok AS (SELECT doc_id, {TOKS} AS t FROM docs),
+segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[(i*{SEGMENT_LEN}+1):(i*{SEGMENT_LEN}+{SEGMENT_LEN})], ' ') AS seg
+  FROM tok, unnest(CASE WHEN len(t) > 0
+                        THEN range(CAST(ceil(len(t) / {SEGMENT_LEN}.0) AS BIGINT))
+                        ELSE [] END) AS u(i)
+),
+freq AS (
+  SELECT sha256(seg) AS h, count(DISTINCT doc_id) AS ndocs
+  FROM segs GROUP BY 1
+),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY pos) AS kept_text
+  FROM segs JOIN freq ON freq.h = sha256(segs.seg)
+  WHERE ndocs <= 1
+  GROUP BY doc_id
+),
+nsg AS (SELECT doc_id, CAST(ceil(len(t) / {SEGMENT_LEN}.0) AS INT) AS n_segs FROM tok)
+SELECT nsg.doc_id, n_segs,
+       CAST(coalesce(n_kept, 0) AS INT) AS n_kept,
+       round(coalesce(n_kept, 0) / CAST(greatest(n_segs, 1) AS DOUBLE), 6) AS kept_frac,
+       coalesce(kept_text, '') AS kept_text
+FROM nsg LEFT JOIN kept USING (doc_id)
 """,
     }

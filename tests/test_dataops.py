@@ -342,3 +342,70 @@ def test_attach_media_encoded_real_decode(docs):
     assert by_kind.get("image") == "bmp"
     assert by_kind.get("audio") == "wav"
     assert by_kind.get("video") == "fake"
+
+
+def test_pagerank_matches_closed_form(spark):
+    """Tiny graph with a dangling node, checked against the hand-iterated
+    power method (numpy-free closed replay of the same 3 iterations)."""
+    from wikifrontier.linkgraph import pagerank
+
+    # 0->1, 0->2, 1->2, 2->0, 3 dangling (in-edge only: 0->3)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (0, 3), (0, 3)],  # dup edge collapses
+        "src long, dst long",
+    )
+    got = {
+        r["id"]: r["pr"]
+        for r in pagerank(edges, iterations=3, damping=0.85).collect()
+    }
+
+    out = {0: [1, 2, 3], 1: [2], 2: [0], 3: []}
+    pr = {v: 1.0 / 4 for v in out}
+    for _ in range(3):
+        dang = sum(p for v, p in pr.items() if not out[v])
+        nxt = {}
+        for v in out:
+            inflow = sum(pr[u] / len(out[u]) for u in out if v in out[u])
+            nxt[v] = (1.0 - 0.85) / 4 + 0.85 * (inflow + dang / 4)
+        pr = nxt
+
+    assert set(got) == set(pr)
+    for v in pr:
+        assert abs(got[v] - pr[v]) < 1e-12
+    # mass is conserved (dangling redistribution, not leakage)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_segment_dedup(spark):
+    """Cross-doc duplicated segments drop; unique tails survive in order;
+    a fully-duplicated doc survives as an empty row, not a missing one."""
+    seg = "a b c d e f g h i j"  # exactly one 10-token segment
+    rows = [
+        (0, seg + " unique tail zero"),
+        (1, seg + " other tail one"),
+        (2, seg),  # nothing unique → kept_text ''
+        (3, "entirely fresh words nobody else uses"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.segment_dedup(df).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["kept_text"] == "unique tail zero"
+    assert out[0]["n_segs"] == 2 and out[0]["n_kept"] == 1
+    assert out[1]["kept_text"] == "other tail one"
+    assert out[2]["kept_text"] == "" and out[2]["kept_frac"] == 0.0
+    assert out[3]["kept_text"] == "entirely fresh words nobody else uses"
+    assert out[3]["kept_frac"] == 1.0
+
+
+def test_segment_dedup_preserves_order(spark):
+    """Survivor reassembly is original order even when surviving segments
+    straddle a removed middle segment."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    a = "alpha one two three four five six seven eight nine"
+    b = "omega ten eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    df = spark.createDataFrame(
+        [(0, f"{a} {shared} {b}"), (1, shared)], "doc_id long, text string"
+    )
+    row = {r["doc_id"]: r for r in dedup.segment_dedup(df).collect()}[0]
+    assert row["kept_text"] == f"{a} {b}"
+    assert row["n_segs"] == 3 and row["n_kept"] == 2

@@ -524,3 +524,84 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --- segment-level exact dedup ------------------------------------------------
+SEGMENT_LEN = 10  # tokens per non-overlapping segment
+
+
+def segment_dedup(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = SEGMENT_LEN,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Segment-level exact dedup (the CCNet / RefinedWeb paragraph-dedup
+    shape): split each document into non-overlapping ``seg_len``-token
+    segments, drop every segment whose sha256 appears in more than
+    ``max_docs`` documents corpus-wide, and reassemble the surviving text
+    in original order.
+
+    Whole-document dedup (exact_dedup / MinHash above) misses the
+    dominant web-scale duplication mode — boilerplate paragraphs repeated
+    across otherwise-distinct pages (nav text, license blocks, templated
+    intros). CCNet and RefinedWeb both run this segment/paragraph pass
+    *before* document-level near-dedup. The reference has no content
+    analogue (its Redis set dedups URLs only,
+    shared/redis/cache_service.py:53-96).
+
+    Scale shape: the corpus-wide frequency count shuffles ONLY the 32-char
+    segment hash (never segment text), partial-aggregated map-side; the
+    keep-join is an equi-join on that same hash; reassembly is one keyed
+    groupBy on doc id with an array_sort on (pos, seg) — order restored
+    without a window/sort over the corpus. Three shuffles total,
+    independent of document size.
+
+    Returns one row per input document: (id, n_segs, n_kept, kept_frac,
+    kept_text); a fully-duplicated document survives as an empty string
+    with kept_frac 0 (the caller's length filter then drops it).
+    """
+    toks = tokens(F.col(text))
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
+    seg_array = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)),
+    )).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col).alias("id"), seg_array.alias("segs"))
+    seg_rows = base.select(
+        "id", F.posexplode("segs").alias("pos", "seg")
+    ).withColumn("h", F.sha2(F.col("seg"), 256))
+    freq = seg_rows.groupBy("h").agg(
+        F.count_distinct(F.col("id")).alias("ndocs")
+    )
+    kept = (
+        seg_rows.join(freq, "h")
+        .filter(F.col("ndocs") <= max_docs)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda s: s["seg"],
+                ),
+            ).alias("kept_text"),
+        )
+    )
+    return (
+        base.select("id", F.size("segs").alias("n_segs"))
+        .join(kept, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_segs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("n_kept"), F.lit(0))
+                / F.greatest(F.col("n_segs"), F.lit(1)).cast("double"),
+                6,
+            ).alias("kept_frac"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wikifrontier import corpus as corpus_mod
-from wikifrontier import dedup, filters, frontier, multimodal, politeness, seen
+from wikifrontier import dedup, filters, frontier, linkgraph, multimodal, politeness, seen
 from wikifrontier import similarity as sim
 from wikifrontier import textops
 from wikifrontier.session import spread
@@ -955,6 +955,41 @@ def q45_adversarial_html_crawl(spark, sf_dir):
         "text_content_hash",
         F.length("text_content").cast("long").alias("text_len"),
     )
+
+
+def q51_pagerank(spark, sf_dir):
+    """PageRank link scores (north_rule "depth + link-score ordering"):
+    3 fixed iterations, damping 0.85, over a deterministic doc_id link
+    graph — every node i links to (i+1)%N, (31i+7)%N, (17i+3)%N; the
+    cycle edge guarantees out-degree ≥ 1 so the fixture has no dangling
+    nodes (the operator still implements the dangling term — see
+    linkgraph.pagerank). Oracle: chained-CTE replay of the identical
+    arithmetic. scored_pop's in-degree is the cheap per-round score;
+    this is the periodic full-graph recompute a production crawl feeds
+    back into the priority queue."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    src = F.col("doc_id").alias("src")
+    edges = (
+        docs.select(src, ((F.col("doc_id") + 1) % n).alias("dst"))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 31 + 7) % n).alias("dst")))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 17 + 3) % n).alias("dst")))
+    )
+    pr = linkgraph.pagerank(edges)
+    return pr.select(
+        F.col("id").alias("doc_id"), F.round("pr", 8).alias("pagerank")
+    )
+
+
+def q52_segment_dedup(spark, sf_dir):
+    """Segment-level exact dedup (the CCNet/RefinedWeb paragraph-dedup
+    pass) over documents ∪ derived near-dups: each doc split into
+    non-overlapping 10-token segments, segments whose hash appears in >1
+    document dropped corpus-wide, survivors reassembled in order. The
+    truncated near-dup copies share every segment but their tails with
+    the originals — the planted cross-document boilerplate."""
+    docs = neardup_docs(load(spark, sf_dir, "documents"))
+    return dedup.segment_dedup(docs)
 
 
 ALL_QUERIES = {
