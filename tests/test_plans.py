@@ -124,3 +124,28 @@ def test_claim_has_partial_aggregation(spark):
     pre_exchange = summary.split("Exchange")[1]
     assert "Aggregate" in pre_exchange
     assert "Window" not in plan  # the slow formulation this replaced
+
+
+def test_pagerank_loop_shape(spark):
+    """Each PageRank iteration must be equi-join + keyed aggregate; the
+    only nested-loop join allowed is the 1-row dangling-mass broadcast
+    (BroadcastNestedLoopJoin over exactly one row is the intended
+    scalar-attach, not a pair explosion)."""
+    from wikifrontier.linkgraph import pagerank
+
+    edges = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 200).alias("dst")
+    )
+    plan = plan_of(pagerank(edges, iterations=2))
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_shape(spark):
+    """Segment frequency must shuffle the 32-char hash, not segment text:
+    no sort-merge join (equi-join on the hash may broadcast or
+    shuffle-hash), no cartesian, and reassembly must not use a window."""
+    docs = queries.load(spark, SF_DIR, "documents")
+    plan = plan_of(dedup.segment_dedup(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
