@@ -1020,4 +1020,14 @@ SELECT nsg.doc_id, n_segs,
        coalesce(kept_text, '') AS kept_text
 FROM nsg LEFT JOIN kept USING (doc_id)
 """,
+        "q53_top_ngrams": f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS t FROM documents),
+g AS (SELECT doc_id, unnest({SHINGLE3}) AS gram FROM tok),
+c AS (
+  SELECT gram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+  FROM g GROUP BY gram
+)
+SELECT gram, occurrences, doc_freq FROM c
+ORDER BY occurrences DESC, gram LIMIT 50
+""",
     }

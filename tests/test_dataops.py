@@ -409,3 +409,17 @@ def test_segment_dedup_preserves_order(spark):
     row = {r["doc_id"]: r for r in dedup.segment_dedup(df).collect()}[0]
     assert row["kept_text"] == f"{a} {b}"
     assert row["n_segs"] == 3 and row["n_kept"] == 2
+
+
+def test_top_ngrams(spark):
+    """Counts, doc frequency, and the deterministic lexicographic cut at
+    the top-k boundary."""
+    df = spark.createDataFrame(
+        [(0, "a b c a b c"), (1, "a b c x y z")], "doc_id long, text string"
+    )
+    rows = textops.top_ngrams(df, n=3, k=3).collect()
+    assert [(r["gram"], r["occurrences"], r["doc_freq"]) for r in rows] == [
+        ("a b c", 3, 2),
+        ("b c a", 1, 1),
+        ("b c x", 1, 1),
+    ]

@@ -992,6 +992,15 @@ def q52_segment_dedup(spark, sf_dir):
     return dedup.segment_dedup(docs)
 
 
+def q53_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-50 3-gram mining (boilerplate-phrase detection):
+    total occurrences + document frequency per gram, distributed top-k
+    (TakeOrderedAndProject), ties broken lexicographically so the cut is
+    deterministic on both engines."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return textops.top_ngrams(docs, k=50)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -182,3 +182,29 @@ def fingerprints(text: Column, k: int = SHINGLE_K) -> Column:
         hashed, lambda h: h.startswith(FINGERPRINT_HEX_PREFIX)
     )
     return F.array_distinct(F.transform(sampled, lambda h: h.substr(1, 16)))
+
+
+def top_ngrams(df, text: str = "text", id_col: str = "doc_id", n: int = SHINGLE_K, k: int = 50):
+    """Corpus-wide top-k n-gram mining — the boilerplate-phrase detection
+    pass that feeds segment/paragraph dedup (a phrase with huge corpus
+    frequency but low per-doc counts is template text: nav bars, license
+    blocks, cookie banners). Returns (gram, occurrences, doc_freq), top-k
+    by total occurrences, ties broken lexicographically.
+
+    Scale shape: explode → one groupBy keyed on the gram (map-side
+    partial counts collapse the per-partition duplicates before the
+    shuffle), then `orderBy(...).limit(k)` — TakeOrderedAndProject, a
+    per-partition top-k heap plus a single driver merge of k·P rows,
+    never a global sort of the gram vocabulary.
+    """
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokens(F.col(text)), n)).alias("gram"),
+    )
+    counts = g.groupBy("gram").agg(
+        F.count("*").alias("occurrences"),
+        F.count_distinct(F.col("id")).alias("doc_freq"),
+    )
+    return counts.orderBy(
+        F.col("occurrences").desc(), F.col("gram")
+    ).limit(k)
