@@ -48,6 +48,24 @@ def test_crawl_report_roundtrip(spark, tmp_path, capsys):
     assert success > 0
     assert prom_file.read_text() == text
 
+    # linkrank over the same checkpoint: scores the crawled link graph
+    out_pq = str(tmp_path / "linkrank.parquet")
+    rc = cli.main([
+        "linkrank", "--checkpoint", ckpt, "--top", "5", "--out", out_pq,
+    ])
+    assert rc == 0
+    lr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert lr["nodes"] > 0
+    assert len(lr["top"]) == 5
+    # scores descending, mass conserved to ~1 (dangling redistribution)
+    prs = [t["pr"] for t in lr["top"]]
+    assert prs == sorted(prs, reverse=True)
+    import pyspark.sql.functions as F
+    full = spark.read.parquet(out_pq)
+    assert full.count() == lr["nodes"]
+    total = full.agg(F.sum("pr")).first()[0]
+    assert abs(total - 1.0) < 1e-6
+
 
 def test_report_missing_checkpoint(spark, tmp_path, capsys):
     rc = cli.main(["report", "--checkpoint", str(tmp_path / "nope")])

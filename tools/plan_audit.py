@@ -25,6 +25,29 @@ def summary_of(df) -> str:
     return plan_of(df).split("(1) ")[0].rstrip()
 
 
+# measurement-backed narrative sections preserved verbatim across regens
+_HAND_SECTIONS = [
+    "## Scan-parallelism vs compute-parallelism (round 4: `session.spread`)",
+    "",
+    "A single small parquet file yields 1-2 input splits, and every downstream",
+    "NARROW op inherits that — measured: the whole minhash explode→sha256→agg",
+    "stage ran as 2 tasks on 32 cores at sf0.1 (one 580 KB `documents.parquet`).",
+    "`session.spread()` (re-exported as `queries.spread`) repartitions a scan up to `defaultParallelism` ONLY when",
+    "the scan is narrower than that, before CPU-amplifying work (shingle",
+    "explode, vector folds). The shuffle moves the pre-explosion rows (KBs);",
+    "the hash work it unlocks is ~100× that. Measured effect at sf0.1",
+    "local[32]: q17 23.1→4.0 s, q24 9.6→1.0 s, q15 15.1→8.0 s, q34 17.8→13.4 s,",
+    "q18 3.8→1.3 s. At 100 TB the file count supplies the parallelism and",
+    "spread() is a no-op — an UNCONDITIONAL repartition there would coalesce",
+    "thousands of scan partitions, which is why the guard exists.",
+    "",
+    "Related measurement: the FIRST explode→hash→aggregate plan of a fresh JVM",
+    "pays ~10 s of one-time interpreter/C2 JIT warmup (identical rerun:",
+    "13 s → 1.8 s). bench.py now runs one small same-shaped warmup job before",
+    "the timed sweep so the cost is not billed to whichever query sorts first.",
+]
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -101,6 +124,43 @@ def main() -> int:
         summary_of(dedup.simhash_pairs(docs, max_hamming=3)),
     ))
 
+    # 6. PageRank iteration (q51)
+    from wikifrontier.linkgraph import pagerank
+
+    edges = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 200).alias("dst")
+    )
+    sections.append((
+        "PageRank iteration (q51)",
+        "Each iteration: edge-list equi-join on src + keyed partial-sum "
+        "aggregate on dst; the only nested-loop join is the 1-row "
+        "dangling-mass broadcast (a scalar attach, not pair generation); "
+        "no CartesianProduct, lineage cut per iteration so the plan depth "
+        "is constant in the iteration count.",
+        summary_of(pagerank(edges, iterations=2)),
+    ))
+
+    # 7. segment dedup (q52)
+    sections.append((
+        "Segment-level exact dedup (q52)",
+        "The corpus-wide frequency count shuffles only the 32-char segment "
+        "hash (map-side partial agg); the keep-join is an equi-join on that "
+        "hash; reassembly is a keyed groupBy + array_sort — no Window, no "
+        "global sort.",
+        summary_of(dedup.segment_dedup(queries.load(spark, sf_dir, "documents"))),
+    ))
+
+    # 8. top-k n-grams (q53)
+    from wikifrontier import textops
+
+    sections.append((
+        "Corpus-wide top-k n-grams (q53)",
+        "TakeOrderedAndProject: per-partition top-k heaps + one driver "
+        "merge of k·P rows — never a global sort of the gram vocabulary; "
+        "partial counts collapse below the exchange.",
+        summary_of(textops.top_ngrams(queries.load(spark, sf_dir, "documents"), k=50)),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "
@@ -108,6 +168,7 @@ def main() -> int:
            ""]
     for title, commentary, plan in sections:
         out += [f"## {title}", "", commentary, "", "```", plan, "```", ""]
+    out += _HAND_SECTIONS
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md with {len(sections)} sections")

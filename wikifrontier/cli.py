@@ -8,9 +8,10 @@ on multi-executor clusters").
 for local runs.)
 
 Subcommands:
-  crawl   run a BFS crawl over the deterministic synthetic corpus (or a
-          parquet web_pages table via --corpus), with optional resume
-  report  print state-table summaries from a checkpoint dir
+  crawl     run a BFS crawl over the deterministic synthetic corpus (or a
+            parquet web_pages table via --corpus), with optional resume
+  report    print state-table summaries from a checkpoint dir
+  linkrank  PageRank over a checkpoint's link graph (priority-queue feed)
 """
 
 from __future__ import annotations
@@ -52,6 +53,20 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--fetch-strategy", choices=("auto", "broadcast", "bucketed"),
                    default="auto")
     c.add_argument("--master", type=str, default=None)
+
+    lr = sub.add_parser(
+        "linkrank",
+        help="PageRank link scores over a checkpoint's link graph "
+             "(the periodic full-graph feed for priority scheduling)",
+    )
+    lr.add_argument("--checkpoint", type=str, required=True)
+    lr.add_argument("--iterations", type=int, default=3)
+    lr.add_argument("--damping", type=float, default=0.85)
+    lr.add_argument("--top", type=int, default=20,
+                    help="print the top-K pages by score")
+    lr.add_argument("--out", type=str, default=None,
+                    help="also write the full (url, pr) table as parquet")
+    lr.add_argument("--master", type=str, default=None)
 
     r = sub.add_parser("report", help="summarize a checkpoint")
     r.add_argument("--checkpoint", type=str, required=True)
@@ -120,6 +135,38 @@ def cmd_crawl(args) -> int:
     return 0
 
 
+def cmd_linkrank(args) -> int:
+    """Score the crawled link graph (source_page_url → url edges from the
+    checkpoint's links table, the reference's `links` relation) with
+    linkgraph.pagerank; a production crawl feeds the result back into
+    politeness.scored_pop as the priority key."""
+    from pyspark.sql import functions as F
+
+    from wikifrontier import state as state_io
+    from wikifrontier.linkgraph import pagerank
+    from wikifrontier.session import get_spark
+
+    spark = get_spark(master=args.master)
+    st = state_io.load_checkpoint(spark, args.checkpoint)
+    if st is None:
+        print(json.dumps({"error": "no complete checkpoint found"}))
+        return 1
+    edges = st.links.select(
+        F.col("source_page_url").alias("src"), F.col("url").alias("dst")
+    )
+    pr = pagerank(edges, iterations=args.iterations, damping=args.damping)
+    if args.out:
+        pr.select(F.col("id").alias("url"), "pr").write.mode(
+            "overwrite"
+        ).parquet(args.out)
+    top = pr.orderBy(F.col("pr").desc(), F.col("id")).limit(args.top).collect()
+    print(json.dumps({
+        "nodes": pr.count(),
+        "top": [{"url": r["id"], "pr": round(r["pr"], 8)} for r in top],
+    }))
+    return 0
+
+
 def cmd_report(args) -> int:
     from wikifrontier import state as state_io
     from wikifrontier.session import get_spark
@@ -146,7 +193,11 @@ def cmd_report(args) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    return {"crawl": cmd_crawl, "report": cmd_report}[args.cmd](args)
+    return {
+        "crawl": cmd_crawl,
+        "report": cmd_report,
+        "linkrank": cmd_linkrank,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":
