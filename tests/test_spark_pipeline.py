@@ -128,6 +128,33 @@ class TestCrawlVsSimulator:
         sim = simulate_crawl(N, budget=50, per_host_cap=25, max_rounds=6)
         _assert_state_matches(state, sim)
 
+    def test_scored_pop_same_set_different_order(self, spark, corpus):
+        """pop_strategy='scored' (north_star depth + link-score priority)
+        changes visit ORDER within a layer but an exhaustive crawl still
+        reaches exactly the FIFO crawl's page set; rounds-crawled-in
+        differ for at least one page (proving the order actually moved)."""
+        fifo_cfg = CrawlConfig(
+            robots_txt=synth.ROBOTS_TXT, budget_per_round=40, max_rounds=12
+        )
+        fifo = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], fifo_cfg)
+        scored_cfg = CrawlConfig(
+            robots_txt=synth.ROBOTS_TXT, budget_per_round=40, max_rounds=12,
+            pop_strategy="scored",
+        )
+        scored = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], scored_cfg)
+        fifo_pages = {r["url"] for r in fifo.pages.select("url").collect()}
+        scored_pages = {r["url"] for r in scored.pages.select("url").collect()}
+        assert fifo_pages == scored_pages
+        fifo_rounds = {
+            r["url"]: r["claimed_round"]
+            for r in fifo.seen.select("url", "claimed_round").collect()
+        }
+        scored_rounds = {
+            r["url"]: r["claimed_round"]
+            for r in scored.seen.select("url", "claimed_round").collect()
+        }
+        assert fifo_rounds != scored_rounds or len(fifo_pages) < 40
+
 
 class TestCheckpointResume:
     def test_resume_no_refetch(self, spark, corpus, tmp_path):

@@ -154,6 +154,17 @@ class CrawlConfig:
     #       blow the 8 GB broadcast cap (and driver heap first).
     fetch_strategy: str = "auto"
     broadcast_row_limit: int = 4_000_000
+    # frontier pop order (north_star: "priority queue (depth + link-score
+    # ordering)"):
+    #   "fifo"   — insertion order (scheduled_round, depth, source, url);
+    #       the parity default — reproduces the reference's autoincrement
+    #       FIFO visit order exactly (db_reader.py:53-77).
+    #   "scored" — politeness.scored_pop: (depth asc, in-degree desc, url),
+    #       in-degree from the link graph discovered SO FAR — popular
+    #       pages jump the queue within their BFS layer. Same distributed
+    #       top-k plan shape (TakeOrderedAndProject); changes visit ORDER
+    #       within a layer, never the crawled SET of an exhaustive crawl.
+    pop_strategy: str = "fifo"
     # partition count of the bucketed corpus layout; None → the session's
     # spark.sql.shuffle.partitions
     corpus_buckets: int | None = None
@@ -470,9 +481,15 @@ def run_round(
         pending = pending.unionByName(due)
 
     # --- T1/T3 pop + §2.9 politeness -------------------------------------
-    popped = cap_per_host(
-        pop_frontier(pending, cfg.budget_per_round), cfg.per_host_cap
-    )
+    if cfg.pop_strategy == "scored" and cfg.budget_per_round is not None:
+        from wikifrontier.politeness import scored_pop
+
+        batch = scored_pop(
+            pending, state.links.select("url"), cfg.budget_per_round
+        )
+    else:
+        batch = pop_frontier(pending, cfg.budget_per_round)
+    popped = cap_per_host(batch, cfg.per_host_cap)
     if cfg.salt_partitions is not None:
         from wikifrontier.politeness import salted_repartition
 
