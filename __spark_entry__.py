@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from wikifrontier import queries as Q
 from wikifrontier.corpus import (
+    EDGE_PARAMS,
+    URL_PREFIX,
     bfs_layers_oracle_sql,
     page_content_oracle_sql,
     recrawl_oracle_sql,
@@ -323,6 +325,57 @@ nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
 outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
 it0 AS (SELECT nodes.id, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),{its}
 SELECT id AS doc_id, round(pr, 8) AS pagerank FROM {prev}
+"""
+
+
+def _scored_frontier_sql(rounds: int = Q.SCORED_ROUNDS) -> str:
+    """q54 oracle: round-by-round replay of the incremental scored
+    frontier. One CTE block per round r: s{r} = in-degrees over edges
+    whose source was popped in rounds < r (exactly the engine's folded
+    per-round score deltas at pop time), p{r} = top-budget of the
+    remaining urls by (in_degree desc, url). Round 0 has no scores yet →
+    lexicographic. The final in_degree column is the full-graph fold
+    (every source parses within the run)."""
+    edge_list = ", ".join(f"(({m} * doc_id + {c}) % nn.n)" for m, c in EDGE_PARAMS)
+    parts = [f"""nn AS (SELECT count(*) AS n FROM documents),
+b AS (SELECT CAST(ceil(n / {rounds}.0) AS BIGINT) AS b FROM nn),
+urls AS (SELECT doc_id, '{URL_PREFIX}' || doc_id AS url FROM documents),
+edges AS (
+  SELECT DISTINCT doc_id AS src, dst FROM (
+    SELECT doc_id, unnest([{edge_list}]) AS dst FROM documents, nn)
+),
+p0 AS (
+  SELECT doc_id, url FROM (
+    SELECT doc_id, url, row_number() OVER (ORDER BY url) AS rn FROM urls
+  ), b WHERE rn <= b.b
+)"""]
+    for r in range(1, rounds):
+        parsed = " UNION ALL ".join(f"SELECT doc_id FROM p{i}" for i in range(r))
+        parts.append(f"""s{r} AS (
+  SELECT e.dst, count(*) AS sc
+  FROM edges e JOIN ({parsed}) pp ON pp.doc_id = e.src
+  GROUP BY e.dst
+),
+p{r} AS (
+  SELECT doc_id, url FROM (
+    SELECT u.doc_id, u.url,
+           row_number() OVER (ORDER BY coalesce(s.sc, 0) DESC, u.url) AS rn
+    FROM urls u LEFT JOIN s{r} s ON s.dst = u.doc_id
+    WHERE u.doc_id NOT IN ({parsed})
+  ), b WHERE rn <= b.b
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT doc_id, url, {r} AS fcr FROM p{r}" for r in range(rounds)
+    )
+    with_body = ",\n".join(parts)
+    return f"""
+WITH {with_body},
+final AS ({finals}),
+ind AS (SELECT dst, count(*) AS c FROM edges GROUP BY dst)
+SELECT f.url,
+       CAST(f.fcr AS INT) AS first_crawled_round,
+       CAST(coalesce(ind.c, 0) AS BIGINT) AS in_degree
+FROM final f LEFT JOIN ind ON ind.dst = f.doc_id
 """
 
 
@@ -992,6 +1045,7 @@ SELECT media_id, kind,
 FROM m
 """,
         "q51_pagerank": _pagerank_sql(),
+        "q54_scored_frontier": _scored_frontier_sql(),
         "q52_segment_dedup": f"""
 WITH {NEARDUP},
 tok AS (SELECT doc_id, {TOKS} AS t FROM docs),

@@ -130,14 +130,50 @@ def test_pagerank_loop_shape(spark):
     """Each PageRank iteration must be equi-join + keyed aggregate; the
     only nested-loop join allowed is the 1-row dangling-mass broadcast
     (BroadcastNestedLoopJoin over exactly one row is the intended
-    scalar-attach, not a pair explosion)."""
+    scalar-attach, not a pair explosion). checkpoint=False keeps the full
+    loop-body lineage in the plan (a checkpointed frame explains as
+    `Scan ExistingRDD`, proving nothing — VERDICT r4 #3), so this
+    asserts over BOTH unrolled iterations."""
     from wikifrontier.linkgraph import pagerank
 
     edges = spark.range(200).select(
         F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 200).alias("dst")
     )
-    plan = plan_of(pagerank(edges, iterations=2))
+    plan = plan_of(pagerank(edges, iterations=2, checkpoint=False))
     assert "CartesianProduct" not in plan
+    # the loop body is really in the plan: per-iteration inflow joins
+    assert plan.count("HashAggregate") >= 2 or plan.count("Aggregate") >= 2
+
+
+def test_scored_pop_is_incremental(spark):
+    """VERDICT r4 #4: the scored pop must fold the pre-aggregated
+    per-round score deltas — never re-derive or re-aggregate the edge
+    table. After a scored crawl, the next pop's plan reads only
+    checkpointed leaves (no Generate/explode = no candidate re-derivation,
+    the aggregate is sum(in_degree) over delta rows, and the pop itself is
+    a distributed top-k)."""
+    from wikifrontier.politeness import scored_pop
+
+    corpus = synth.corpus_df(spark, 120)
+    cfg = frontier.CrawlConfig(
+        robots_txt=synth.ROBOTS_TXT, budget_per_round=20, max_rounds=3,
+        pop_strategy="scored", collect_metrics=False,
+    )
+    state = frontier.run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+    plan = plan_of(scored_pop(state.pending, state.in_degrees, 20))
+    assert "TakeOrderedAndProject" in plan
+    assert "sum(in_degree" in plan
+    assert "Generate" not in plan  # no edge re-derivation from parses
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_dedup_banned_antijoin(spark):
+    """VERDICT r4 #3 (segment dedup): the keep path must be a broadcast
+    LEFT ANTI join against the tiny banned-hash set — segment text never
+    rides a join shuffle at any corpus size."""
+    docs = queries.load(spark, SF_DIR, "documents")
+    plan = plan_of(dedup.segment_dedup(docs))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
 def test_segment_dedup_shape(spark):

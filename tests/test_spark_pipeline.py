@@ -132,7 +132,11 @@ class TestCrawlVsSimulator:
         """pop_strategy='scored' (north_star depth + link-score priority)
         changes visit ORDER within a layer but an exhaustive crawl still
         reaches exactly the FIFO crawl's page set; rounds-crawled-in
-        differ for at least one page (proving the order actually moved)."""
+        differ for at least one page (proving the order actually moved),
+        and the priority signal is REAL: the discovered link graph holds
+        multi-source targets, so in-degrees vary within a pop batch
+        (ADVICE r4 #1 — the claim-tree links table has in-degree ≤ 1 by
+        construction and would make this ordering vacuous)."""
         fifo_cfg = CrawlConfig(
             robots_txt=synth.ROBOTS_TXT, budget_per_round=40, max_rounds=12
         )
@@ -154,6 +158,108 @@ class TestCrawlVsSimulator:
             for r in scored.seen.select("url", "claimed_round").collect()
         }
         assert fifo_rounds != scored_rounds or len(fifo_pages) < 40
+        # the score state carries genuine in-degree variation
+        degs = [r["in_degree"] for r in scored.in_degrees.collect()]
+        assert degs and max(degs) > 1 and len(set(degs)) > 1
+
+    def test_pop_strategy_validation(self, spark, corpus):
+        """ADVICE r4 #3: a pop_strategy typo or scored+unbounded-budget
+        must raise, never silently fall back to FIFO."""
+        with pytest.raises(ValueError, match="unknown pop_strategy"):
+            run_crawl(
+                spark, corpus, [synth.page_url(synth.SEED_ID)],
+                CrawlConfig(robots_txt=synth.ROBOTS_TXT, max_rounds=1,
+                            pop_strategy="priority", budget_per_round=10),
+            )
+        with pytest.raises(ValueError, match="requires budget_per_round"):
+            run_crawl(
+                spark, corpus, [synth.page_url(synth.SEED_ID)],
+                CrawlConfig(robots_txt=synth.ROBOTS_TXT, max_rounds=1,
+                            pop_strategy="scored"),
+            )
+
+    def test_pagerank_pop_same_set(self, spark, corpus):
+        """pop_strategy='pagerank' (periodic full-graph refresh) reaches
+        the same exhaustive page set as FIFO."""
+        base = run_crawl(
+            spark, corpus, [synth.page_url(synth.SEED_ID)],
+            CrawlConfig(robots_txt=synth.ROBOTS_TXT, budget_per_round=40,
+                        max_rounds=12),
+        )
+        pr = run_crawl(
+            spark, corpus, [synth.page_url(synth.SEED_ID)],
+            CrawlConfig(robots_txt=synth.ROBOTS_TXT, budget_per_round=40,
+                        max_rounds=12, pop_strategy="pagerank",
+                        score_refresh_every=3),
+        )
+        assert (
+            {r["url"] for r in base.pages.select("url").collect()}
+            == {r["url"] for r in pr.pages.select("url").collect()}
+        )
+
+
+class TestLinkGraph:
+    """The full discovered edge relation (ADVICE r4 #1) and its
+    incremental in-degree state (VERDICT r4 #4)."""
+
+    def test_link_graph_is_distinct_superset_of_claim_tree(self, spark, corpus):
+        cfg = CrawlConfig(robots_txt=synth.ROBOTS_TXT, max_rounds=10)
+        state = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        edges = [
+            (r["source_page_url"], r["url"]) for r in state.link_graph.collect()
+        ]
+        assert len(edges) == len(set(edges))  # distinct by construction
+        claim_pairs = {
+            (r["source_page_url"], r["url"]) for r in state.links.collect()
+        }
+        assert claim_pairs <= set(edges)  # claim tree ⊆ full graph
+        assert len(edges) > len(claim_pairs)  # multi-source edges exist
+
+    def test_incremental_fold_equals_one_shot_in_degrees(self, spark, corpus):
+        from wikifrontier.politeness import in_degrees
+
+        cfg = CrawlConfig(robots_txt=synth.ROBOTS_TXT, max_rounds=10)
+        state = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        folded = {
+            r["url"]: r["in_degree"] for r in state.in_degrees.collect()
+        }
+        one_shot = {
+            r["url"]: r["in_degree"]
+            for r in in_degrees(state.link_graph).collect()
+        }
+        assert folded == one_shot
+
+    def test_link_graph_survives_checkpoint(self, spark, corpus, tmp_path):
+        from wikifrontier import state as state_io
+
+        ckpt = str(tmp_path / "ckpt_lg")
+        cfg = CrawlConfig(
+            robots_txt=synth.ROBOTS_TXT, max_rounds=6, checkpoint_dir=ckpt
+        )
+        state = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        loaded = state_io.load_checkpoint(spark, ckpt)
+        assert (
+            sorted(map(tuple, state.link_graph.collect()))
+            == sorted(map(tuple, loaded.link_graph.collect()))
+        )
+        assert (
+            sorted(map(tuple, state.in_degrees.collect()))
+            == sorted(map(tuple, loaded.in_degrees.collect()))
+        )
+
+    def test_recrawl_keeps_link_graph_distinct(self, spark, corpus):
+        """Re-parsed pages re-emit their edge sets; the first-parse-source
+        guard must keep the accumulated graph duplicate-free."""
+        cfg = CrawlConfig(
+            robots_txt=synth.ROBOTS_TXT, max_rounds=8,
+            enable_recrawl=True, recrawl_interval_s=2,
+        )
+        state = run_crawl(spark, corpus, [synth.page_url(synth.SEED_ID)], cfg)
+        n_rows = state.link_graph.count()
+        n_distinct = (
+            state.link_graph.select("source_page_url", "url").distinct().count()
+        )
+        assert n_rows == n_distinct and n_rows > 0
 
 
 class TestCheckpointResume:

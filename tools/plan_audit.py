@@ -132,22 +132,51 @@ def main() -> int:
     )
     sections.append((
         "PageRank iteration (q51)",
+        "Explained with checkpoint=False so the FULL unrolled loop body is "
+        "visible (the production path localCheckpoints per iteration, which "
+        "explains as `Scan ExistingRDD` and proves nothing — VERDICT r4). "
         "Each iteration: edge-list equi-join on src + keyed partial-sum "
         "aggregate on dst; the only nested-loop join is the 1-row "
         "dangling-mass broadcast (a scalar attach, not pair generation); "
-        "no CartesianProduct, lineage cut per iteration so the plan depth "
-        "is constant in the iteration count.",
-        summary_of(pagerank(edges, iterations=2)),
+        "no CartesianProduct anywhere in the two unrolled iterations.",
+        summary_of(pagerank(edges, iterations=2, checkpoint=False)),
     ))
+    pr_plan = plan_of(pagerank(edges, iterations=2, checkpoint=False))
+    assert "CartesianProduct" not in pr_plan, "pagerank loop grew a cartesian"
 
     # 7. segment dedup (q52)
     sections.append((
         "Segment-level exact dedup (q52)",
         "The corpus-wide frequency count shuffles only the 32-char segment "
-        "hash (map-side partial agg); the keep-join is an equi-join on that "
-        "hash; reassembly is a keyed groupBy + array_sort — no Window, no "
+        "hash (map-side partial agg). The keep path is INVERTED (round 5): "
+        "the banned-hash set (`ndocs > max_docs` — boilerplate only, tiny "
+        "at any corpus size) is broadcast and segment rows LEFT-ANTI join "
+        "against it, so segment TEXT never rides a join shuffle, "
+        "unconditionally — the previous keep-join shape only avoided a "
+        "text shuffle while AQE could broadcast the full frequency table. "
+        "Reassembly is a keyed groupBy + array_sort — no Window, no "
         "global sort.",
         summary_of(dedup.segment_dedup(queries.load(spark, sf_dir, "documents"))),
+    ))
+
+    # 7b. incremental scored frontier pop (q54)
+    from wikifrontier.politeness import scored_pop
+
+    sc_corpus = synth.corpus_df(spark, 120)
+    sc_cfg = frontier.CrawlConfig(
+        robots_txt=synth.ROBOTS_TXT, budget_per_round=20, max_rounds=3,
+        pop_strategy="scored", collect_metrics=False,
+    )
+    sc_state = frontier.run_crawl(spark, sc_corpus, [synth.page_url(0)], sc_cfg)
+    sections.append((
+        "Incremental scored frontier pop (q54)",
+        "The priority pop after 3 scored rounds: TakeOrderedAndProject "
+        "(distributed top-k, never a global sort) over pending joined with "
+        "the in-degree fold — a sum over the pre-aggregated per-round "
+        "score DELTAS (checkpointed leaves). No Generate/explode (no edge "
+        "re-derivation) and no aggregate over the edge table itself: the "
+        "full link_graph never enters the pop plan (VERDICT r4 #4).",
+        summary_of(scored_pop(sc_state.pending, sc_state.in_degrees, 20)),
     ))
 
     # 8. top-k n-grams (q53)

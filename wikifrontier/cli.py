@@ -126,6 +126,7 @@ def cmd_crawl(args) -> int:
         "pages": state.pages.count(),
         "parsed": state.page_content.count(),
         "links": state.links.count(),
+        "link_graph": state.link_graph.count(),
         "pending": state.pending.count(),
         "seen": state.seen.count(),
         "invalid_rows": state.invalid_rows.count(),
@@ -136,10 +137,15 @@ def cmd_crawl(args) -> int:
 
 
 def cmd_linkrank(args) -> int:
-    """Score the crawled link graph (source_page_url → url edges from the
-    checkpoint's links table, the reference's `links` relation) with
-    linkgraph.pagerank; a production crawl feeds the result back into
-    politeness.scored_pop as the priority key."""
+    """Score the crawled link graph with linkgraph.pagerank; a production
+    crawl feeds the result back into politeness.scored_pop as the priority
+    key (or runs pop_strategy='pagerank' for the in-loop refresh).
+
+    Uses the checkpoint's `link_graph` table — the FULL discovered edge
+    set (every distinct source→url pair, ADVICE r4 #1). The claim-tree
+    `links` relation is a spanning tree (in-degree ≤ 1 by construction),
+    so it is only a fallback for pre-round-5 checkpoints, with a warning
+    in the output."""
     from pyspark.sql import functions as F
 
     from wikifrontier import state as state_io
@@ -151,7 +157,20 @@ def cmd_linkrank(args) -> int:
     if st is None:
         print(json.dumps({"error": "no complete checkpoint found"}))
         return 1
-    edges = st.links.select(
+    note = None
+    edge_src = st.link_graph
+    if edge_src.isEmpty():
+        if st.links.isEmpty():
+            print(json.dumps({
+                "error": "checkpoint has no link edges (crawl made no "
+                         "successful fetches?) — nothing to rank"
+            }))
+            return 1
+        note = ("link_graph table empty (pre-round-5 checkpoint); falling "
+                "back to the claim-tree links relation — in-degrees there "
+                "are <=1, scores will be near-uniform")
+        edge_src = st.links
+    edges = edge_src.select(
         F.col("source_page_url").alias("src"), F.col("url").alias("dst")
     )
     pr = pagerank(edges, iterations=args.iterations, damping=args.damping)
@@ -160,10 +179,13 @@ def cmd_linkrank(args) -> int:
             "overwrite"
         ).parquet(args.out)
     top = pr.orderBy(F.col("pr").desc(), F.col("id")).limit(args.top).collect()
-    print(json.dumps({
+    out = {
         "nodes": pr.count(),
         "top": [{"url": r["id"], "pr": round(r["pr"], 8)} for r in top],
-    }))
+    }
+    if note:
+        out["warning"] = note
+    print(json.dumps(out))
     return 0
 
 

@@ -156,15 +156,27 @@ class CrawlConfig:
     broadcast_row_limit: int = 4_000_000
     # frontier pop order (north_star: "priority queue (depth + link-score
     # ordering)"):
-    #   "fifo"   — insertion order (scheduled_round, depth, source, url);
+    #   "fifo"     — insertion order (scheduled_round, depth, source, url);
     #       the parity default — reproduces the reference's autoincrement
     #       FIFO visit order exactly (db_reader.py:53-77).
-    #   "scored" — politeness.scored_pop: (depth asc, in-degree desc, url),
-    #       in-degree from the link graph discovered SO FAR — popular
-    #       pages jump the queue within their BFS layer. Same distributed
-    #       top-k plan shape (TakeOrderedAndProject); changes visit ORDER
-    #       within a layer, never the crawled SET of an exhaustive crawl.
+    #   "scored"   — politeness.scored_pop: (depth asc, in-degree desc,
+    #       url), in-degree over the FULL discovered link graph
+    #       (state.link_graph — every distinct (source, url) pair, not the
+    #       claim tree), maintained incrementally as per-round deltas so
+    #       the pop never re-aggregates the whole edge table. Same
+    #       distributed top-k plan shape (TakeOrderedAndProject); changes
+    #       visit ORDER within a layer, never the crawled SET of an
+    #       exhaustive crawl.
+    #   "pagerank" — same pop, scored by linkgraph.pagerank over the
+    #       discovered graph, recomputed every `score_refresh_every`
+    #       rounds (the periodic full-graph refresh a production crawl
+    #       runs; Cho/Garcia-Molina/Page URL-ordering).
+    # "scored"/"pagerank" REQUIRE budget_per_round: an unbounded pop takes
+    # every pending row, so priority ordering would silently be a no-op
+    # (validated in run_round — ADVICE r4 #3).
     pop_strategy: str = "fifo"
+    # pagerank-score refresh period, in rounds
+    score_refresh_every: int = 4
     # partition count of the bucketed corpus layout; None → the session's
     # spark.sql.shuffle.partitions
     corpus_buckets: int | None = None
@@ -194,8 +206,23 @@ class CrawlState:
     content_base: DataFrame
     invalid_rows: DataFrame = None  # type: ignore[assignment] — set by init/load
     retries: DataFrame = None  # type: ignore[assignment] — set by init/load
+    # full discovered link graph: distinct (source_page_url, url) over the
+    # validity+filter-passed candidates of every round — INCLUDING edges
+    # whose target was already seen, so in-degree is a real signal
+    # (ADVICE r4 #1; the claim-tree `links` above has in-degree ≤ 1 by
+    # construction). Deltas are lazy localCheckpoints: a FIFO crawl that
+    # never reads the graph never computes it.
+    link_graph: DataFrame = None  # type: ignore[assignment] — set by init/load
+    # incremental priority state: unfolded (url, in_degree) delta rows,
+    # one batch per round; `in_degrees` folds them. Compaction/checkpoint
+    # collapse to one row per url.
+    link_scores: DataFrame = None  # type: ignore[assignment] — set by init/load
     page_events: DataFrame | None = None
     content_events: DataFrame | None = None
+    # cached pagerank scores (pop_strategy="pagerank") + the round they
+    # were computed at; refreshed every CrawlConfig.score_refresh_every
+    rank_scores: DataFrame | None = None
+    rank_scored_round: int = -1
     bloom: object | None = None  # BloomSeen | PartitionedBloomSeen
     # True until a durable checkpoint backs the base tables: lets the
     # views skip the full-outer join against a provably-empty base (one
@@ -218,6 +245,15 @@ class CrawlState:
             return _latest_content(self.content_events)
         return combine_content(self.content_base, self.content_events)
 
+    @property
+    def in_degrees(self) -> DataFrame:
+        """(url, in_degree) over the discovered link graph — the scored
+        pop's priority key, folded from the per-round delta log (never a
+        re-aggregation of the full edge table)."""
+        return self.link_scores.groupBy("url").agg(
+            F.sum("in_degree").cast("long").alias("in_degree")
+        )
+
     def tables(self) -> dict[str, DataFrame]:
         return {
             "pending": self.pending,
@@ -225,6 +261,10 @@ class CrawlState:
             "pages": self.pages,
             "page_content": self.page_content,
             "links": self.links,
+            "link_graph": self.link_graph,
+            # persist the FOLDED score state (one row per url) — same
+            # schema as the delta log it replaces on reload
+            "link_scores": self.in_degrees,
             "metrics": self.metrics,
             "invalid_rows": self.invalid_rows,
             "retries": self.retries,
@@ -248,6 +288,8 @@ def init_state(spark: SparkSession, seeds: list[str]) -> CrawlState:
         content_base=schemas.empty_df(spark, schemas.PAGE_CONTENT_DDL),
         invalid_rows=schemas.empty_df(spark, schemas.INVALID_DDL),
         retries=schemas.empty_df(spark, schemas.RETRIES_DDL),
+        link_graph=schemas.empty_df(spark, schemas.LINK_GRAPH_DDL),
+        link_scores=schemas.empty_df(spark, schemas.LINK_SCORES_DDL),
     )
 
 
@@ -481,12 +523,43 @@ def run_round(
         pending = pending.unionByName(due)
 
     # --- T1/T3 pop + §2.9 politeness -------------------------------------
-    if cfg.pop_strategy == "scored" and cfg.budget_per_round is not None:
+    rank_scores, rank_scored_round = state.rank_scores, state.rank_scored_round
+    if cfg.pop_strategy not in ("fifo", "scored", "pagerank"):
+        raise ValueError(
+            f"unknown pop_strategy {cfg.pop_strategy!r} — expected "
+            "'fifo', 'scored' or 'pagerank'"
+        )
+    if cfg.pop_strategy != "fifo":
+        if cfg.budget_per_round is None:
+            raise ValueError(
+                f"pop_strategy={cfg.pop_strategy!r} requires "
+                "budget_per_round: an unbounded pop takes every pending "
+                "row, so priority ordering would be a silent no-op"
+            )
         from wikifrontier.politeness import scored_pop
 
-        batch = scored_pop(
-            pending, state.links.select("url"), cfg.budget_per_round
-        )
+        if cfg.pop_strategy == "pagerank":
+            if (
+                rank_scores is None
+                or rnd - rank_scored_round >= cfg.score_refresh_every
+            ):
+                from wikifrontier.linkgraph import pagerank
+
+                pr = pagerank(
+                    state.link_graph.select(
+                        F.col("source_page_url").alias("src"),
+                        F.col("url").alias("dst"),
+                    )
+                )
+                rank_scores = pr.select(
+                    F.col("id").alias("url"), F.col("pr").alias("score")
+                ).localCheckpoint(eager=False)
+                rank_scored_round = rnd
+            batch = scored_pop(pending, rank_scores, cfg.budget_per_round)
+        else:
+            # incremental in-degree state: the fold below reads the
+            # per-round (url, d) delta log, never the edge table itself
+            batch = scored_pop(pending, state.in_degrees, cfg.budget_per_round)
     else:
         batch = pop_frontier(pending, cfg.budget_per_round)
     popped = cap_per_host(batch, cfg.per_host_cap)
@@ -709,6 +782,54 @@ def run_round(
         # (probe plans above already materialized against the old snapshot)
         n_claimed_hint = state.bloom.add_df(spark, claimed.select("url"))
 
+    # --- full link-graph delta (ADVICE r4 #1) ------------------------------
+    # Every distinct (source, url) pair among the validity+filter-passed
+    # candidates — PRE-seen and PRE-claim, so edges into already-crawled
+    # pages are kept and in-degree is a real priority signal (the
+    # claim-tree `links` table keeps reference parity; this is the edge
+    # relation its composite PK was built for, models.py:108-155). Lazy
+    # localCheckpoint: nothing is computed until the graph or the score
+    # fold is actually read (scored pop / pagerank refresh / checkpoint /
+    # linkrank) — a FIFO crawl pays zero for this.
+    edge_delta = (
+        candidates.filter(reason_col.isNull())
+        .select(
+            "source_page_url",
+            "url",
+            "depth",
+            F.lit(rnd).cast("int").alias("discovered_round"),
+        )
+        .dropDuplicates(["source_page_url", "url"])
+    )
+    # a re-parsed page re-emits its whole edge set (a re-claimed seed
+    # parses twice even without recrawl; recrawl re-parses everything):
+    # keep only FIRST-parse sources so the accumulated graph stays
+    # distinct (matches the reference, whose seen-set drops every
+    # re-discovered link — schedule_service.py:66-84). The guard
+    # anti-joins against the content-event LEAVES (urls only), never the
+    # accumulated edge deltas, so round r's delta does not chain on round
+    # r-1's and the plan depth stays flat.
+    prev_parsed = []
+    if state.content_events is not None:
+        prev_parsed.append(state.content_events.select("source_page_url"))
+    if not state.bases_empty:
+        prev_parsed.append(state.content_base.select("source_page_url"))
+    if prev_parsed:
+        prev_df = prev_parsed[0]
+        for extra in prev_parsed[1:]:
+            prev_df = prev_df.unionByName(extra)
+        edge_delta = edge_delta.join(prev_df, "source_page_url", "left_anti")
+    edge_delta = edge_delta.localCheckpoint(eager=False)
+    new_link_graph = state.link_graph.unionByName(edge_delta)
+    # pre-aggregated per-round in-degree delta — the scored pop folds SUM
+    # over these tiny batches instead of re-aggregating the edge table
+    score_delta = (
+        edge_delta.groupBy("url")
+        .agg(F.count("*").cast("long").alias("in_degree"))
+        .localCheckpoint(eager=False)
+    )
+    new_link_scores = state.link_scores.unionByName(score_delta)
+
     new_seen = state.seen.unionByName(
         claimed.select("url", "depth", F.lit(rnd).alias("claimed_round"), "source_page_url")
     )
@@ -830,8 +951,12 @@ def run_round(
         content_base=state.content_base,
         invalid_rows=new_invalid,
         retries=new_retries,
+        link_graph=new_link_graph,
+        link_scores=new_link_scores,
         page_events=new_page_events,
         content_events=new_content_events,
+        rank_scores=rank_scores,
+        rank_scored_round=rank_scored_round,
         bloom=state.bloom,
         bases_empty=state.bases_empty,
         # hint is only sound when next round's pending is exactly this
@@ -871,6 +996,10 @@ def run_round(
             content_base=new_state.page_content.localCheckpoint(eager=True),
             invalid_rows=new_state.invalid_rows,
             retries=new_state.retries,
+            link_graph=new_state.link_graph.localCheckpoint(eager=True),
+            link_scores=new_state.in_degrees.localCheckpoint(eager=True),
+            rank_scores=new_state.rank_scores,
+            rank_scored_round=new_state.rank_scored_round,
             bloom=new_state.bloom,
             bases_empty=False,
             pending_rows_hint=new_state.pending_rows_hint,

@@ -508,11 +508,14 @@ def q37_priority_pop(spark, sf_dir):
     events = load(spark, sf_dir, "events")
     pending = event_frontier(events)
     links = events.select(
+        F.lit("src").alias("source_page_url"),
         F.concat(
             F.lit("https://en.wikipedia.org/wiki/E"), F.col("event_id") % 200
-        ).alias("url")
+        ).alias("url"),
     )
-    return politeness.scored_pop(pending, links, budget=100)
+    return politeness.scored_pop(
+        pending, politeness.in_degrees(links), budget=100
+    )
 
 
 def q35_page_categories(spark, sf_dir):
@@ -999,6 +1002,65 @@ def q53_top_ngrams(spark, sf_dir):
     deterministic on both engines."""
     docs = spread(load(spark, sf_dir, "documents"))
     return textops.top_ngrams(docs, k=50)
+
+
+# q54 scenario constants — shared with the oracle generator in
+# __spark_entry__ (_scored_frontier_sql)
+SCORED_ROUNDS = 5
+
+
+def q54_scored_frontier(spark, sf_dir):
+    """Incremental scored frontier (VERDICT r4 #4 + ADVICE r4 #1) under a
+    full dynamic-order oracle: ALL document urls start pending at depth 0
+    (pre-seeded into seen so re-discovery never re-queues), the pop budget
+    is ceil(n/5), pop_strategy='scored'. Each round parses its batch, the
+    parsed pages' out-edges land in the link-graph delta, the per-round
+    in-degree deltas fold into the score state, and the NEXT round's pop
+    is ordered by (depth, in_degree desc, url) over scores discovered so
+    far — so the visit order is genuinely score-driven (round 0 is
+    lexicographic, rounds 1+ follow the accumulating in-degrees). Output:
+    (url, first_crawled_round, in_degree) where in_degree is the final
+    fold over the full discovered graph. Oracle: chained-CTE round-by-
+    round replay of the identical ranking (one CTE block per round).
+
+    This is the query whose pop plan must contain NO full-edge-table
+    aggregate — the fold reads only the pre-aggregated per-round deltas
+    (asserted in tests/test_plans.py::test_scored_pop_is_incremental)."""
+    web = corpus_mod.documents_corpus(spark, sf_dir)
+    docs = corpus_mod.load_documents(spark, sf_dir)
+    n = docs.count()
+    budget = -(-n // SCORED_ROUNDS)  # ceil
+    url = F.concat(F.lit(corpus_mod.URL_PREFIX), F.col("doc_id"))
+    all_pending = docs.select(
+        url.alias("url"),
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(0).cast("int").alias("scheduled_round"),
+        F.lit("").alias("source_page_url"),
+    )
+    state = frontier.init_state(spark, [])
+    state.pending = all_pending.localCheckpoint(eager=True)
+    state.seen = all_pending.select(
+        "url", "depth", F.lit(0).cast("int").alias("claimed_round"), "source_page_url"
+    )
+    cfg = frontier.CrawlConfig(
+        max_depth=4,
+        budget_per_round=budget,
+        max_rounds=SCORED_ROUNDS,
+        collect_metrics=False,
+        pop_strategy="scored",
+        bloom_bits=None,
+    )
+    for _ in range(SCORED_ROUNDS):
+        state, _ = frontier.run_round(spark, state, web, cfg)
+    return (
+        state.pages.select("url", "first_crawled_round")
+        .join(state.in_degrees, "url", "left")
+        .select(
+            "url",
+            "first_crawled_round",
+            F.coalesce(F.col("in_degree"), F.lit(0)).cast("long").alias("in_degree"),
+        )
+    )
 
 
 ALL_QUERIES = {

@@ -38,6 +38,8 @@ TABLE_DDLS = {
     "pages": schemas.PAGES_DDL,
     "page_content": schemas.PAGE_CONTENT_DDL,
     "links": schemas.LINKS_DDL,
+    "link_graph": schemas.LINK_GRAPH_DDL,
+    "link_scores": schemas.LINK_SCORES_DDL,
     "metrics": schemas.METRICS_DDL,
     "invalid_rows": schemas.INVALID_DDL,
     "retries": schemas.RETRIES_DDL,
@@ -124,6 +126,12 @@ def write_checkpoint(
         content_base=reloaded["page_content"],
         invalid_rows=reloaded["invalid_rows"],
         retries=reloaded["retries"],
+        # the snapshot holds the deduped graph and the FOLDED score rows —
+        # the reloaded state's delta log restarts from the compacted base
+        link_graph=reloaded["link_graph"],
+        link_scores=reloaded["link_scores"],
+        rank_scores=state.rank_scores,
+        rank_scored_round=state.rank_scored_round,
         bloom=state.bloom,
         bases_empty=False,
     )
@@ -237,6 +245,8 @@ def load_checkpoint(
         content_base=tables["page_content"],
         invalid_rows=tables["invalid_rows"],
         retries=tables["retries"],
+        link_graph=tables["link_graph"],
+        link_scores=tables["link_scores"],
         bloom=bloom,
         bases_empty=False,
     )
