@@ -32,12 +32,16 @@ from wikifrontier.corpus import (
     retry_recrawl_oracle_sql,
 )
 from wikifrontier.dedup import (
-    CONTAINMENT_MAX_DF, LSH_BANDS, MINHASH_PERMS, MINHASH_SLICE,
-    SEGMENT_LEN, SIMHASH_BANDS, SIMHASH_BITS,
+    CONTAINMENT_MAX_DF, CONTAM_MIN_OVERLAP, LSH_BANDS, MINHASH_PERMS,
+    MINHASH_SLICE, SEGMENT_LEN, SIMHASH_BANDS, SIMHASH_BITS,
 )
+from wikifrontier.filters import TRAP_AMPLIFICATION, TRAP_AVG_DEPTH, TRAP_PARAM_FRAC
 from wikifrontier.frontier import ERROR_TYPES
 from wikifrontier.linkgraph import PAGERANK_DAMPING, PAGERANK_ITERATIONS
-from wikifrontier.textops import BPE_RE, LANG_PROFILES, STOPWORDS, TOKEN_RE
+from wikifrontier.textops import (
+    BPE_RE, LANG_PROFILES, SAMPLE_HEX_DIGITS, STOPWORDS, TOKEN_RE,
+    sample_threshold_hex,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -408,6 +412,17 @@ f AS (
     )
     sig_cols_a = ", ".join(f"sa.h{p}" for p in range(MINHASH_PERMS))
     bands = ",\n      ".join(_band_exprs())
+
+    # q57 per-stratum thresholds (textops.sample_threshold_hex — shared code,
+    # so the Spark filter and this CASE compare against identical strings)
+    _mixture_case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN '{sample_threshold_hex(rate)}'"
+            for lang, rate in sorted(Q.MIXTURE_RATES.items())
+        )
+        + f" ELSE '{sample_threshold_hex(0.0)}' END"
+    )
 
     return {
         "q01_canonicalize": f"""
@@ -1083,5 +1098,89 @@ c AS (
 )
 SELECT gram, occurrences, doc_freq FROM c
 ORDER BY occurrences DESC, gram LIMIT 50
+""",
+        # q55: benchmark decontamination — identical bench/candidate split,
+        # distinct-3-gram LEFT JOIN overlap, zero-gram docs restored via the
+        # outer doc-list join (Spark side keeps them via explode_outer).
+        "q55_contamination": f"""
+WITH {NEARDUP},
+bench AS (
+  SELECT DISTINCT unnest(list_distinct({SHINGLE3})) AS gram
+  FROM (SELECT {TOKS} AS t FROM docs WHERE doc_id % {Q.CONTAM_BENCH_MOD} = 0)
+),
+cand AS (
+  SELECT doc_id, unnest(list_distinct({SHINGLE3})) AS gram
+  FROM (SELECT doc_id, {TOKS} AS t FROM docs
+        WHERE doc_id % {Q.CONTAM_BENCH_MOD} <> 0)
+),
+per AS (
+  SELECT c.doc_id,
+         count(*) AS total_grams,
+         sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS contaminated
+  FROM cand c LEFT JOIN bench b USING (gram)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+  CAST(coalesce(p.total_grams, 0) AS INT) AS total_grams,
+  CAST(coalesce(p.contaminated, 0) AS INT) AS contaminated_grams,
+  round(CASE WHEN coalesce(p.total_grams, 0) > 0
+             THEN coalesce(p.contaminated, 0) / CAST(p.total_grams AS DOUBLE)
+             ELSE 0.0 END, 6) AS contamination_ratio,
+  coalesce(p.contaminated, 0) >= {CONTAM_MIN_OVERLAP} AS is_contaminated
+FROM (SELECT doc_id FROM docs WHERE doc_id % {Q.CONTAM_BENCH_MOD} <> 0) d
+LEFT JOIN per p USING (doc_id)
+""",
+        # q56: crawl-trap signals — identical URL derivation, exact-integer
+        # sums divided post-aggregate (never a float avg), same thresholds.
+        "q56_trap_detection": f"""
+WITH u AS (
+  SELECT CASE
+    WHEN doc_id % 4 = 0 THEN 'https://en.wikipedia.org/wiki/Doc_' || doc_id
+    WHEN doc_id % 4 = 1 THEN 'https://docs.example.org/docs/v' || (doc_id % 10)
+                             || '/page_' || doc_id
+    WHEN doc_id % 4 = 2 THEN 'https://calendar.example.com/2026/' || (doc_id % 12 + 1)
+                             || '/' || (doc_id % 28 + 1) || '/event_' || doc_id
+    ELSE 'https://forum.example.net/thread?id=' || doc_id || '&sort=' || (doc_id % 3)
+  END AS url
+  FROM documents
+),
+s AS (
+  SELECT
+    regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+    len(list_filter(string_split(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1), '/'),
+                    x -> x <> '')) AS depth,
+    array_to_string(list_filter(string_split(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1), '/'),
+                    x -> x <> '')[1:2], '/') AS prefix2,
+    CASE WHEN instr(url, '?') > 0 THEN 1 ELSE 0 END AS has_param
+  FROM u
+),
+g AS (
+  SELECT host, count(*) AS n_urls, sum(depth) AS depth_sum,
+         sum(has_param) AS param_sum, count(DISTINCT prefix2) AS n_prefix2
+  FROM s GROUP BY host
+),
+r AS (
+  SELECT host, n_urls,
+    round(depth_sum / CAST(n_urls AS DOUBLE), 6) AS avg_depth,
+    round(param_sum / CAST(n_urls AS DOUBLE), 6) AS param_frac,
+    round(n_urls / CAST(greatest(n_prefix2, 1) AS DOUBLE), 6) AS amplification
+  FROM g
+)
+SELECT host, n_urls, avg_depth, param_frac, amplification,
+  (amplification >= {TRAP_AMPLIFICATION}
+   AND (avg_depth >= {TRAP_AVG_DEPTH} OR param_frac >= {TRAP_PARAM_FRAC})) AS is_trap
+FROM r
+""",
+        # q57: deterministic stratified mixture sampling — same md5-prefix
+        # threshold compare (string order), same per-lang rates.
+        "q57_mixture_sample": f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, {SAMPLE_HEX_DIGITS}) AS sample_key,
+    CAST(len({TOKS}) AS INT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, sample_key, n_tokens FROM s
+WHERE sample_key < {_mixture_case}
 """,
     }

@@ -423,3 +423,74 @@ def test_top_ngrams(spark):
         ("b c a", 1, 1),
         ("b c x", 1, 1),
     ]
+
+
+def test_benchmark_contamination(spark):
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta"),  # near-copy
+            (1, "alpha beta gamma unrelated tail here now"),  # 1 shared gram
+            (2, "totally different words in this document"),  # clean
+            (3, "xy"),  # < n tokens → zero grams, trivially clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.benchmark_contamination(cand, bench).collect()}
+    assert len(out) == 4
+    assert out[0]["is_contaminated"] and out[0]["contaminated_grams"] == 4
+    assert out[1]["is_contaminated"] and out[1]["contaminated_grams"] == 1
+    assert not out[2]["is_contaminated"] and out[2]["contamination_ratio"] == 0.0
+    # zero-gram doc survives explode_outer with total 0 and stays clean
+    assert out[3]["total_grams"] == 0 and not out[3]["is_contaminated"]
+    # ratio = overlap / distinct grams of the candidate
+    assert out[0]["contamination_ratio"] == round(4 / out[0]["total_grams"], 6)
+
+
+def test_trap_signals(spark):
+    from wikifrontier import filters
+
+    rows = (
+        # flat wiki: one URL per distinct prefix2 → amplification 1, clean
+        [(f"https://wiki.example.org/wiki/Page_{i}",) for i in range(20)]
+        # calendar trap: deep paths, single 2-segment prefix
+        + [(f"https://cal.example.com/2026/01/{i}/event_{i}",) for i in range(20)]
+        # forum trap: one path, query-id URLs
+        + [(f"https://forum.example.net/thread?id={i}",) for i in range(20)]
+        # versioned docs: high amplification but shallow + query-free → clean
+        + [(f"https://docs.example.org/docs/v1/page_{i}",) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "url string")
+    out = {r["host"]: r for r in filters.trap_signals(df).collect()}
+    assert not out["wiki.example.org"]["is_trap"]
+    assert out["wiki.example.org"]["amplification"] == 1.0
+    assert out["cal.example.com"]["is_trap"]
+    assert out["cal.example.com"]["avg_depth"] == 4.0
+    assert out["forum.example.net"]["is_trap"]
+    assert out["forum.example.net"]["param_frac"] == 1.0
+    assert out["forum.example.net"]["avg_depth"] == 1.0
+    assert not out["docs.example.org"]["is_trap"]  # amplification alone ≠ trap
+    assert out["docs.example.org"]["amplification"] == 20.0
+
+
+def test_stratified_sample_deterministic(spark):
+    import hashlib
+
+    rows = [(i, "en" if i % 2 == 0 else "zz") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = textops.stratified_sample(
+        df, {"en": 0.5, "zz": 1.0}, "lang", "doc_id"
+    ).collect()
+    kept = {r["doc_id"] for r in out}
+    # rate-1.0 stratum keeps every row; default-0.0 would drop unknown strata
+    assert all(i in kept for i in range(400) if i % 2 == 1)
+    # membership is exactly the md5-prefix rule — reproducible off-engine
+    for i in range(0, 400, 2):
+        expect = hashlib.md5(str(i).encode()).hexdigest()[:8] < "80000000"
+        assert (i in kept) == expect, i
+    # unknown stratum under default rate 0.0 → dropped
+    extra = spark.createDataFrame([(9999, "xx")], "doc_id long, lang string")
+    assert textops.stratified_sample(extra, {"en": 0.5}, "lang", "doc_id").count() == 0

@@ -185,3 +185,38 @@ def test_segment_dedup_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    # the benchmark gram set is tiny at any corpus scale: the overlap join
+    # must be a broadcast hash join — never a sort-merge (which would
+    # shuffle every candidate gram) and never a nested loop.
+    plan = plan_of(queries.q55_contamination(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trap_signals_single_keyed_aggregate(spark):
+    # per-host signals are one groupBy: no joins at all, and the aggregate
+    # carries a map-side partial phase before the host-keyed exchange.
+    plan = plan_of(queries.q56_trap_detection(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    # deterministic sampling is scan-side: no join, no aggregate, and the
+    # only exchange is the deliberate spread() repartition.
+    from wikifrontier import textops
+
+    df = textops.stratified_sample(
+        queries.load(spark, SF_DIR, "documents"),
+        queries.MIXTURE_RATES,
+        "lang",
+        "doc_id",
+    )
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert "Exchange" not in plan  # no spread() here: zero shuffles
+    assert "HashAggregate" not in plan

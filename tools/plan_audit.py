@@ -190,6 +190,40 @@ def main() -> int:
         summary_of(textops.top_ngrams(queries.load(spark, sf_dir, "documents"), k=50)),
     ))
 
+    # 9. benchmark decontamination (q55)
+    sections.append((
+        "Benchmark decontamination (q55)",
+        "The overlap join is a BroadcastHashJoin against the benchmark's "
+        "distinct-gram set — benchmarks are MBs even when the corpus is "
+        "100 TB, so the candidate grams never shuffle for the membership "
+        "test; total + overlap fold in ONE doc-keyed aggregate (single "
+        "scan of the text column, partial-agg below the exchange).",
+        summary_of(queries.q55_contamination(spark, sf_dir)),
+    ))
+
+    # 10. crawl-trap signals (q56)
+    sections.append((
+        "Crawl-trap detection (q56)",
+        "Join-free: codegen'd host/path/prefix projections into one "
+        "host-keyed aggregate (exact integer sums — float division only "
+        "post-aggregate, so partial-agg order cannot perturb results). "
+        "Host count is bounded by the web itself (~10^8), never by the "
+        "10^10 URL log being aggregated.",
+        summary_of(queries.q56_trap_detection(spark, sf_dir)),
+    ))
+
+    # 11. deterministic stratified sampling (q57)
+    sections.append((
+        "Deterministic mixture sampling (q57)",
+        "A pure scan-side filter: md5-prefix threshold CASE, zero "
+        "shuffles, zero RNG state — composes with pruning/pushdown and "
+        "costs one pass at any corpus scale.",
+        summary_of(textops.stratified_sample(
+            queries.load(spark, sf_dir, "documents"),
+            queries.MIXTURE_RATES, "lang", "doc_id",
+        )),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -619,3 +619,69 @@ def segment_dedup(
             F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
         )
     )
+
+
+# --- benchmark decontamination ------------------------------------------------
+CONTAM_NGRAM = SHINGLE_K  # n-gram width shared with the oracle SQL
+CONTAM_MIN_OVERLAP = 1    # >=1 shared distinct gram flags the document
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = CONTAM_NGRAM,
+    min_overlap: int = CONTAM_MIN_OVERLAP,
+) -> DataFrame:
+    """Train/test decontamination: per training document, the count and
+    fraction of its distinct word n-grams that also occur anywhere in the
+    benchmark corpus, plus the contamination flag (>= ``min_overlap``
+    shared grams). This is the n-gram-overlap decontamination pass the
+    GPT-3 / PaLM / Llama reports describe for scrubbing evaluation sets
+    out of web-scale training data; the reference has no analogue (it
+    stops at crawl+parse), but any corpus its crawler feeds to a trainer
+    needs this before the data ships.
+
+    Scale shape: the benchmark side is tiny at ANY corpus scale
+    (evaluation suites are MBs while the training corpus is 100 TB), so
+    its distinct-gram set is broadcast and the only shuffle is the
+    per-document overlap count keyed on doc id (map-side combined). The
+    document text is scanned once: grams are exploded a single time and
+    both the total and the overlap are folded in one aggregate over the
+    broadcast-left-joined rows. Documents shorter than ``n`` tokens have
+    no grams (explode_outer keeps them; count(gram) ignores the null) and
+    are trivially uncontaminated.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(tokens(F.col(text)), n))).alias("gram")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("did"),
+        F.explode_outer(F.array_distinct(shingles(tokens(F.col(text)), n))).alias("gram"),
+    )
+    per_doc = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy("did")
+        .agg(
+            F.count("gram").alias("total_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("contaminated_grams"),
+        )
+    )
+    return per_doc.select(
+        F.col("did").alias(id_col),
+        F.col("total_grams").cast("int").alias("total_grams"),
+        F.col("contaminated_grams").cast("int").alias("contaminated_grams"),
+        F.round(
+            F.when(
+                F.col("total_grams") > 0,
+                F.col("contaminated_grams") / F.col("total_grams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("contamination_ratio"),
+        (F.col("contaminated_grams") >= min_overlap).alias("is_contaminated"),
+    )

@@ -189,3 +189,67 @@ def filter_reason(
         .when(home_page, F.lit("home_page"))
         .when(robots, F.lit("robots_txt"))
     )
+
+
+# --- crawl-trap detection ------------------------------------------------------
+# A host is flagged a trap when its URL space amplifies (many URLs under few
+# distinct 2-segment path prefixes — infinite calendars, faceted search,
+# session-id echoes) AND the URLs are either deep or query-driven. The
+# reference's only trap defence is the static max-depth gate
+# (components/crawler/core/link_filters.py via MAX_DEPTH above); a frontier at
+# 10^10 URLs needs the per-host statistical signal as well, computed from the
+# discovered-URL log, fed back as a domain blocklist for the next rounds.
+TRAP_AMPLIFICATION = 10.0  # URLs per distinct 2-segment prefix
+TRAP_AVG_DEPTH = 4.0       # mean path-segment count
+TRAP_PARAM_FRAC = 0.5      # fraction of URLs carrying a query string
+
+
+def trap_signals(df, url_col: str = "url") -> "DataFrame":
+    """Per-host crawl-trap signals over a discovered-URL table.
+
+    Returns (host, n_urls, avg_depth, param_frac, amplification, is_trap).
+
+    Scale shape: two pure column projections (regexp host/path split,
+    array ops for depth/prefix — all codegen'd, no UDF) and ONE shuffle
+    keyed on host with map-side partial aggregation; the distinct-prefix
+    count rides the same aggregate as count_distinct. Averages are
+    exact-integer sums divided post-aggregate (never a float `avg`), so
+    partial-agg order cannot perturb the oracle comparison.
+    """
+    url = F.col(url_col)
+    host = F.regexp_extract(url, r"^https?://([^/?#]+)", 1)
+    path = F.regexp_extract(url, r"^https?://[^/?#]+([^?#]*)", 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    depth = F.size(segs)
+    prefix2 = F.concat_ws("/", F.slice(segs, 1, 2))
+    has_param = (F.instr(url, "?") > 0).cast("int")
+    g = (
+        df.select(
+            host.alias("host"),
+            depth.alias("depth"),
+            prefix2.alias("prefix2"),
+            has_param.alias("has_param"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum("depth").alias("depth_sum"),
+            F.sum("has_param").alias("param_sum"),
+            F.count_distinct("prefix2").alias("n_prefix2"),
+        )
+    )
+    n = F.col("n_urls").cast("double")
+    avg_depth = F.round(F.col("depth_sum") / n, 6)
+    param_frac = F.round(F.col("param_sum") / n, 6)
+    amplification = F.round(n / F.greatest(F.col("n_prefix2"), F.lit(1)).cast("double"), 6)
+    return g.select(
+        "host",
+        "n_urls",
+        avg_depth.alias("avg_depth"),
+        param_frac.alias("param_frac"),
+        amplification.alias("amplification"),
+        (
+            (amplification >= TRAP_AMPLIFICATION)
+            & ((avg_depth >= TRAP_AVG_DEPTH) | (param_frac >= TRAP_PARAM_FRAC))
+        ).alias("is_trap"),
+    )

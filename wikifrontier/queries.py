@@ -1063,6 +1063,79 @@ def q54_scored_frontier(spark, sf_dir):
     )
 
 
+# q55 scenario constant — shared with the oracle SQL
+CONTAM_BENCH_MOD = 37
+
+
+def q55_contamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM-style n-gram overlap) over
+    documents ∪ derived near-dups: every 37th original is the "held-out
+    benchmark"; all other docs are the training candidates. The near-dup
+    copies of benchmark docs share almost all their 3-grams with the
+    benchmark — the planted contamination the operator must flag — while
+    unrelated docs overlap only on common phrases. Output: per candidate
+    doc, distinct-gram total, overlapping-gram count, contamination
+    ratio, flag. Oracle: identical split + LEFT JOIN overlap count."""
+    docs = neardup_docs(load(spark, sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    cand = docs.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return dedup.benchmark_contamination(cand, bench)
+
+
+def q56_trap_detection(spark, sf_dir):
+    """Per-host crawl-trap signals (filters.trap_signals) over a derived
+    discovered-URL log with four host personas: a flat wiki (amplification
+    1 — clean), a versioned docs site (high amplification but shallow and
+    query-free — clean, exercises the AND), an infinite-calendar host
+    (deep paths under 3 month prefixes — trap), and a faceted forum
+    (query-id URLs under one path — trap). Oracle replays the identical
+    URL derivation + exact-integer-sum aggregation."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    d = F.col("doc_id")
+    wiki = F.concat(F.lit("https://en.wikipedia.org/wiki/Doc_"), d.cast("string"))
+    vdocs = F.concat(
+        F.lit("https://docs.example.org/docs/v"), (d % 10).cast("string"),
+        F.lit("/page_"), d.cast("string"),
+    )
+    cal = F.concat(
+        F.lit("https://calendar.example.com/2026/"), (d % 12 + 1).cast("string"),
+        F.lit("/"), (d % 28 + 1).cast("string"), F.lit("/event_"), d.cast("string"),
+    )
+    forum = F.concat(
+        F.lit("https://forum.example.net/thread?id="), d.cast("string"),
+        F.lit("&sort="), (d % 3).cast("string"),
+    )
+    urls = docs.select(
+        F.when(d % 4 == 0, wiki)
+        .when(d % 4 == 1, vdocs)
+        .when(d % 4 == 2, cal)
+        .otherwise(forum)
+        .alias("url")
+    )
+    return filters.trap_signals(urls)
+
+
+# q57 mixture targets — shared with the oracle SQL (rate 1.0 keeps all)
+MIXTURE_RATES = {"de": 1.0, "en": 0.5, "es": 0.25, "fr": 0.125, "zh": 0.0625}
+
+
+def q57_mixture_sample(spark, sf_dir):
+    """Deterministic hash-stratified mixture sampling
+    (textops.stratified_sample): per-language keep-rates rebalance the
+    corpus toward a target training mixture; membership is an md5-prefix
+    threshold compare keyed on doc_id, so the oracle reproduces the exact
+    sample with the same md5 in SQL. Output: kept rows with the audit
+    sample_key and token count."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    kept = textops.stratified_sample(docs, MIXTURE_RATES, "lang", "doc_id")
+    return kept.select(
+        "doc_id",
+        "lang",
+        "sample_key",
+        F.size(textops.tokens(F.col("text"))).cast("int").alias("n_tokens"),
+    )
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -208,3 +208,53 @@ def top_ngrams(df, text: str = "text", id_col: str = "doc_id", n: int = SHINGLE_
     return counts.orderBy(
         F.col("occurrences").desc(), F.col("gram")
     ).limit(k)
+
+
+# --- deterministic stratified mixture sampling -------------------------------
+SAMPLE_HEX_DIGITS = 8  # md5 hex prefix width used as the sampling key
+
+
+def sample_threshold_hex(rate: float) -> str:
+    """Map a keep-rate in [0,1] to the md5-hex-prefix threshold string.
+
+    A row is kept iff ``substr(md5(key), 1, 8) < threshold``. md5 hex is
+    uniform over the 16^8 prefix space, so the string comparison keeps
+    ~rate of rows; rate >= 1.0 maps to "g", lexicographically above every
+    hex digit, i.e. keep-all. The comparison is a plain ASCII string
+    compare — bit-identical in Spark and DuckDB, reproducible across
+    runs and engines with zero RNG state.
+    """
+    if rate >= 1.0:
+        return "g"
+    ticks = max(int(rate * 16**SAMPLE_HEX_DIGITS), 0)
+    return format(ticks, f"0{SAMPLE_HEX_DIGITS}x")
+
+
+def stratified_sample(
+    df,
+    rates: dict[str, float],
+    stratum_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+):
+    """Deterministic hash-stratified sampling — the dataset-mixture
+    construction pass (rebalance languages / quality buckets / sources to
+    target proportions before training). Each stratum gets an independent
+    keep-rate; membership is decided by comparing an md5-prefix of the
+    row key against the stratum's threshold, so the sample is stable
+    under reruns, engine changes, and corpus repartitioning (properties a
+    `rand()`-based sample lacks). Returns the kept rows plus the
+    ``sample_key`` column for audit.
+
+    Scale shape: a pure filter — no shuffle, no RNG broadcast, predicate
+    fully codegen'd (md5 + substr + CASE over stratum literals). At
+    100 TB the filter runs scan-side and composes with column pruning;
+    downstream mixture accounting is whatever aggregate the caller adds.
+    """
+    thr = F.lit(sample_threshold_hex(default_rate))
+    for name, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == name, F.lit(sample_threshold_hex(rate))
+        ).otherwise(thr)
+    key = F.substring(F.md5(F.col(key_col).cast("string")), 1, SAMPLE_HEX_DIGITS)
+    return df.withColumn("sample_key", key).where(F.col("sample_key") < thr)
