@@ -1183,4 +1183,79 @@ WITH s AS (
 SELECT doc_id, lang, sample_key, n_tokens FROM s
 WHERE sample_key < {_mixture_case}
 """,
+        # q58: the composed "ship the dataset" pipeline — quality gate →
+        # LSH pair gen → hash-min closure survivors → benchmark
+        # decontamination → per-lang mixture sampling, each fragment
+        # identical to its standalone oracle (q22/q15/q47/q55/q57).
+        "q58_training_export": f"""
+WITH RECURSIVE {NEARDUP},
+feat AS (
+  SELECT doc_id, text, lang,
+    len(toks) AS n,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tok_chars,
+    CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE) AS stops
+  FROM (SELECT doc_id, text, lang, {TOKS} AS toks FROM docs)
+),
+kept AS (
+  SELECT doc_id, text, lang,
+    CAST(len(regexp_extract_all(lower(text), '{BPE_RE}')) AS INT) AS n_bpe_tokens
+  FROM feat
+  WHERE round(least(n / 100.0, 1.0) * 0.4
+        + (CASE WHEN n > 0 THEN stops / n ELSE 0.0 END) * 0.3
+        + least((CASE WHEN n > 0 THEN tok_chars / n ELSE 0.0 END) / 8.0, 1.0)
+          * 0.3, 6) >= 0.35
+),
+{_minhash_sig_sql('kept')},
+banded AS (
+  SELECT doc_id AS id, unnest([
+      {bands}]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.id < b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+  WHERE round(({agree}) / 12.0, 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(id, lab) AS (
+  SELECT doc_id, doc_id FROM kept
+  UNION
+  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+),
+labels AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id),
+surv AS (
+  SELECT k.doc_id, k.text, k.lang, k.n_bpe_tokens
+  FROM kept k JOIN labels l ON l.doc_id = k.doc_id AND l.cluster_id = k.doc_id
+  WHERE k.doc_id % {Q.CONTAM_BENCH_MOD} <> 0
+),
+bench AS (
+  SELECT DISTINCT unnest(list_distinct({SHINGLE3})) AS gram
+  FROM (SELECT {TOKS} AS t FROM docs WHERE doc_id % {Q.CONTAM_BENCH_MOD} = 0)
+),
+contam AS (
+  SELECT s.doc_id,
+         count(*) AS total_grams,
+         sum(CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END) AS hits
+  FROM (SELECT doc_id, unnest(list_distinct({SHINGLE3})) AS gram
+        FROM (SELECT doc_id, {TOKS} AS t FROM surv)) s
+  LEFT JOIN bench b USING (gram)
+  GROUP BY s.doc_id
+)
+SELECT v.doc_id, v.lang, v.n_bpe_tokens,
+       substr(md5(CAST(v.doc_id AS VARCHAR)), 1, {SAMPLE_HEX_DIGITS}) AS sample_key
+FROM surv v LEFT JOIN contam c USING (doc_id)
+WHERE round(CASE WHEN coalesce(c.total_grams, 0) > 0
+                 THEN coalesce(c.hits, 0) / CAST(c.total_grams AS DOUBLE)
+                 ELSE 0.0 END, 6) < {Q.CONTAM_RATIO_MAX}
+  AND substr(md5(CAST(v.doc_id AS VARCHAR)), 1, {SAMPLE_HEX_DIGITS}) < {_mixture_case}
+""",
     }

@@ -220,3 +220,13 @@ def test_stratified_sample_is_pure_filter(spark):
     assert "Join" not in plan
     assert "Exchange" not in plan  # no spread() here: zero shuffles
     assert "HashAggregate" not in plan
+
+
+def test_training_export_composition_shape(spark):
+    # the full ship-the-dataset composition must stay free of nested-loop
+    # pair generation end-to-end, and the decontamination stage inside it
+    # must keep its broadcast shape (benchmark side never shuffles).
+    plan = plan_of(queries.q58_training_export(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -1063,8 +1063,9 @@ def q54_scored_frontier(spark, sf_dir):
     )
 
 
-# q55 scenario constant — shared with the oracle SQL
+# q55/q58 scenario constants — shared with the oracle SQL
 CONTAM_BENCH_MOD = 37
+CONTAM_RATIO_MAX = 0.5  # q58 keep rule: < half the doc's grams hit the benchmark
 
 
 def q55_contamination(spark, sf_dir):
@@ -1133,6 +1134,54 @@ def q57_mixture_sample(spark, sf_dir):
         "lang",
         "sample_key",
         F.size(textops.tokens(F.col("text"))).cast("int").alias("n_tokens"),
+    )
+
+
+def q58_training_export(spark, sf_dir):
+    """The full "ship the dataset" composition — every corpus-hygiene
+    stage an LLM-data pipeline runs before training, as ONE declarative
+    plan: quality gate (≥ 0.35) → near-dup clustering survivor selection
+    (MinHash-LSH pairs → hash-min components, q15/q47) → benchmark
+    decontamination (drop docs whose distinct-3-gram overlap with the
+    held-out every-37th-doc benchmark reaches CONTAM_RATIO_MAX, plus the
+    benchmark docs themselves, q55) →
+    deterministic per-language mixture sampling (q57 rates). Returns the
+    shippable corpus: (doc_id, lang, n_bpe_tokens, sample_key).
+
+    Each stage is individually oracle-verified; this row pins their
+    composition ORDER (gates before pair generation, decontamination
+    before sampling — reordering changes values, not just counts).
+    Unlike q50 it keeps all languages (the lang gate is replaced by the
+    mixture sampler — the production shape: rebalance, don't drop)."""
+    docs = neardup_docs(load(spark, sf_dir, "documents"))
+    qf = textops.quality_features(F.col("text"))
+    kept = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        qf["quality_score"].alias("quality_score"),
+        textops.bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+    ).filter(F.col("quality_score") >= 0.35)
+    pairs = dedup.minhash_lsh_pairs(kept, threshold=0.5).select("id_a", "id_b")
+    clusters = dedup.dedup_clusters(kept.select("doc_id"), pairs)
+    surv = kept.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"),
+        "doc_id",
+    )
+    bench = docs.where(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+    cand = surv.where(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    # ratio threshold, not any-overlap: the benchmark split shares corpus
+    # template phrases with everything, so the production rule here is
+    # "drop docs that substantially overlap", keeping incidental phrase
+    # collisions (the standalone q55 surfaces both signals per doc)
+    clean = cand.join(
+        dedup.benchmark_contamination(cand, bench)
+        .where(F.col("contamination_ratio") < CONTAM_RATIO_MAX)
+        .select("doc_id"),
+        "doc_id",
+    )
+    return textops.stratified_sample(clean, MIXTURE_RATES, "lang", "doc_id").select(
+        "doc_id", "lang", "n_bpe_tokens", "sample_key"
     )
 
 
