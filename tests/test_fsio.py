@@ -184,6 +184,7 @@ class TestCheckpointRetention:
         cfg = CrawlConfig(
             robots_txt=synth.ROBOTS_TXT, budget_per_round=30, max_rounds=4,
             checkpoint_dir=ckpt, checkpoint_keep_last=2,
+            checkpoint_full_every=1,  # every snapshot full — pure retention
         )
         run_crawl(spark, corpus, seeds, cfg)
         io_ = fsio.get_io(ckpt)
@@ -199,6 +200,7 @@ class TestCheckpointRetention:
         cfg_more = CrawlConfig(
             robots_txt=synth.ROBOTS_TXT, budget_per_round=30, max_rounds=8,
             checkpoint_dir=ckpt, checkpoint_keep_last=2,
+            checkpoint_full_every=1,
         )
         resumed = run_crawl(spark, corpus, seeds, cfg_more, resume=True)
         fresh_cfg = CrawlConfig(
@@ -223,3 +225,126 @@ class TestCheckpointRetention:
         )
         with pytest.raises(ValueError, match="manifest_version=99"):
             state_io.load_checkpoint(spark, str(ckpt))
+
+
+class TestIncrementalCheckpoints:
+    """Manifest-v3 delta snapshots: O(round) parquet I/O per commit
+    instead of rewriting the whole crawl state (the Iceberg append /
+    merge-on-read analogue — the durability knob that matters at a
+    10^10-URL frontier)."""
+
+    def _crawl(self, spark, corpus, ckpt, max_rounds, full_every=3):
+        from wikifrontier import synth
+        from wikifrontier.frontier import CrawlConfig, run_crawl
+
+        cfg = CrawlConfig(
+            robots_txt=synth.ROBOTS_TXT, budget_per_round=30,
+            max_rounds=max_rounds, checkpoint_dir=ckpt, checkpoint_every=1,
+            checkpoint_keep_last=2, checkpoint_full_every=full_every,
+        )
+        return run_crawl(
+            spark, corpus, [synth.page_url(synth.SEED_ID)], cfg,
+            resume=True,
+        )
+
+    def test_delta_segments_hold_only_new_rows(self, spark, tmp_path):
+        """A delta snapshot's seen/links/link_graph segments contain only
+        rows born since the previous snapshot; the manifests carry the
+        full/delta kinds and the chain; union-over-chain equals the live
+        state; non-head chain members are trimmed to delta segments."""
+        from wikifrontier import state as state_io
+        from wikifrontier import synth
+
+        corpus = synth.corpus_df(spark, 200, partitions=4).cache()
+        ckpt = wo(tmp_path / "ckpt_v3")
+        st = self._crawl(spark, corpus, ckpt, max_rounds=5, full_every=5)
+        io_ = fsio.get_io(ckpt)
+
+        kinds = {}
+        for n, entry in state_io._round_entries(ckpt):
+            m = json.loads(
+                io_.read_bytes(io_.join(ckpt, entry, "_MANIFEST.json"))
+            )
+            kinds[n] = (m["kind"], m["chain"])
+        assert kinds[1] == ("full", [1])
+        for n in (2, 3, 4, 5):
+            assert kinds[n][0] == "delta"
+            assert kinds[n][1] == list(range(1, n + 1))
+
+        # each delta segment holds exactly the rows born since the prior
+        # snapshot (checkpoint_every=1 → exactly that round's rows)
+        for n in (2, 3, 4):
+            seg = spark.read.parquet(
+                fsio.strip_scheme(io_.join(ckpt, f"round={n}", "seen"))
+            )
+            claimed_rounds = {r["claimed_round"] for r in seg.collect()}
+            assert claimed_rounds <= {n - 1}, (n, claimed_rounds)
+
+        # union over the chain == live state
+        loaded = state_io.load_checkpoint(spark, ckpt)
+        assert sorted(r["url"] for r in loaded.seen.collect()) == sorted(
+            r["url"] for r in st.seen.collect()
+        )
+        assert loaded.link_graph.count() == st.link_graph.count()
+        assert sorted(map(tuple, loaded.in_degrees.collect())) == sorted(
+            map(tuple, st.in_degrees.collect())
+        )
+
+        # retention: heads {4,5} keep bloom+pending; chain members 1-3
+        # are trimmed to their delta tables
+        for n in (1, 2, 3):
+            d = io_.join(ckpt, f"round={n}")
+            assert not io_.exists(io_.join(d, "bloom_shards"))
+            assert not io_.exists(io_.join(d, "pending"))
+            assert io_.exists(io_.join(d, "seen"))
+        for n in (4, 5):
+            d = io_.join(ckpt, f"round={n}")
+            assert io_.exists(io_.join(d, "bloom_shards"))
+            assert io_.exists(io_.join(d, "pending"))
+        corpus.unpersist()
+
+    def test_delta_resume_matches_fresh(self, spark, tmp_path):
+        """Kill at a DELTA head, resume, run to completion: final state
+        (pages fold incl. attempt counters, content, graph, metrics)
+        matches an uninterrupted in-memory crawl — merge-on-read replay
+        is exact."""
+        from wikifrontier import synth
+        from wikifrontier.frontier import CrawlConfig, run_crawl
+
+        corpus = synth.corpus_df(spark, 200, partitions=4).cache()
+        ckpt = wo(tmp_path / "ckpt_v3_resume")
+        self._crawl(spark, corpus, ckpt, max_rounds=3, full_every=4)
+        resumed = self._crawl(spark, corpus, ckpt, max_rounds=6, full_every=4)
+        fresh = run_crawl(
+            spark, corpus, [synth.page_url(synth.SEED_ID)],
+            CrawlConfig(
+                robots_txt=synth.ROBOTS_TXT, budget_per_round=30, max_rounds=6
+            ),
+        )
+
+        def pages_snap(s):
+            return sorted(
+                (
+                    r["url"], r["total_crawl_attempts"],
+                    r["failed_crawl_attempts"], r["first_crawled_round"],
+                )
+                for r in s.pages.collect()
+            )
+
+        assert pages_snap(resumed) == pages_snap(fresh)
+        assert sorted(
+            (r["source_page_url"], r["text_content_hash"])
+            for r in resumed.page_content.collect()
+        ) == sorted(
+            (r["source_page_url"], r["text_content_hash"])
+            for r in fresh.page_content.collect()
+        )
+        assert sorted(map(tuple, resumed.in_degrees.collect())) == sorted(
+            map(tuple, fresh.in_degrees.collect())
+        )
+        assert sorted(
+            (r["round"], r["urls_popped"]) for r in resumed.metrics.collect()
+        ) == sorted(
+            (r["round"], r["urls_popped"]) for r in fresh.metrics.collect()
+        )
+        corpus.unpersist()

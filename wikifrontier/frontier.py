@@ -88,6 +88,18 @@ class CrawlConfig:
     # after each commit so an unbounded crawl's checkpoint dir stays
     # O(K × state size), not O(rounds). 0 = never prune.
     checkpoint_keep_last: int = 2
+    # every Nth durable snapshot is FULL (rewrites every state table);
+    # the ones between are INCREMENTAL — append-only tables (seen, links,
+    # link_graph, link_scores, metrics, invalid_rows) write only rows born
+    # since the previous snapshot (a filter on their monotone round
+    # column), and pages/page_content write only the event log since the
+    # previous snapshot (merge-on-read: the loader folds base ⊕ events,
+    # exactly Iceberg's MERGE-on-read delete/data-file split). At a 10^10
+    # frontier this is THE durability knob: a full snapshot rewrites the
+    # whole seen set every K rounds — O(crawl so far) parquet I/O per
+    # checkpoint — while a delta writes O(round) rows. 1 = always full
+    # (the pre-v3 layout).
+    checkpoint_full_every: int = 8
     # in-MEMORY event-log compaction every K rounds (None = off): fold the
     # accumulated page/content events into localCheckpointed base tables.
     # Matters for LONG crawls without a durable checkpoint_dir whose state
@@ -98,7 +110,10 @@ class CrawlConfig:
     # 95 s at sf0.1 — each compaction eagerly materializes four state
     # tables), so leave this off except for perpetual-recrawl round
     # counts. Durable checkpoints already compact; this is the lighter
-    # knob when durability isn't needed. Fold associativity is the same
+    # knob when durability isn't needed — and it is a NO-OP whenever
+    # checkpoint_dir is set, because a delta snapshot persists only the
+    # events still in the log: folding them away between snapshots would
+    # drop rows from the durable chain. Fold associativity is the same
     # combine_pages/_latest_content algebra the checkpoint path uses.
     compact_every: int | None = None
     collect_metrics: bool = True
@@ -254,6 +269,17 @@ class CrawlState:
             F.sum("in_degree").cast("long").alias("in_degree")
         )
 
+    def folded_scores(self) -> DataFrame:
+        """The score log collapsed to one row per url, stamped with the
+        last completed round — the compaction/checkpoint form. The stamp
+        keeps the round column monotone: rows folded at round R carry
+        R-1, and every later per-round delta carries its own rnd ≥ R, so
+        an incremental snapshot's `scored_round >= R` filter never
+        re-writes folded history."""
+        return self.in_degrees.withColumn(
+            "scored_round", F.lit(max(self.round - 1, 0)).cast("int")
+        )
+
     def tables(self) -> dict[str, DataFrame]:
         return {
             "pending": self.pending,
@@ -264,7 +290,7 @@ class CrawlState:
             "link_graph": self.link_graph,
             # persist the FOLDED score state (one row per url) — same
             # schema as the delta log it replaces on reload
-            "link_scores": self.in_degrees,
+            "link_scores": self.folded_scores(),
             "metrics": self.metrics,
             "invalid_rows": self.invalid_rows,
             "retries": self.retries,
@@ -826,6 +852,7 @@ def run_round(
     score_delta = (
         edge_delta.groupBy("url")
         .agg(F.count("*").cast("long").alias("in_degree"))
+        .withColumn("scored_round", F.lit(rnd).cast("int"))
         .localCheckpoint(eager=False)
     )
     new_link_scores = state.link_scores.unionByName(score_delta)
@@ -976,10 +1003,20 @@ def run_round(
         from wikifrontier import state as state_io
 
         new_state = state_io.write_checkpoint(
-            spark, new_state, cfg.checkpoint_dir, keep_last=cfg.checkpoint_keep_last
+            spark,
+            new_state,
+            cfg.checkpoint_dir,
+            keep_last=cfg.checkpoint_keep_last,
+            full_every=cfg.checkpoint_full_every,
         )
     elif (
         cfg.compact_every is not None
+        # never fold the event log away while a durable checkpoint dir is
+        # active: a later DELTA snapshot persists only the events still in
+        # the log, so an in-memory fold between snapshots would silently
+        # drop those rows from the durable chain. Durable checkpoints
+        # already compact on their own cadence.
+        and cfg.checkpoint_dir is None
         and (rnd + 1) % max(cfg.compact_every, 1) == 0
         and (new_state.page_events is not None or new_state.content_events is not None)
     ):
@@ -997,7 +1034,7 @@ def run_round(
             invalid_rows=new_state.invalid_rows,
             retries=new_state.retries,
             link_graph=new_state.link_graph.localCheckpoint(eager=True),
-            link_scores=new_state.in_degrees.localCheckpoint(eager=True),
+            link_scores=new_state.folded_scores().localCheckpoint(eager=True),
             rank_scores=new_state.rank_scores,
             rank_scored_round=new_state.rank_scored_round,
             bloom=new_state.bloom,
@@ -1110,6 +1147,7 @@ def run_crawl(
                 state = state_io.write_checkpoint(
                     spark, state, cfg.checkpoint_dir,
                     keep_last=cfg.checkpoint_keep_last,
+                    full_every=cfg.checkpoint_full_every,
                 )
     finally:
         if corpus_bucketed is not None:

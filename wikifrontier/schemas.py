@@ -49,7 +49,10 @@ LINK_GRAPH_DDL = "source_page_url string, url string, depth int, discovered_roun
 # deltas (url, in_degree) — the scored pop folds SUM over these instead of
 # re-aggregating the full edge table every round (VERDICT r4 #4). Durable
 # checkpoints / compaction collapse the log to one row per url.
-LINK_SCORES_DDL = "url string, in_degree long"
+# `scored_round` is the round the delta batch (or fold) was produced at —
+# the monotone column incremental checkpoints filter on, so a delta
+# snapshot writes only score rows born since the previous snapshot.
+LINK_SCORES_DDL = "url string, in_degree long, scored_round int"
 
 # crawl outcomes (reference pages, models.py:34-105; `depth` /
 # `first_crawled_round` added for BFS-layer lineage)

@@ -434,10 +434,40 @@ class PartitionedBloomSeen:
         buf = _io.BytesIO()
         np.savez(buf, buckets=self.buckets, nbits=self.nbits, k=self.k)
         dst_io.write_bytes(dst_io.join(path, self.META), buf.getvalue())
-        for src in src_io.glob(self.storage_dir, "bucket_*.npy"):
-            dst_io.write_bytes(
-                dst_io.join(path, src_io.basename(src)), src_io.read_bytes(src)
-            )
+        names = [
+            src_io.basename(p)
+            for p in src_io.glob(self.storage_dir, "bucket_*.npy")
+        ]
+        if spark is not None and names:
+            # distributed snapshot copy (one task per shard batch): at a
+            # 10^10-URL frontier the filter is ~10 GiB of bitmap — routing
+            # every byte through the driver (the old loop) makes the
+            # driver NIC the checkpoint bottleneck. Executors read their
+            # shard from the shared working dir and PUT it to the
+            # snapshot; the driver only writes the tiny meta blob.
+            src_dir, dst_dir = self.storage_dir, path
+
+            def copy_shards(names_iter):
+                s_io = fsio.get_io(src_dir)
+                d_io = fsio.get_io(dst_dir)
+                n = 0
+                for nm in names_iter:
+                    d_io.write_bytes(
+                        d_io.join(dst_dir, nm),
+                        s_io.read_bytes(s_io.join(src_dir, nm)),
+                    )
+                    n += 1
+                yield n
+
+            spark.sparkContext.parallelize(
+                names, min(len(names), 32)
+            ).mapPartitions(copy_shards).sum()
+        else:
+            for nm in names:
+                dst_io.write_bytes(
+                    dst_io.join(path, nm),
+                    src_io.read_bytes(src_io.join(self.storage_dir, nm)),
+                )
 
     @classmethod
     def load(cls, path: str, storage_dir: str | None = None) -> "PartitionedBloomSeen":
