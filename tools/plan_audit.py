@@ -224,6 +224,24 @@ def main() -> int:
         )),
     ))
 
+    # 12. training-set export composition (q58)
+    q58_plan = plan_of(queries.q58_training_export(spark, sf_dir))
+    assert "CartesianProduct" not in q58_plan, "q58 grew a cartesian"
+    assert "BroadcastNestedLoopJoin" not in q58_plan, "q58 grew a nested loop"
+    sections.append((
+        "Training-set export composition (q58)",
+        "Every corpus-hygiene stage as ONE declarative plan: quality gate "
+        "(scan-side filter, before any pair generation) → MinHash-LSH "
+        "survivor selection (band-keyed equi-joins, q15/q47 shapes) → "
+        "ratio-thresholded decontamination (benchmark grams broadcast, "
+        "q55 shape) → md5 mixture sampling (q57's exchange-free filter). "
+        "End-to-end the plan holds every per-stage invariant at once: no "
+        "CartesianProduct, no BroadcastNestedLoopJoin (machine-asserted "
+        "here and in test_plans) — document text crosses at most the LSH "
+        "band shuffle; each later stage moves only ids and counters.",
+        summary_of(queries.q58_training_export(spark, sf_dir)),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "
