@@ -332,6 +332,130 @@ SELECT id AS doc_id, round(pr, 8) AS pagerank FROM {prev}
 """
 
 
+def _hits_sql() -> str:
+    """q59 oracle: chained-CTE replay of linkgraph.hits over the q51
+    edge fixture. Each half-step is the same join→keyed-sum→coalesce→
+    L1-normalize arithmetic as the Spark loop (explicit DOUBLE casts;
+    the normalizing total is summed over the node-joined, zero-filled
+    frame exactly as _l1_normalize does)."""
+    from wikifrontier.linkgraph import HITS_ITERATIONS
+
+    steps = []
+    prev_h = "h0"
+    prev_a = "a0"
+    for k in range(1, HITS_ITERATIONS + 1):
+        steps.append(f"""
+a{k}p AS (
+  SELECT nodes.id, coalesce(r.v, CAST(0 AS DOUBLE)) AS v
+  FROM nodes LEFT JOIN (
+    SELECT dst AS id, sum(hub) AS v
+    FROM edges JOIN {prev_h} ph ON ph.id = edges.src GROUP BY dst
+  ) r USING (id)
+),
+a{k} AS (
+  SELECT id, CASE WHEN t.t > 0 THEN v / t.t ELSE CAST(0 AS DOUBLE) END AS auth
+  FROM a{k}p CROSS JOIN (SELECT sum(v) AS t FROM a{k}p) t
+),
+h{k}p AS (
+  SELECT nodes.id, coalesce(r.v, CAST(0 AS DOUBLE)) AS v
+  FROM nodes LEFT JOIN (
+    SELECT src AS id, sum(auth) AS v
+    FROM edges JOIN a{k} pa ON pa.id = edges.dst GROUP BY src
+  ) r USING (id)
+),
+h{k} AS (
+  SELECT id, CASE WHEN t.t > 0 THEN v / t.t ELSE CAST(0 AS DOUBLE) END AS hub
+  FROM h{k}p CROSS JOIN (SELECT sum(v) AS t FROM h{k}p) t
+)""")
+        prev_h, prev_a = f"h{k}", f"a{k}"
+    its = ",".join(steps)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 31 + 7) % nn.n FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT nodes.id, CAST(1 AS DOUBLE) / nn.n AS hub FROM nodes CROSS JOIN nn),{its}
+SELECT {prev_h}.id AS doc_id, round(hub, 8) AS hub, round(auth, 8) AS auth
+FROM {prev_h} JOIN {prev_a} USING (id)
+"""
+
+
+def _sig_cte(source: str, suffix: str) -> str:
+    """MinHash signature CTE chain over `source` with suffixed CTE names
+    (so two instances — corpus + batch — coexist in one statement)."""
+    mins = ",\n    ".join(
+        f"min(substr(h, {1 + p * MINHASH_SLICE}, {MINHASH_SLICE})) AS h{p}"
+        for p in range(MINHASH_PERMS)
+    )
+    return f"""
+tok{suffix} AS (SELECT doc_id, {TOKS} AS t FROM {source}),
+sh{suffix} AS (SELECT doc_id, unnest({SHINGLE3}) AS shingle FROM tok{suffix}),
+shh{suffix} AS (SELECT doc_id, sha256(shingle) AS h FROM sh{suffix}),
+sig{suffix} AS (SELECT doc_id, {mins} FROM shh{suffix} GROUP BY doc_id)"""
+
+
+def _incremental_ingest_sql() -> str:
+    """q61 oracle: full replay of dedup.incremental_ingest — identical
+    corpus/batch split, sha256 exact probe, MinHash band join with
+    signature-agreement scoring, min-id/max-est folds, verdict
+    precedence exact > near > unique."""
+    bands = ", ".join(_band_exprs())
+    hcols = ", ".join(f"h{p}" for p in range(MINHASH_PERMS))
+    agree = " + ".join(
+        f"(CASE WHEN b.h{p} = c.h{p} THEN 1 ELSE 0 END)"
+        for p in range(MINHASH_PERMS)
+    )
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+toksall AS (SELECT doc_id, text, {TOKS} AS t FROM documents),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+batch AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 9 = 0 THEN s.text
+              WHEN d.doc_id % 9 = 3
+                THEN array_to_string(s.t[1:greatest(len(s.t) - 3, 1)], ' ')
+              ELSE d.text END AS text
+  FROM toksall d
+  CROSS JOIN nn
+  JOIN toksall s ON s.doc_id = (d.doc_id + 1) % nn.n
+  WHERE d.doc_id % 3 = 0
+),
+{_sig_cte("corpus", "c").lstrip()},
+{_sig_cte("batch", "b").lstrip()},
+cband AS (SELECT doc_id AS cid, {hcols}, unnest([{bands}]) AS band_key FROM sigc),
+bband AS (SELECT doc_id AS bid, {hcols}, unnest([{bands}]) AS band_key FROM sigb),
+nearp AS (
+  SELECT b.bid, c.cid,
+         round(({agree}) / CAST({MINHASH_PERMS} AS DOUBLE), 6) AS est
+  FROM bband b JOIN cband c USING (band_key)
+),
+near AS (
+  SELECT bid, min(cid) AS near_match_id, max(est) AS near_est
+  FROM nearp WHERE est >= {Q.INGEST_THRESHOLD} GROUP BY bid
+),
+exact AS (
+  SELECT b.doc_id AS bid, min(c.doc_id) AS exact_match_id
+  FROM batch b JOIN corpus c ON sha256(c.text) = sha256(b.text)
+  GROUP BY b.doc_id
+)
+SELECT b.doc_id,
+  CASE WHEN e.exact_match_id IS NOT NULL THEN 'exact_dup'
+       WHEN n.near_match_id IS NOT NULL THEN 'near_dup'
+       ELSE 'unique' END AS verdict,
+  coalesce(e.exact_match_id, n.near_match_id) AS match_id,
+  CASE WHEN e.exact_match_id IS NOT NULL THEN CAST(1 AS DOUBLE)
+       ELSE n.near_est END AS est_jaccard
+FROM batch b
+LEFT JOIN exact e ON e.bid = b.doc_id
+LEFT JOIN near n ON n.bid = b.doc_id
+"""
+
+
 def _scored_frontier_sql(rounds: int = Q.SCORED_ROUNDS) -> str:
     """q54 oracle: round-by-round replay of the incremental scored
     frontier. One CTE block per round r: s{r} = in-degrees over edges
@@ -1061,6 +1185,49 @@ FROM m
 """,
         "q51_pagerank": _pagerank_sql(),
         "q54_scored_frontier": _scored_frontier_sql(),
+        "q59_hits": _hits_sql(),
+        # q60: per-target anchor-text profile — identical edge fixture
+        # (UNION ALL: anchor_profile counts every edge mention), anchor =
+        # first 3 tokens of the SOURCE text, windowed argmax with the
+        # same (count desc, term asc) tie-break.
+        "q60_anchor_profile": f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+anch AS (
+  SELECT doc_id, array_to_string(({TOKS})[1:3], ' ') AS anchor_text
+  FROM documents
+),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id + 1) % nn.n AS dst, a.anchor_text
+  FROM documents d JOIN anch a USING (doc_id) CROSS JOIN nn
+  UNION ALL
+  SELECT d.doc_id, (d.doc_id * 31 + 7) % nn.n, a.anchor_text
+  FROM documents d JOIN anch a USING (doc_id) CROSS JOIN nn
+  UNION ALL
+  SELECT d.doc_id, (d.doc_id * 17 + 3) % nn.n, a.anchor_text
+  FROM documents d JOIN anch a USING (doc_id) CROSS JOIN nn
+),
+deg AS (
+  SELECT dst AS doc_id, count(*) AS in_degree, count(DISTINCT src) AS n_sources
+  FROM edges GROUP BY dst
+),
+terms AS (
+  SELECT dst, unnest(regexp_extract_all(lower(anchor_text), '{TOKEN_RE}')) AS term
+  FROM edges
+),
+tc AS (SELECT dst, term, count(*) AS term_count FROM terms GROUP BY dst, term),
+top AS (
+  SELECT dst, term, term_count FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY dst ORDER BY term_count DESC, term
+    ) AS rn FROM tc
+  ) WHERE rn = 1
+)
+SELECT deg.doc_id, in_degree, n_sources,
+       coalesce(top.term, '') AS top_term,
+       CAST(coalesce(top.term_count, 0) AS BIGINT) AS top_term_count
+FROM deg LEFT JOIN top ON top.dst = deg.doc_id
+""",
+        "q61_incremental_ingest": _incremental_ingest_sql(),
         "q52_segment_dedup": f"""
 WITH {NEARDUP},
 tok AS (SELECT doc_id, {TOKS} AS t FROM docs),

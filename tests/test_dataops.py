@@ -494,3 +494,96 @@ def test_stratified_sample_deterministic(spark):
     # unknown stratum under default rate 0.0 → dropped
     extra = spark.createDataFrame([(9999, "xx")], "doc_id long, lang string")
     assert textops.stratified_sample(extra, {"en": 0.5}, "lang", "doc_id").count() == 0
+
+
+def test_hits_matches_closed_form(spark):
+    """Tiny graph checked against a hand-iterated L1-normalized HITS
+    replay; a pure hub (no in-edges) holds auth 0, a pure authority
+    (no out-edges) holds hub 0, and both score vectors sum to 1."""
+    from wikifrontier.linkgraph import hits
+
+    # 0 is a hub pointing at 1,2,3; 1 also points at 2; 3 dangles.
+    edge_list = [(0, 1), (0, 2), (0, 3), (1, 2), (2, 1), (0, 2)]  # dup collapses
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["id"]: (r["hub"], r["auth"]) for r in hits(edges, iterations=3).collect()}
+
+    e = sorted(set(edge_list))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    hub = {v: 1.0 / len(nodes) for v in nodes}
+    auth = dict.fromkeys(nodes, 0.0)
+    for _ in range(3):
+        auth = {v: sum(hub[u] for u, w in e if w == v) for v in nodes}
+        t = sum(auth.values())
+        auth = {v: (x / t if t > 0 else 0.0) for v, x in auth.items()}
+        hub = {u: sum(auth[w] for x, w in e if x == u) for u in nodes}
+        t = sum(hub.values())
+        hub = {u: (x / t if t > 0 else 0.0) for u, x in hub.items()}
+
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v][0] - hub[v]) < 1e-12, v
+        assert abs(got[v][1] - auth[v]) < 1e-12, v
+    assert got[0][1] == 0.0  # nothing links TO node 0
+    assert got[3][0] == 0.0  # node 3 links to nothing
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-9
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-9
+
+
+def test_hits_empty_graph(spark):
+    from wikifrontier.linkgraph import hits
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert hits(empty).count() == 0
+
+
+def test_anchor_profile(spark):
+    """Degrees count edge mentions, sources are distinct, the top term is
+    the most frequent token with a lexicographic tie-break, and a target
+    whose anchors have no tokens reports ''/0."""
+    from wikifrontier.linkgraph import anchor_profile
+
+    rows = [
+        ("a", "t1", "Best Guide"),
+        ("b", "t1", "best reference"),
+        ("b", "t1", "guide"),          # b links t1 twice → n_sources 2
+        ("c", "t2", ""),               # token-free anchor
+        ("a", "t3", "alpha beta"),
+        ("b", "t3", "beta alpha"),     # tie alpha/beta at 2 → 'alpha' wins
+    ]
+    links = spark.createDataFrame(rows, "src string, dst string, anchor_text string")
+    out = {r["url"]: r for r in anchor_profile(links).collect()}
+    assert out["t1"]["in_degree"] == 3 and out["t1"]["n_sources"] == 2
+    # tokens lowercase: best×2, guide×2, reference×1 → tie best/guide → 'best'
+    assert out["t1"]["top_term"] == "best" and out["t1"]["top_term_count"] == 2
+    assert out["t2"]["in_degree"] == 1
+    assert out["t2"]["top_term"] == "" and out["t2"]["top_term_count"] == 0
+    assert out["t3"]["top_term"] == "alpha" and out["t3"]["top_term_count"] == 2
+
+
+def test_incremental_ingest_verdicts(spark):
+    """Exact copy → exact_dup (precedence over its inevitable band
+    match), truncated copy → near_dup with the right corpus match id,
+    fresh text → unique with NULL match columns."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch quietly from the river bank nearby today"
+    )
+    other = (
+        "completely different subject matter entirely about quantum "
+        "chromodynamics lattice simulations running on distributed clusters"
+    )
+    corpus = spark.createDataFrame(
+        [(10, base), (11, other)], "doc_id long, text string"
+    )
+    trunc = " ".join(base.split()[:-3])
+    batch = spark.createDataFrame(
+        [(100, base), (101, trunc), (102, "zebras paint abstract murals underwater")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.incremental_ingest(corpus, batch).collect()}
+    assert out[100]["verdict"] == "exact_dup"
+    assert out[100]["match_id"] == 10 and out[100]["est_jaccard"] == 1.0
+    assert out[101]["verdict"] == "near_dup"
+    assert out[101]["match_id"] == 10 and out[101]["est_jaccard"] >= 0.5
+    assert out[102]["verdict"] == "unique"
+    assert out[102]["match_id"] is None and out[102]["est_jaccard"] is None

@@ -230,3 +230,29 @@ def test_training_export_composition_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_ingest_broadcasts_batch(spark):
+    # steady-state ingestion: the batch (a crawl round) is small relative
+    # to the corpus (everything ever crawled) — both probes must broadcast
+    # the batch side so the corpus indexes are scanned once, never
+    # re-keyed; and band-bucketed candidate generation is never a
+    # cartesian / nested-loop pair expansion.
+    plan = plan_of(queries.q61_incremental_ingest(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hits_loop_shape(spark):
+    # the un-checkpointed loop body (checkpoint=False exposes the real
+    # plan) must be keyed joins + aggregates: no cartesian, and the L1
+    # totals ride 1-row broadcasts, not sort-merge exchanges of scores.
+    from wikifrontier.linkgraph import hits
+
+    edges = spark.range(64).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 64).alias("dst")
+    )
+    plan = plan_of(hits(edges, iterations=2, checkpoint=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -685,3 +685,111 @@ def benchmark_contamination(
         ).alias("contamination_ratio"),
         (F.col("contaminated_grams") >= min_overlap).alias("is_contaminated"),
     )
+
+
+# --- incremental ingestion dedup ----------------------------------------------
+def incremental_ingest(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a NEW ingestion batch against the EXISTING corpus — the
+    production shape of every dedup operator above. One-shot corpus-wide
+    dedup (exact_dedup / minhash_lsh_pairs) is how a pipeline bootstraps;
+    steady state is this: a crawl round lands a batch and each document
+    must be admitted or rejected against everything already ingested,
+    WITHOUT rescanning the corpus text.
+
+    Verdict per batch document, strongest match wins:
+      - ``exact_dup``  — sha256(text) already present in the corpus;
+        match_id = the smallest matching corpus id, est_jaccard = 1.0.
+      - ``near_dup``   — some corpus document shares an LSH band and the
+        MinHash signature agreement ≥ ``threshold``; match_id = smallest
+        qualifying corpus id, est_jaccard = the highest agreement seen.
+      - ``unique``     — neither; match_id NULL, est_jaccard NULL.
+
+    Scale shape: the corpus is touched ONLY through its two derived
+    indexes — the sha256 set (one 32-hex column) and the banded signature
+    table (4 band keys + a 60-char packed signature per doc), both of
+    which a production deployment persists and grows by appending each
+    admitted batch's rows (this function recomputes them here so the
+    semantics are self-contained; the plan below is identical either
+    way). The batch side is small relative to the corpus at any scale —
+    a round's crawl vs everything ever crawled — so BOTH probes broadcast
+    the batch: the exact probe is a broadcast semi-style join on the
+    hash, the near probe broadcasts the batch's banded rows against the
+    corpus band index (shuffle-free on the corpus side: the index is
+    scanned once, never re-keyed). Corpus text never moves; batch text
+    never moves past its own signature computation. Per-batch-doc
+    reduction (min id, max agreement) partial-aggregates map-side.
+    """
+    c_hashes = corpus.select(
+        F.sha2(F.col(text), 256).alias("content_hash"),
+        F.col(id_col).alias("cid"),
+    )
+    b_hashed = batch.select(
+        F.col(id_col).alias("bid"), F.sha2(F.col(text), 256).alias("content_hash")
+    )
+    exact = (
+        c_hashes.join(F.broadcast(b_hashed), "content_hash")
+        .groupBy("bid")
+        .agg(F.min("cid").alias("exact_match_id"))
+    )
+
+    sig_cols = [F.col(f"h{p}") for p in range(MINHASH_PERMS)]
+
+    def _banded(df: DataFrame, prefix: str) -> DataFrame:
+        sigs = minhash_signatures(df, text, id_col)
+        return sigs.select(
+            F.col(id_col).alias(f"{prefix}id"),
+            F.concat_ws("", *sig_cols).alias(f"{prefix}sig"),
+            F.explode(F.array(*lsh_band_keys(sig_cols))).alias("band_key"),
+        )
+
+    w = MINHASH_SLICE
+    agree = sum(
+        (
+            F.substring(F.col("bsig"), 1 + p * w, w)
+            == F.substring(F.col("csig"), 1 + p * w, w)
+        ).cast("int")
+        for p in range(MINHASH_PERMS)
+    )
+    near = (
+        _banded(corpus, "c")
+        .join(F.broadcast(_banded(batch, "b")), "band_key")
+        .select(
+            "bid",
+            "cid",
+            F.round(agree / F.lit(float(MINHASH_PERMS)), 6).alias("est"),
+        )
+        .filter(F.col("est") >= threshold)
+        # a (bid, cid) pair colliding in several bands carries the same
+        # est — the min/max fold below absorbs the duplicates, no
+        # distinct needed
+        .groupBy("bid")
+        .agg(
+            F.min("cid").alias("near_match_id"),
+            F.max("est").alias("near_est"),
+        )
+    )
+
+    return (
+        batch.select(F.col(id_col).alias("bid"))
+        .join(exact, "bid", "left")
+        .join(near, "bid", "left")
+        .select(
+            F.col("bid").alias(id_col),
+            F.when(F.col("exact_match_id").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            F.coalesce(F.col("exact_match_id"), F.col("near_match_id")).alias(
+                "match_id"
+            ),
+            F.when(F.col("exact_match_id").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("near_est"))
+            .alias("est_jaccard"),
+        )
+    )

@@ -110,3 +110,165 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+HITS_ITERATIONS = 3
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = HITS_ITERATIONS,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs-and-authorities) over a
+    directed edge list → (id, hub, auth).
+
+    PageRank scores a page by the rank of its in-links; HITS separates
+    the two crawl-relevant roles — *authorities* (pages many good hubs
+    point at: the content worth fetching soonest) and *hubs* (index/list
+    pages whose out-links are worth expanding first). A frontier that
+    pops authorities fetches valuable content early; one that pops hubs
+    maximizes discovery rate. The reference stores the full link graph
+    (database/db_models/models.py:108-158) but never scores it; this is
+    the second classic link score its own data model supports.
+
+    Per half-step: auth'(v) = Σ hub(u) over in-edges, then hub'(u) =
+    Σ auth'(v) over out-edges, each L1-normalized (sum-to-1; Kleinberg's
+    convergence holds under any fixed norm — L1 avoids a sqrt and keeps
+    the oracle arithmetic to adds and one divide). Nodes with no
+    in-edges hold authority 0; no out-edges → hub 0.
+
+    Scale shape mirrors ``pagerank``: per half-step one equi-join of the
+    edge list against the current score vector (shuffle keyed on the
+    join side) and one keyed groupBy with map-side partial sums; the L1
+    total rides a 1-row broadcast crossJoin, so the loop is action-free
+    after the single up-front node count. ``checkpoint=False`` exposes
+    the full loop-body plan to explain/plan-audit (a checkpointed frame
+    explains as ``Scan ExistingRDD``).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
+    n = nodes.count()  # one bounded action; the loop below is action-free
+    if n == 0:
+        return nodes.select(
+            "id", F.lit(0.0).alias("hub"), F.lit(0.0).alias("auth")
+        )
+
+    def _l1_normalize(scores: DataFrame, col: str) -> DataFrame:
+        total = scores.agg(F.sum(col).alias("_t"))
+        return scores.crossJoin(F.broadcast(total)).select(
+            "id",
+            F.when(F.col("_t") > 0, F.col(col) / F.col("_t"))
+            .otherwise(F.lit(0.0))
+            .alias(col),
+        )
+
+    hubs = nodes.select("id", F.lit(1.0 / n).alias("hub"))
+    auths = nodes.select("id", F.lit(0.0).alias("auth"))
+    for _ in range(iterations):
+        auth_raw = (
+            e.join(hubs, e.src == hubs.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auths = _l1_normalize(
+            nodes.join(auth_raw, "id", "left").select(
+                "id", F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth")
+            ),
+            "auth",
+        )
+        hub_raw = (
+            e.join(auths, e.dst == auths.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hubs = _l1_normalize(
+            nodes.join(hub_raw, "id", "left").select(
+                "id", F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        if checkpoint:
+            auths = auths.localCheckpoint(eager=False)
+            hubs = hubs.localCheckpoint(eager=False)
+    return hubs.join(auths, "id").select("id", "hub", "auth")
+
+
+def anchor_profile(
+    links: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    anchor: str = "anchor_text",
+) -> DataFrame:
+    """Per-target anchor-text profile over a (source, target, anchor_text)
+    link table → (url, in_degree, n_sources, top_term, top_term_count).
+
+    Anchor text is the classic off-page relevance signal (what OTHER
+    pages call this page — the descriptions search engines index a page
+    under before ever fetching it, and the labels a crawl scheduler can
+    rank unfetched frontier URLs by). The reference's ``links`` table
+    carries ``anchor_text`` per discovered edge
+    (database/db_models/models.py:108-158,
+    components/parser/core/wiki_link_extractor.py:66 populates it) but
+    nothing in the reference aggregates it; this operator is the
+    profile that data model exists to support.
+
+    Semantics: per target url — in_degree = number of (source, target)
+    edges, n_sources = distinct sources, top_term = the whitespace token
+    occurring most often across all anchor texts pointing at the target
+    (ties broken lexicographically so the answer is deterministic on any
+    engine), top_term_count its occurrence count. Targets whose anchors
+    contain no tokens report top_term '' / count 0.
+
+    Scale shape: tokenization is a generator explode (no UDF); term
+    counts partial-aggregate map-side before one shuffle keyed on
+    (target, term); the per-target argmax is a window over the SAME key
+    prefix, so AQE plans it without a second full exchange; the degree
+    aggregate shuffles only (target) key rows. Anchor text itself never
+    rides a shuffle wider than its own tokens. No driver actions.
+    """
+    from pyspark.sql import Window
+
+    from wikifrontier.textops import tokens
+
+    edges = links.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("url"),
+        F.col(anchor).alias("anchor_text"),
+    )
+    degrees = edges.groupBy("url").agg(
+        F.count("*").alias("in_degree"),
+        F.count_distinct("src").alias("n_sources"),
+    )
+    term_counts = (
+        edges.select(
+            "url", F.explode(tokens(F.col("anchor_text"))).alias("term")
+        )
+        .groupBy("url", "term")
+        .agg(F.count("*").alias("term_count"))
+    )
+    w = Window.partitionBy("url").orderBy(
+        F.col("term_count").desc(), F.col("term").asc()
+    )
+    top_terms = (
+        term_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", "term", "term_count")
+    )
+    return degrees.join(top_terms, "url", "left").select(
+        "url",
+        "in_degree",
+        "n_sources",
+        F.coalesce(F.col("term"), F.lit("")).alias("top_term"),
+        F.coalesce(F.col("term_count"), F.lit(0)).cast("long").alias("top_term_count"),
+    )

@@ -1185,6 +1185,103 @@ def q58_training_export(spark, sf_dir):
     )
 
 
+def q59_hits(spark, sf_dir):
+    """HITS hubs & authorities (linkgraph.hits): 3 fixed iterations,
+    L1-normalized half-steps, over the same deterministic doc_id link
+    graph as q51 — every node links to (i+1)%N, (31i+7)%N, (17i+3)%N.
+    Authorities rank frontier URLs worth fetching soonest; hubs rank
+    pages whose out-links are worth expanding first (the two roles a
+    crawl scheduler splits the north-rule link score into). Oracle:
+    chained-CTE replay of the identical join→sum→normalize arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    src = F.col("doc_id").alias("src")
+    edges = (
+        docs.select(src, ((F.col("doc_id") + 1) % n).alias("dst"))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 31 + 7) % n).alias("dst")))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 17 + 3) % n).alias("dst")))
+    )
+    hs = linkgraph.hits(edges)
+    return hs.select(
+        F.col("id").alias("doc_id"),
+        F.round("hub", 8).alias("hub"),
+        F.round("auth", 8).alias("auth"),
+    )
+
+
+def q60_anchor_profile(spark, sf_dir):
+    """Per-target anchor-text profile (linkgraph.anchor_profile) over a
+    derived links table with reference `links`-schema columns: the q51
+    edge formulas plus anchor_text = the first three tokens of the
+    SOURCE document's text (what the linking page "calls" the target).
+    Output per target: in-degree, distinct sources, most frequent anchor
+    token (lexicographic tie-break) and its count — the off-page
+    relevance signal the reference's links.anchor_text column
+    (models.py:108-158) exists to support. Oracle replays tokenization,
+    the (target, term) counts, and the windowed argmax."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    anchor = F.concat_ws(" ", F.slice(textops.tokens(F.col("text")), 1, 3))
+    src = F.col("doc_id").alias("src")
+    links = (
+        docs.select(src, ((F.col("doc_id") + 1) % n).alias("dst"), anchor.alias("anchor_text"))
+        .unionByName(
+            docs.select(src, ((F.col("doc_id") * 31 + 7) % n).alias("dst"), anchor.alias("anchor_text"))
+        )
+        .unionByName(
+            docs.select(src, ((F.col("doc_id") * 17 + 3) % n).alias("dst"), anchor.alias("anchor_text"))
+        )
+    )
+    prof = linkgraph.anchor_profile(links)
+    return prof.select(
+        F.col("url").alias("doc_id"),
+        "in_degree",
+        "n_sources",
+        "top_term",
+        "top_term_count",
+    )
+
+
+INGEST_THRESHOLD = 0.5  # q61 near-dup agreement cut — shared with the oracle
+
+
+def q61_incremental_ingest(spark, sf_dir):
+    """Incremental ingestion dedup (dedup.incremental_ingest): the
+    steady-state production shape — admit a new batch against the
+    existing corpus via its hash + banded-signature indexes, corpus text
+    untouched. Corpus = documents with doc_id % 3 != 0; the batch is the
+    other third, split by doc_id % 9: %9==0 → byte-exact copy of doc
+    (id+1)%N (planted exact_dup), %9==3 → that text with its last 3
+    tokens dropped (planted near_dup, the q15 convention), %9==6 → the
+    doc's own text (absent from the corpus; unique unless it naturally
+    crosses the LSH threshold, which the oracle replays identically).
+    Output per batch doc: verdict, matched corpus id, estimated Jaccard.
+    """
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    corpus = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    nxt = docs.select(
+        F.col("doc_id").alias("src_id"), F.col("text").alias("src_text")
+    )
+    toks = textops.tokens(F.col("src_text"))
+    trunc = F.concat_ws(
+        " ", F.slice(toks, 1, F.greatest(F.size(toks) - 3, F.lit(1)))
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text", ((F.col("doc_id") + 1) % n).alias("src_id"))
+        .join(nxt, "src_id")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 9 == 0, F.col("src_text"))
+            .when(F.col("doc_id") % 9 == 3, trunc)
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return dedup.incremental_ingest(corpus, batch, threshold=INGEST_THRESHOLD)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
