@@ -1195,11 +1195,17 @@ def q59_hits(spark, sf_dir):
     chained-CTE replay of the identical join→sum→normalize arithmetic."""
     docs = load(spark, sf_dir, "documents")
     n = docs.count()
-    src = F.col("doc_id").alias("src")
-    edges = (
-        docs.select(src, ((F.col("doc_id") + 1) % n).alias("dst"))
-        .unionByName(docs.select(src, ((F.col("doc_id") * 31 + 7) % n).alias("dst")))
-        .unionByName(docs.select(src, ((F.col("doc_id") * 17 + 3) % n).alias("dst")))
+    # one scan + generate (not a 3-branch union = 3 scans of the table):
+    # identical edge multiset, and hits() collapses duplicates anyway
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") + 1) % n,
+                (F.col("doc_id") * 31 + 7) % n,
+                (F.col("doc_id") * 17 + 3) % n,
+            )
+        ).alias("dst"),
     )
     hs = linkgraph.hits(edges)
     return hs.select(
@@ -1222,15 +1228,18 @@ def q60_anchor_profile(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     n = docs.count()
     anchor = F.concat_ws(" ", F.slice(textops.tokens(F.col("text")), 1, 3))
-    src = F.col("doc_id").alias("src")
-    links = (
-        docs.select(src, ((F.col("doc_id") + 1) % n).alias("dst"), anchor.alias("anchor_text"))
-        .unionByName(
-            docs.select(src, ((F.col("doc_id") * 31 + 7) % n).alias("dst"), anchor.alias("anchor_text"))
-        )
-        .unionByName(
-            docs.select(src, ((F.col("doc_id") * 17 + 3) % n).alias("dst"), anchor.alias("anchor_text"))
-        )
+    # one scan + generate — same edge multiset as a 3-branch union (the
+    # oracle's UNION ALL), one pass over the text column for the anchor
+    links = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") + 1) % n,
+                (F.col("doc_id") * 31 + 7) % n,
+                (F.col("doc_id") * 17 + 3) % n,
+            )
+        ).alias("dst"),
+        anchor.alias("anchor_text"),
     )
     prof = linkgraph.anchor_profile(links)
     return prof.select(
