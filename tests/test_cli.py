@@ -66,6 +66,23 @@ def test_crawl_report_roundtrip(spark, tmp_path, capsys):
     total = full.agg(F.sum("pr")).first()[0]
     assert abs(total - 1.0) < 1e-6
 
+    # linkrank --algo hits: hub/authority split over the same graph
+    hits_pq = str(tmp_path / "hits.parquet")
+    rc = cli.main([
+        "linkrank", "--checkpoint", ckpt, "--algo", "hits",
+        "--top", "5", "--out", hits_pq,
+    ])
+    assert rc == 0
+    hr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert hr["nodes"] == lr["nodes"]  # same node set as pagerank
+    auths = [t["auth"] for t in hr["top"]]
+    assert auths == sorted(auths, reverse=True)
+    hfull = spark.read.parquet(hits_pq)
+    assert hfull.count() == hr["nodes"]
+    # both L1-normalized score vectors sum to 1
+    sums = hfull.agg(F.sum("hub"), F.sum("auth")).first()
+    assert abs(sums[0] - 1.0) < 1e-6 and abs(sums[1] - 1.0) < 1e-6
+
 
 def test_report_missing_checkpoint(spark, tmp_path, capsys):
     rc = cli.main(["report", "--checkpoint", str(tmp_path / "nope")])

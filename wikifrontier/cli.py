@@ -11,7 +11,8 @@ Subcommands:
   crawl     run a BFS crawl over the deterministic synthetic corpus (or a
             parquet web_pages table via --corpus), with optional resume
   report    print state-table summaries from a checkpoint dir
-  linkrank  PageRank over a checkpoint's link graph (priority-queue feed)
+  linkrank  PageRank (or --algo hits) over a checkpoint's link graph
+            (priority-queue feed)
 """
 
 from __future__ import annotations
@@ -60,8 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
              "(the periodic full-graph feed for priority scheduling)",
     )
     lr.add_argument("--checkpoint", type=str, required=True)
+    lr.add_argument("--algo", choices=("pagerank", "hits"), default="pagerank",
+                    help="pagerank: one score per page; hits: hub (whose "
+                         "out-links to expand) + authority (what to fetch "
+                         "soonest) per page")
     lr.add_argument("--iterations", type=int, default=3)
-    lr.add_argument("--damping", type=float, default=0.85)
+    lr.add_argument("--damping", type=float, default=0.85,
+                    help="pagerank only")
     lr.add_argument("--top", type=int, default=20,
                     help="print the top-K pages by score")
     lr.add_argument("--out", type=str, default=None,
@@ -173,6 +179,30 @@ def cmd_linkrank(args) -> int:
     edges = edge_src.select(
         F.col("source_page_url").alias("src"), F.col("url").alias("dst")
     )
+    if args.algo == "hits":
+        from wikifrontier.linkgraph import hits
+
+        hs = hits(edges, iterations=args.iterations)
+        if args.out:
+            hs.select(F.col("id").alias("url"), "hub", "auth").write.mode(
+                "overwrite"
+            ).parquet(args.out)
+        top = hs.orderBy(F.col("auth").desc(), F.col("id")).limit(args.top).collect()
+        out = {
+            "nodes": hs.count(),
+            "top": [
+                {
+                    "url": r["id"],
+                    "auth": round(r["auth"], 8),
+                    "hub": round(r["hub"], 8),
+                }
+                for r in top
+            ],
+        }
+        if note:
+            out["warning"] = note
+        print(json.dumps(out))
+        return 0
     pr = pagerank(edges, iterations=args.iterations, damping=args.damping)
     if args.out:
         pr.select(F.col("id").alias("url"), "pr").write.mode(
