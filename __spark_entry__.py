@@ -37,7 +37,11 @@ from wikifrontier.dedup import (
 )
 from wikifrontier.filters import TRAP_AMPLIFICATION, TRAP_AVG_DEPTH, TRAP_PARAM_FRAC
 from wikifrontier.frontier import ERROR_TYPES
-from wikifrontier.linkgraph import PAGERANK_DAMPING, PAGERANK_ITERATIONS
+from wikifrontier.linkgraph import (
+    COCITE_MAX_OUT,
+    PAGERANK_DAMPING,
+    PAGERANK_ITERATIONS,
+)
 from wikifrontier.textops import (
     BPE_RE, LANG_PROFILES, SAMPLE_HEX_DIGITS, STOPWORDS, TOKEN_RE,
     sample_threshold_hex,
@@ -1228,6 +1232,28 @@ SELECT deg.doc_id, in_degree, n_sources,
 FROM deg LEFT JOIN top ON top.dst = deg.doc_id
 """,
         "q61_incremental_ingest": _incremental_ingest_sql(),
+        # q62: co-citation pairs — identical dense edge derivation,
+        # hub-source cap replicated (vacuous on this graph: out_deg ≤ 3),
+        # self-join on source, HAVING at the min_cocite cut.
+        "q62_cocitation": f"""
+WITH edges AS (
+  SELECT DISTINCT doc_id AS src, u AS dst FROM (
+    SELECT doc_id,
+           unnest([doc_id % 97, (doc_id * 31 + 7) % 97,
+                   (doc_id * 17 + 3) % 97]) AS u
+    FROM documents)
+),
+ok AS (
+  SELECT src FROM (SELECT src, count(*) AS c FROM edges GROUP BY src)
+  WHERE c <= {COCITE_MAX_OUT}
+),
+e AS (SELECT edges.* FROM edges JOIN ok USING (src))
+SELECT a.dst AS page_a, b.dst AS page_b, count(*) AS cocitations
+FROM e a JOIN e b USING (src)
+WHERE a.dst < b.dst
+GROUP BY 1, 2
+HAVING count(*) >= 2
+""",
         "q52_segment_dedup": f"""
 WITH {NEARDUP},
 tok AS (SELECT doc_id, {TOKS} AS t FROM docs),

@@ -560,6 +560,32 @@ def test_anchor_profile(spark):
     assert out["t3"]["top_term"] == "alpha" and out["t3"]["top_term_count"] == 2
 
 
+def test_cocitation_pairs_and_hub_cap(spark):
+    """Hand-checkable graph: s1→{a,b,c}, s2→{a,b}, s3→{a,b} (duplicate
+    mention collapses), hub→{a,b,x1..x9} dropped by max_out=4. Expect
+    (a,b) co-cited by 3 distinct sources, (a,c)/(b,c) by 1 each (cut by
+    min_cocite=2), hub contributing nothing, pairs ordered page_a<page_b."""
+    from wikifrontier.linkgraph import cocitation
+
+    rows = (
+        [("s1", t) for t in ("a", "b", "c")]
+        + [("s2", "a"), ("s2", "b"), ("s2", "b")]  # dup mention: counts once
+        + [("s3", "a"), ("s3", "b")]
+        + [("hub", t) for t in ("a", "b")]
+        + [("hub", f"x{i}") for i in range(9)]
+    )
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    out = {(r["page_a"], r["page_b"]): r["cocitations"] for r in
+           cocitation(edges, min_cocite=2, max_out=4).collect()}
+    assert out == {("a", "b"): 3}
+    # lowering the cut admits the singleton pairs from s1
+    out1 = {(r["page_a"], r["page_b"]): r["cocitations"] for r in
+            cocitation(edges, min_cocite=1, max_out=4).collect()}
+    assert out1 == {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 1}
+    # with the cap lifted the hub's 11 targets flood in
+    assert cocitation(edges, min_cocite=1, max_out=1000).count() > 3
+
+
 def test_incremental_ingest_verdicts(spark):
     """Exact copy → exact_dup (precedence over its inevitable band
     match), truncated copy → near_dup with the right corpus match id,

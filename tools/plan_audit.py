@@ -295,6 +295,23 @@ def main() -> int:
         summary_of(q61_plan_df),
     ))
 
+    # 16. co-citation pairs (q62)
+    q62_plan_df = queries.q62_cocitation(spark, sf_dir)
+    q62_plan = plan_of(q62_plan_df)
+    assert "CartesianProduct" not in q62_plan, "q62 grew a cartesian"
+    sections.append((
+        "Co-citation related-pages pairs (q62)",
+        "Inverted-index pair generation: the self-join is an equi-join "
+        "keyed on the SOURCE url, so pairs are only generated between "
+        "targets of the same source — never all-pairs. Hub sources "
+        "(out-degree > cap) are removed first via a broadcast anti-join "
+        "(the hub list is tiny at any graph size), bounding per-source "
+        "expansion at cap²/2. Pair counts partial-aggregate map-side "
+        "before the single (page_a, page_b) shuffle. Machine-asserted: "
+        "no CartesianProduct.",
+        summary_of(q62_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -204,6 +204,60 @@ def hits(
     return hubs.join(auths, "id").select("id", "hub", "auth")
 
 
+COCITE_MAX_OUT = 64  # drop "hub" sources with more out-links than this
+
+
+def cocitation(
+    edges: DataFrame,
+    min_cocite: int = 2,
+    max_out: int = COCITE_MAX_OUT,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Co-citation pairs (Dean/Henzinger "related pages"; Small 1973):
+    two pages are related when the same sources link to BOTH →
+    (page_a, page_b, cocitations) for pairs cited together by at least
+    ``min_cocite`` distinct sources, page_a < page_b. Bibliographic
+    coupling (pages that link to the same targets) is the transpose —
+    call with src/dst swapped.
+
+    This is the link-graph twin of the content-similarity operators
+    (MinHash finds textual near-dups; co-citation finds topical
+    neighbors with zero text access) and the third score family the
+    reference's `links` table (models.py:108-158) supports but never
+    computes.
+
+    Scale shape: the pair generation is a self-equi-join keyed on the
+    SOURCE — an inverted-index join, never all-pairs. Its blowup is
+    quadratic in per-source out-degree, so sources with more than
+    ``max_out`` out-links are dropped first (the fingerprint_containment
+    stop-fingerprint rule applied to link hubs: a source citing
+    thousands of pages carries no pairwise signal — navigation pages,
+    sitemaps — exactly the rows that would dominate the join). The drop
+    set is tiny and broadcastable at any graph size; the surviving
+    per-source pair expansion is bounded by max_out²/2. Pair counts
+    partial-aggregate map-side before one shuffle on the (a, b) key.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    hubs = (
+        e.groupBy("src")
+        .agg(F.count("*").alias("out_deg"))
+        .filter(F.col("out_deg") > max_out)
+        .select("src")
+    )
+    e = e.join(F.broadcast(hubs), "src", "left_anti")
+    return (
+        e.alias("a")
+        .join(e.alias("b"), "src")
+        .filter(F.col("a.dst") < F.col("b.dst"))
+        .groupBy(
+            F.col("a.dst").alias("page_a"), F.col("b.dst").alias("page_b")
+        )
+        .agg(F.count("*").alias("cocitations"))
+        .filter(F.col("cocitations") >= min_cocite)
+    )
+
+
 def anchor_profile(
     links: DataFrame,
     src: str = "src",

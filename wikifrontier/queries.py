@@ -1291,6 +1291,25 @@ def q61_incremental_ingest(spark, sf_dir):
     return dedup.incremental_ingest(corpus, batch, threshold=INGEST_THRESHOLD)
 
 
+def q62_cocitation(spark, sf_dir):
+    """Co-citation "related pages" pairs (linkgraph.cocitation): targets
+    co-cited by ≥2 distinct sources, over a dense derived graph — every
+    doc links to doc_id%97, (31·doc_id+7)%97, (17·doc_id+3)%97, so ~500
+    sources fan into 97 targets and genuine co-citation counts emerge.
+    The inverted-index self-join on the source key (with the hub-source
+    cap) is the zero-text-access topical-similarity twin of the MinHash
+    pair generators. Oracle: identical derivation + self-join + HAVING."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edges = docs.select(
+        d.alias("src"),
+        F.explode(
+            F.array(d % 97, (d * 31 + 7) % 97, (d * 17 + 3) % 97)
+        ).alias("dst"),
+    )
+    return linkgraph.cocitation(edges, min_cocite=2)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
