@@ -42,8 +42,10 @@ from wikifrontier.linkgraph import (
     PAGERANK_DAMPING,
     PAGERANK_ITERATIONS,
 )
+from wikifrontier.similarity import SEMDEDUP_THRESHOLD
 from wikifrontier.textops import (
-    BPE_RE, LANG_PROFILES, SAMPLE_HEX_DIGITS, STOPWORDS, TOKEN_RE,
+    BPE_RE, CHUNK_TOKENS, LANG_PROFILES, PII_EMAIL_RE, PII_IPV4_RE,
+    PII_PHONE_RE, SAMPLE_HEX_DIGITS, STOPWORDS, TFIDF_TOP_K, TOKEN_RE,
     sample_threshold_hex,
 )
 
@@ -1253,6 +1255,116 @@ FROM e a JOIN e b USING (src)
 WHERE a.dst < b.dst
 GROUP BY 1, 2
 HAVING count(*) >= 2
+""",
+        # q63: PII scrub — identical deterministic injection, counts and
+        # masks applied in the SAME chained order as pii_features (count
+        # each class on the text already masked by the previous classes).
+        "q63_pii_scrub": f"""
+WITH inj AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+              || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+              || '.' || ((doc_id * 13) % 256) ELSE '' END
+    AS t
+  FROM documents
+),
+m1 AS (
+  SELECT doc_id, len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+         regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM inj
+),
+m2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS n_phones,
+         regexp_replace(t1, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+  FROM m1
+),
+m3 AS (
+  SELECT doc_id, n_emails, n_phones,
+         len(regexp_extract_all(t2, '{PII_IPV4_RE}')) AS n_ipv4s,
+         regexp_replace(t2, '{PII_IPV4_RE}', '<IP>', 'g') AS t3
+  FROM m2
+)
+SELECT doc_id, n_emails, n_phones, n_ipv4s, sha256(t3) AS masked_sha FROM m3
+""",
+        # q64: tf-idf keywords — same tf/df folds over the shared token
+        # regex, same ln() double arithmetic, same row_number cut.
+        "q64_tfidf_terms": f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         round(tf.tf * ln(nd.n_docs::DOUBLE / dfq.df), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS "rank"
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, "rank" FROM ranked
+WHERE "rank" <= {TFIDF_TOP_K}
+""",
+        # q65: context-window chunking — generate_series over
+        # ceil(len/k) chunks, 1-based inclusive list slicing (the last
+        # window truncates), empty docs produce no series rows.
+        "q65_chunk_pack": f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks)::DOUBLE / {CHUNK_TOKENS})
+                              AS BIGINT))) AS i
+  FROM tok
+),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         toks[i*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}+{CHUNK_TOKENS}] AS ck
+  FROM idx
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(len(ck) AS INT) AS n_tokens,
+       sha256(array_to_string(ck, ' ')) AS chunk_sha
+FROM c
+""",
+        # q66: SemDeDup — same learned codebook as q28 (2 k-means
+        # iterations), argmax assignment, then the within-list
+        # lower-id-neighbor drop rule replayed as a self-join + LEFT JOIN
+        # null test. Cosine is the same double left-fold, rounded to 6dp
+        # BEFORE the threshold compare on both engines.
+        "q66_semantic_dedup": f"""
+WITH {_kmeans_sql(iters=2, k=8)},
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {COSINE.format(a='v.embedding', b='c.cvec')} DESC,
+                      c.centroid_id) AS rn
+    FROM embeddings v CROSS JOIN c2 c
+  ) WHERE rn = 1
+),
+v AS (
+  SELECT e.vec_id AS id, e.embedding AS vec, a.centroid_id
+  FROM embeddings e JOIN assign a USING (vec_id)
+),
+dup AS (
+  SELECT DISTINCT hi.id
+  FROM v lo JOIN v hi
+    ON lo.centroid_id = hi.centroid_id AND lo.id < hi.id
+  WHERE round({COSINE.format(a='lo.vec', b='hi.vec')}, 6)
+        >= {SEMDEDUP_THRESHOLD}
+)
+SELECT v.id AS vec_id, v.centroid_id, (d.id IS NULL) AS kept
+FROM v LEFT JOIN dup d ON d.id = v.id
 """,
         "q52_segment_dedup": f"""
 WITH {NEARDUP},

@@ -560,6 +560,63 @@ def test_anchor_profile(spark):
     assert out["t3"]["top_term"] == "alpha" and out["t3"]["top_term_count"] == 2
 
 
+def test_pii_features_counts_and_mask(spark):
+    """Known spans → exact counts and masked text; redaction chaining
+    means digits inside an email never double-count as phone/IP, and a
+    3-part version string is not an IPv4."""
+    from pyspark.sql import functions as F
+    from wikifrontier.textops import pii_features
+
+    rows = [
+        (1, "reach Bob.Smith+x@site.org or 123-456-7890 from 192.168.0.1"),
+        (2, "release v1.2.3 has no pii and 12-34 is not a phone"),
+        (3, "two mails a@b.io c@d.co and ips 10.0.0.1 10.0.0.2"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    feats = pii_features(F.col("text"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            *[feats[k].alias(k) for k in ("n_emails", "n_phones", "n_ipv4s")],
+            feats["masked"].alias("masked"),
+        ).collect()
+    }
+    assert (out[1]["n_emails"], out[1]["n_phones"], out[1]["n_ipv4s"]) == (1, 1, 1)
+    assert out[1]["masked"] == "reach <EMAIL> or <PHONE> from <IP>"
+    assert (out[2]["n_emails"], out[2]["n_phones"], out[2]["n_ipv4s"]) == (0, 0, 0)
+    assert out[2]["masked"] == rows[1][1]
+    assert (out[3]["n_emails"], out[3]["n_ipv4s"]) == (2, 2)
+    assert out[3]["masked"] == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>"
+
+
+def test_tfidf_terms_math_and_ranks(spark):
+    """3-doc corpus with hand-computed idf: 'cat' appears in all docs
+    (idf=ln(1)=0 → never a top term over positive-idf rivals), 'dog'
+    in 1 (idf=ln(3)), 'ant'/'bee' tie on tfidf → lexicographic rank."""
+    import math
+
+    from wikifrontier.textops import tfidf_terms
+
+    rows = [
+        (1, "cat cat dog ant bee"),
+        (2, "cat ant bee"),
+        (3, "cat cat cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in tfidf_terms(df, k=2).collect():
+        out.setdefault(r["doc_id"], []).append(r)
+    d1 = {r["term"]: r for r in out[1]}
+    # doc 1: dog tf=1 df=1 → ln(3); ant/bee tf=1 df=2 → ln(1.5); cat idf 0
+    assert set(d1) == {"dog", "ant"}  # dog wins, then ant beats bee on term
+    assert abs(d1["dog"]["tfidf"] - round(math.log(3.0), 6)) < 1e-9
+    assert d1["dog"]["rank"] == 1 and d1["ant"]["rank"] == 2
+    assert abs(d1["ant"]["tfidf"] - round(math.log(1.5), 6)) < 1e-9
+    # doc 3: only 'cat', tfidf = 3·ln(1) = 0 — still emitted (rank 1)
+    assert [(r["term"], r["tfidf"]) for r in out[3]] == [("cat", 0.0)]
+
+
 def test_cocitation_pairs_and_hub_cap(spark):
     """Hand-checkable graph: s1→{a,b,c}, s2→{a,b}, s3→{a,b} (duplicate
     mention collapses), hub→{a,b,x1..x9} dropped by max_out=4. Expect
@@ -613,3 +670,47 @@ def test_incremental_ingest_verdicts(spark):
     assert out[101]["match_id"] == 10 and out[101]["est_jaccard"] >= 0.5
     assert out[102]["verdict"] == "unique"
     assert out[102]["match_id"] is None and out[102]["est_jaccard"] is None
+
+
+def test_chunk_documents_windows(spark):
+    """5-token doc at k=2 → windows [t1 t2][t3 t4][t5]; empty and
+    punctuation-only docs emit no rows; shas match hashlib on the
+    space-joined lowercase window."""
+    import hashlib
+
+    from wikifrontier.textops import chunk_documents
+
+    rows = [(1, "Alpha beta GAMMA delta epsilon"), (2, ""), (3, "?!... ---")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sorted(
+        chunk_documents(df, k=2).collect(), key=lambda r: (r["doc_id"], r["chunk_idx"])
+    )
+    assert [(r["doc_id"], r["chunk_idx"], r["n_tokens"]) for r in out] == [
+        (1, 0, 2), (1, 1, 2), (1, 2, 1)
+    ]
+    want = ["alpha beta", "gamma delta", "epsilon"]
+    assert [r["chunk_sha"] for r in out] == [
+        hashlib.sha256(w.encode()).hexdigest() for w in want
+    ]
+
+
+def test_semantic_dedup_keep_rule(spark):
+    """Two near-parallel vectors share list c0 → higher id dropped;
+    orthogonal-ish pair in list c1 (cos 0.8 < 0.95) both kept."""
+    from wikifrontier.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.01]),   # c0, representative (lowest id)
+            (1, [0.99, 0.0]),   # c0, cos(v0,v1) ≈ 0.99995 → dropped
+            (2, [0.0, 1.0]),    # c1
+            (3, [0.6, 0.8]),    # c1, cos(v2,v3) = 0.8 < 0.95 → kept
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_dedup(vecs, cents).collect()}
+    assert {k: v["centroid_id"] for k, v in out.items()} == {0: 0, 1: 0, 2: 1, 3: 1}
+    assert {k: v["kept"] for k, v in out.items()} == {0: True, 1: False, 2: True, 3: True}

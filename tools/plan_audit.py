@@ -312,6 +312,71 @@ def main() -> int:
         summary_of(q62_plan_df),
     ))
 
+    # 17. PII scrub (q63)
+    q63_plan_df = queries.q63_pii_scrub(spark, sf_dir)
+    q63_plan = plan_of(q63_plan_df)
+    assert "Exchange" not in q63_plan, "q63 grew a shuffle"
+    sections.append((
+        "PII scrub (q63)",
+        "The privacy pass is one projection over the corpus scan: "
+        "regexp_count per PII class plus chained regexp_replace, all "
+        "inside a single WholeStageCodegen span over the parquet scan — "
+        "zero Exchange operators (machine-asserted). At 100 TB this "
+        "composes for free with the quality/dedup column work; the only "
+        "cost is the scan it already shares.",
+        summary_of(q63_plan_df),
+    ))
+
+    # 18. tf-idf keywords (q64)
+    q64_plan_df = queries.q64_tfidf_terms(spark, sf_dir)
+    q64_plan = plan_of(q64_plan_df)
+    assert "CartesianProduct" not in q64_plan, "q64 grew a cartesian"
+    assert "BroadcastNestedLoopJoin" in q64_plan or "BroadcastExchange" in q64_plan, (
+        "q64 lost the 1-row n_docs broadcast"
+    )
+    sections.append((
+        "Per-document tf-idf keywords (q64)",
+        "Token explode → (doc, term) tf with map-side partial agg (one "
+        "shuffle of counter rows — document text never moves past the "
+        "explode), df folded from the same relation keyed on term "
+        "(second counters-only shuffle), corpus size N attached as a "
+        "1-row broadcast (no driver action, machine-asserted no "
+        "cartesian), top-k via row_number partitioned on the doc key — "
+        "per-partition heap, no global sort.",
+        summary_of(q64_plan_df),
+    ))
+
+    # 19. context-window chunking (q65)
+    q65_plan_df = queries.q65_chunk_pack(spark, sf_dir)
+    q65_plan = plan_of(q65_plan_df)
+    assert "hashpartitioning" not in q65_plan, "q65 grew a keyed shuffle"
+    assert "CartesianProduct" not in q65_plan, "q65 grew a cartesian"
+    sections.append((
+        "Context-window chunking (q65)",
+        "Per-row transform-over-sequence builds the k-token windows, "
+        "posexplode emits them, sha256 replaces the text — chunking "
+        "rides the corpus scan with NO keyed shuffle at any corpus size "
+        "(machine-asserted: zero hashpartitioning; the only exchange is "
+        "spread()'s round-robin scan-parallelism guard).",
+        summary_of(q65_plan_df),
+    ))
+
+    # 20. SemDeDup semantic dedup (q66)
+    q66_plan_df = queries.q66_semantic_dedup(spark, sf_dir)
+    q66_plan = plan_of(q66_plan_df)
+    assert "CartesianProduct" not in q66_plan, "q66 grew a cartesian"
+    sections.append((
+        "SemDeDup semantic dedup (q66)",
+        "Codebook assignment is a broadcast argmax (the k-row centroid "
+        "table is the ONLY broadcast — embeddings never broadcast); the "
+        "lower-id-neighbor drop rule equi-joins the inverted lists on "
+        "centroid_id, so pair generation is bounded per list and never "
+        "all-pairs (machine-asserted: no CartesianProduct). The dup-id "
+        "set is a DISTINCT id projection — the wide vector column dies "
+        "at the cosine.",
+        summary_of(q66_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -1310,6 +1310,93 @@ def q62_cocitation(spark, sf_dir):
     return linkgraph.cocitation(edges, min_cocite=2)
 
 
+def pii_inject(docs) -> "DataFrame":
+    """Deterministic PII injection fixture shared by q63 and its oracle:
+    the synthetic corpus text is PII-free word soup, so documents gain
+    derived spans — an email when doc_id % 5 == 0, a phone when
+    doc_id % 7 == 0, an IPv4 when doc_id % 3 == 0 — making every
+    count/mask assertion exact. The derivation is replayed verbatim in
+    the DuckDB oracle (same arithmetic, same concat)."""
+    d = F.col("doc_id")
+    email = F.when(
+        d % 5 == 0,
+        F.concat(F.lit(" contact user"), d, F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 7 == 0,
+        F.concat(
+            F.lit(" call 555-"),
+            F.lpad((d % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 3 == 0,
+        F.concat(
+            F.lit(" from 10."),
+            (d % 256).cast("string"),
+            F.lit("."),
+            ((d * 7) % 256).cast("string"),
+            F.lit("."),
+            ((d * 13) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+
+
+def q63_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (textops.pii_features) over documents
+    with deterministically injected emails/phones/IPv4s: per-doc match
+    counts per class and the sha256 of the masked text (each span
+    replaced by its typed token). Pure regexp Column expressions —
+    codegen'd, scan-parallel, no shuffle. Oracle: identical injection +
+    regexp_extract_all counts + chained regexp_replace."""
+    docs = pii_inject(load(spark, sf_dir, "documents"))
+    feats = textops.pii_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_emails"].cast("long").alias("n_emails"),
+        feats["n_phones"].cast("long").alias("n_phones"),
+        feats["n_ipv4s"].cast("long").alias("n_ipv4s"),
+        F.sha2(feats["masked"], 256).alias("masked_sha"),
+    )
+
+
+def q64_tfidf_terms(spark, sf_dir):
+    """Per-document top-5 keywords by tf·idf (textops.tfidf_terms):
+    idf = ln(N/df), deterministic term tie-break, counters-only shuffles
+    after the token explode. Oracle: same tf/df CTEs, same ln() double
+    arithmetic, same row_number cut."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return textops.tfidf_terms(docs, k=textops.TFIDF_TOP_K)
+
+
+def q65_chunk_pack(spark, sf_dir):
+    """Context-window chunking (textops.chunk_documents): each document's
+    token stream split into non-overlapping 64-token training windows —
+    (doc_id, chunk_idx, n_tokens, sha256 of the window). Shuffle-free
+    projection+explode. Oracle: generate_series over ceil(len/k) with
+    1-based list slicing."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return textops.chunk_documents(docs, k=textops.CHUNK_TOKENS)
+
+
+def q66_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup): IVF
+    coarse-quantize with the q28 learned codebook (2 deterministic
+    k-means iterations), then inside each inverted list drop vectors
+    with a lower-id cosine-0.95 neighbor. Returns every vector's
+    (vec_id, centroid_id, kept). Pair generation equi-joins on
+    centroid_id — never all-pairs. Oracle: same k-means CTE chain +
+    within-list self-join + NOT EXISTS keep rule."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    cents = sim.kmeans_centroids(emb, k=8, iters=2)
+    return sim.semantic_dedup(emb, cents, threshold=sim.SEMDEDUP_THRESHOLD)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -236,3 +236,58 @@ def bucketed_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+SEMDEDUP_THRESHOLD = 0.95  # cosine above which same-list vectors are dups
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    coarse-quantize every embedding to its nearest centroid (ivf_assign's
+    broadcast-codebook argmax), then inside each inverted list drop any
+    vector that has a LOWER-id neighbor with cosine >= threshold — the
+    deterministic "keep one representative per semantic cluster" rule.
+    Returns (id, centroid_id, kept) for every input vector.
+
+    Scale shape: pair generation is an equi self-join keyed on
+    centroid_id — never all-pairs; k grows with the corpus so per-list
+    membership stays bounded (SemDeDup used k=50000 for LAION-440M, lists
+    of ~10^4). The duplicate-id set is a DISTINCT projection of ids only
+    (embeddings never survive past the cosine), removed via left_anti —
+    at any scale the wide vector column moves exactly once, into the
+    bucketed join.
+    """
+    assigned = ivf_assign(vectors, centroids, vec_col, id_col)
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).join(assigned.withColumnRenamed(id_col, "id"), "id")
+    lo = v.select(
+        F.col("id").alias("id_lo"), "centroid_id", F.col("vec").alias("vec_lo")
+    )
+    hi = v.select(
+        F.col("id").alias("id_hi"), "centroid_id", F.col("vec").alias("vec_hi")
+    )
+    dup_ids = (
+        lo.join(hi, "centroid_id")
+        .filter(F.col("id_lo") < F.col("id_hi"))
+        .filter(
+            F.round(cosine(F.col("vec_lo"), F.col("vec_hi")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_hi").alias("id"))
+        .distinct()
+    )
+    return (
+        v.join(dup_ids.withColumn("_dup", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "centroid_id",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -258,3 +258,141 @@ def stratified_sample(
         ).otherwise(thr)
     key = F.substring(F.md5(F.col(key_col).cast("string")), 1, SAMPLE_HEX_DIGITS)
     return df.withColumn("sample_key", key).where(F.col("sample_key") < thr)
+
+
+# --- PII detection / redaction -----------------------------------------------
+# Patterns are deliberately the intersection of Java-regex (Spark) and RE2
+# (DuckDB) syntax — character classes, bounded repetition, non-capturing
+# groups, ASCII \b — so the oracle replays them verbatim. Order of
+# redaction is EMAIL → PHONE → IP (emails can embed digits; redacting them
+# first keeps the later passes from double-counting inside a local part).
+PII_EMAIL_RE = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+PII_PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("emails", PII_EMAIL_RE, "<EMAIL>"),
+    ("phones", PII_PHONE_RE, "<PHONE>"),
+    ("ipv4s", PII_IPV4_RE, "<IP>"),
+)
+
+
+def pii_features(text: Column) -> dict[str, Column]:
+    """PII scrub — the privacy pass every public-webtext pipeline runs
+    before training (C4 strips lines by pattern; Dolma/RefinedWeb count
+    and mask emails / phone numbers / IP addresses). Returns per-document
+    match counts per PII class plus the masked text with each span
+    replaced by its typed token.
+
+    Pure Column expressions (regexp_count / chained regexp_replace) —
+    JVM-side, codegen'd, scan-parallel; no Python in the hot path, no
+    shuffle. At 100 TB this composes with the quality/dedup filters as
+    one projection over the corpus scan.
+    """
+    out: dict[str, Column] = {}
+    masked = text
+    for name, pat, token in PII_RULES:
+        out[f"n_{name}"] = F.regexp_count(masked, F.lit(pat))
+        masked = F.regexp_replace(masked, pat, token)
+    out["masked"] = masked
+    return out
+
+
+# --- TF-IDF keyword extraction ------------------------------------------------
+TFIDF_TOP_K = 5  # per-document keyword count
+
+
+def tfidf_terms(df, text: str = "text", id_col: str = "doc_id", k: int = TFIDF_TOP_K):
+    """Per-document top-k keywords by tf·idf — the keyword/topic-tagging
+    pass of a webtext pipeline (and the classic relevance score feeding
+    BM25-style retrieval over the crawled corpus). idf = ln(N / df) over
+    document frequency; ties break lexicographically on the term so the
+    result is a deterministic relation.
+
+    Scale shape: token explode → (doc, term) count with map-side partial
+    agg (one shuffle), document frequency folded from that same relation
+    keyed on the term (second shuffle, counters only — text never moves
+    past the explode), corpus size N attached as a 1-row broadcast (no
+    driver action), and the per-doc top-k as a row_number window
+    partitioned on the doc key. Every post-explode row is (id, term,
+    counters) — width stays constant no matter the corpus size.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            F.col("id"),
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "df", "tfidf", "rank"
+        )
+    )
+
+
+# --- context-window chunking ---------------------------------------------------
+CHUNK_TOKENS = 64  # tokens per training context window
+
+
+def chunk_documents(
+    df, text: str = "text", id_col: str = "doc_id", k: int = CHUNK_TOKENS
+):
+    """Context-window chunking — split each document's token stream into
+    non-overlapping k-token training windows (the pre-packing step of a
+    pretraining data pipeline). Emits (id, chunk_idx, n_tokens,
+    chunk_sha) per window; the last window per document may be short;
+    empty documents emit no rows.
+
+    Pure projection + explode: the chunk list is built per-row with
+    transform over sequence (guarded — Spark's sequence(a, b) runs
+    DESCENDING when a > b, so an empty doc must hit the otherwise branch,
+    not sequence(0, -1)) and posexplode'd. No shuffle at any corpus size
+    — chunking rides the corpus scan. sha256 over the space-joined
+    window makes the output a stable relation without carrying text.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text)).alias("toks")
+    ).withColumn("n_toks", F.size("toks"))
+    n_chunks = F.ceil(F.col("n_toks") / F.lit(k)).cast("int")
+    windows = F.when(
+        F.col("n_toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(F.col("toks"), i * k + 1, k),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return (
+        base.select("id", F.posexplode(windows).alias("chunk_idx", "ck"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("ck").alias("n_tokens"),
+            F.sha2(F.array_join("ck", " "), 256).alias("chunk_sha"),
+        )
+    )
