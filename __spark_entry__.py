@@ -1314,6 +1314,25 @@ ranked AS (
 SELECT doc_id, term, tf, df, tfidf, "rank" FROM ranked
 WHERE "rank" <= {TFIDF_TOP_K}
 """,
+        # q67: unigram-LM quality score — same quantize-then-sum
+        # arithmetic (round(ln P * 1e6) AS BIGINT before the per-doc
+        # fold) so both engines aggregate exact integers.
+        "q67_unigram_logprob": f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT sum(cf) AS tot FROM cf),
+ql AS (
+  SELECT term,
+         CAST(round(ln(cf::DOUBLE / tot.tot::DOUBLE) * 1000000) AS BIGINT) AS ql
+  FROM cf CROSS JOIN tot
+)
+SELECT tf.doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * ql)::DOUBLE / (1000000.0 * sum(tf)), 6) AS logprob
+FROM tf JOIN ql USING (term)
+GROUP BY 1
+""",
         # q65: context-window chunking — generate_series over
         # ceil(len/k) chunks, 1-based inclusive list slicing (the last
         # window truncates), empty docs produce no series rows.

@@ -250,6 +250,53 @@ def bench_crawl_checkpointed(
     }
 
 
+def _drop_persistent_state(spark) -> int:
+    """Unpersist every block still pinned in the BlockManager — cached
+    relations plus the localCheckpoint leaves that crawl-family and
+    iterative queries (q39/q40/q46/q47, pagerank loops) leave behind.
+    Sweep hygiene: without this, whichever heavy query runs AFTER a
+    crawl query is billed its leftover storage eviction + GC churn
+    (measured: q48 17.3 s mid-sweep vs 0.8 s clean). Runs OUTSIDE the
+    timed region of the next query."""
+    import gc
+
+    gc.collect()  # release Python-side refs so the JVM blocks are orphaned
+    try:
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        n = 0
+        for jrdd in jmap.values():  # py4j exposes the java Map dict-like
+            jrdd.unpersist()
+            n += 1
+        return n
+    except Exception:
+        return -1
+
+
+def _teardown_jvm() -> None:
+    """Shut down the py4j gateway so the NEXT get_spark launches a fresh
+    JVM. spark.stop() alone keeps the same JVM (heap, GC history, UI
+    stores, tmpfs shuffle dirs) alive under the new context — the query
+    sweep must not inherit the crawl legs' 48g of old-gen history."""
+    import shutil
+
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession
+
+    gw = SparkContext._gateway
+    if gw is not None:
+        gw.shutdown()
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkSession._instantiatedSession = None
+    SparkSession._activeSession = None
+    shm = os.environ.get("SPARK_LOCAL_DIRS")
+    if shm and shm.startswith("/dev/shm/") and os.path.isdir(shm):
+        # stale shuffle dirs are tmpfs — i.e. RAM — until deleted
+        for d in os.listdir(shm):
+            shutil.rmtree(os.path.join(shm, d), ignore_errors=True)
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -279,6 +326,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     timings: dict[str, float] = {}
     for name, fn in sorted(entrymod.queries().items()):
+        _drop_persistent_state(spark)  # previous query's leftovers, untimed
         t0 = time.time()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -304,13 +352,17 @@ def run_bench(crawl_only: bool = False) -> dict:
     crawl_ckpt = bench_crawl_checkpointed(spark, n_pages)
     log(f"  crawl_checkpointed: {crawl_ckpt}")
 
-    # measurement hygiene (VERDICT r1): the crawl leaves cached blocks,
-    # localCheckpoint leaves and old-gen garbage that inflated per-query
-    # times 3-4×. Tear the session down and sweep queries in a fresh one.
+    # measurement hygiene (VERDICT r1, tightened round 5): the crawl
+    # leaves cached blocks, localCheckpoint leaves, UI stores, tmpfs
+    # shuffle dirs and old-gen garbage. spark.stop() alone keeps the
+    # same JVM under the new context — observed: q14 59 s after the
+    # best-of-2 crawl legs vs 6.6 s in a genuinely fresh JVM. Shut the
+    # gateway down so the sweep gets its own JVM (its warm-up job
+    # re-pays JIT explicitly, which IS accounted for).
     if not crawl_only:
         spark.stop()
+        _teardown_jvm()
         spark = get_session(cpus)
-        spark.sparkContext._jvm.System.gc()
     queries = {} if crawl_only else bench_queries(spark, sf_dir)
 
     total = crawl["crawl_sec"] + sum(queries.values())

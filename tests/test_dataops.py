@@ -714,3 +714,18 @@ def test_semantic_dedup_keep_rule(spark):
     out = {r["vec_id"]: r for r in semantic_dedup(vecs, cents).collect()}
     assert {k: v["centroid_id"] for k, v in out.items()} == {0: 0, 1: 0, 2: 1, 3: 1}
     assert {k: v["kept"] for k, v in out.items()} == {0: True, 1: False, 2: True, 3: True}
+
+
+def test_unigram_logprob_hand_math(spark):
+    """cf: a=2 b=2 c=1, total 5 → ql(a)=ql(b)=round(ln(.4)·1e6)=-916291,
+    ql(c)=round(ln(.2)·1e6)=-1609438; per-doc means follow exactly from
+    the integer sums. Empty doc emits no row."""
+    from wikifrontier.textops import unigram_logprob
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert abs(out[1]["logprob"] - (3 * -916291) / 3e6) <= 1.1e-6
+    assert abs(out[2]["logprob"] - (-916291 - 1609438) / 2e6) <= 1.1e-6

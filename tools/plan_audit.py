@@ -377,6 +377,21 @@ def main() -> int:
         summary_of(q66_plan_df),
     ))
 
+    # 21. unigram-LM quality score (q67)
+    q67_plan_df = queries.q67_unigram_logprob(spark, sf_dir)
+    q67_plan = plan_of(q67_plan_df)
+    assert "CartesianProduct" not in q67_plan, "q67 grew a cartesian"
+    sections.append((
+        "Unigram-LM quality score (q67)",
+        "tf and cf are counters-only shuffles (document text dies at the "
+        "explode); the corpus total is a 1-row broadcast (machine-"
+        "asserted: no CartesianProduct); per-term ln P is quantized to "
+        "1e-6 longs BEFORE the per-document fold so the final aggregate "
+        "is an exact integer sum — order-independent at any parallelism, "
+        "which is what lets the DuckDB oracle replay it bit-for-bit.",
+        summary_of(q67_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

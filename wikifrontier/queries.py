@@ -1397,6 +1397,16 @@ def q66_semantic_dedup(spark, sf_dir):
     return sim.semantic_dedup(emb, cents, threshold=sim.SEMDEDUP_THRESHOLD)
 
 
+def q67_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality score (textops.unigram_logprob): mean token
+    log-probability under the corpus's own unigram distribution — the
+    CCNet-perplexity stand-in. Per-term ln P quantized to 1e-6 longs
+    before the per-doc sum, so both engines aggregate exactly. Oracle:
+    same tf/cf/total CTEs, same quantized arithmetic."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return textops.unigram_logprob(docs)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

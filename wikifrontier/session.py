@@ -69,6 +69,13 @@ def get_spark(
         # it on for runs that read the REST status API (the scaling
         # bench's shuffle local/remote attribution)
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        # the bench's executor-CPU-time twin metric diffs the SUM over the
+        # REST API's completed-stage list; a 12-round crawl emits hundreds
+        # of stages, so default retention (1000) can evict stages BETWEEN
+        # the before/after samples and corrupt the delta — retain enough
+        # for a full best-of-N crawl leg
+        .config("spark.ui.retainedStages", "20000")
+        .config("spark.ui.retainedJobs", "20000")
     )
     # Multi-executor-per-node topology fix: an executor JVM sizes its GC /
     # JIT / ForkJoin thread pools to the MACHINE's core count, not its task

@@ -396,3 +396,56 @@ def chunk_documents(
             F.sha2(F.array_join("ck", " "), 256).alias("chunk_sha"),
         )
     )
+
+
+# --- unigram LM quality score ---------------------------------------------------
+LOGPROB_SCALE = 1_000_000  # 1e-6 quantization for order-independent sums
+
+
+def unigram_logprob(df, text: str = "text", id_col: str = "doc_id"):
+    """Corpus-trained unigram LM score — the cheap stand-in for CCNet's
+    LM-perplexity quality filter: train P(term) = cf/total on the corpus
+    itself, score each document by its mean token log-probability (high
+    = boilerplate-ish common language, very low = gibberish; both tails
+    get filtered in a curation pass). Empty documents emit no row.
+
+    Exactness: per-term ln P is quantized to 1e-6 (long) BEFORE the
+    per-document sum, so the aggregate is an exact integer sum — order-
+    independent, hence bit-replayable by the DuckDB oracle (a raw double
+    sum would drift with aggregation order). Same trick as
+    similarity.kmeans_centroids.
+
+    Scale shape: tf/cf are counters-only shuffles (text dies at the
+    explode); the corpus total is a 1-row broadcast; the per-term ql
+    table joins back on term (at 100 TB both sides are already
+    term-keyed from the cf fold — AQE co-locates them). No driver
+    actions, no collect.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text))).alias("term")
+    )
+    tf = tok.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = cf.agg(F.sum("cf").alias("tot"))
+    ql = cf.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log(F.col("cf").cast("double") / F.col("tot").cast("double"))
+            * LOGPROB_SCALE
+        )
+        .cast("long")
+        .alias("ql"),
+    )
+    return (
+        tf.join(ql, "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.col("ql")).cast("double")
+                / (F.lit(float(LOGPROB_SCALE)) * F.sum("tf")),
+                6,
+            ).alias("logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "logprob")
+    )

@@ -16,6 +16,7 @@ from wikifrontier import extract
 from wikifrontier.schemas import PARSED_DDL
 
 _cached_udf = None
+_cached_ctx = None  # the SparkContext the cached udf was built on
 
 
 def _parse_batches(url: pd.Series, html: pd.Series, depth: pd.Series) -> pd.DataFrame:
@@ -45,9 +46,18 @@ def parse_page_udf(url, html, depth):
     wiki_link_extractor.py:28-107.
 
     The pandas_udf object is built lazily (its return-type DDL parse needs
-    an active SparkSession) and cached for plan reuse.
+    an active SparkSession) and cached for plan reuse. The cache is keyed
+    on the active SparkContext's identity — same discipline as the
+    session-object memo in queries.py — because the udf object holds py4j
+    refs into one JVM: reusing it across a gateway restart (bench tears
+    the JVM down between the crawl legs and the query sweep) raises
+    ConnectionRefusedError mid-plan.
     """
-    global _cached_udf
-    if _cached_udf is None:
+    global _cached_udf, _cached_ctx
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if _cached_udf is None or _cached_ctx is not ctx:
         _cached_udf = F.pandas_udf(_parse_batches, PARSED_DDL)
+        _cached_ctx = ctx
     return _cached_udf(url, html, depth)
