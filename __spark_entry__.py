@@ -44,9 +44,9 @@ from wikifrontier.linkgraph import (
 )
 from wikifrontier.similarity import SEMDEDUP_THRESHOLD
 from wikifrontier.textops import (
-    BPE_RE, CHUNK_TOKENS, LANG_PROFILES, PII_EMAIL_RE, PII_IPV4_RE,
-    PII_PHONE_RE, SAMPLE_HEX_DIGITS, STOPWORDS, TFIDF_TOP_K, TOKEN_RE,
-    sample_threshold_hex,
+    BPE_RE, CHUNK_TOKENS, LANG_PROFILES, PACK_BUCKETS, PII_EMAIL_RE,
+    PII_IPV4_RE, PII_PHONE_RE, SAMPLE_HEX_DIGITS, SEQ_BUDGET, STOPWORDS,
+    TFIDF_TOP_K, TOKEN_RE, sample_threshold_hex,
 )
 
 
@@ -1332,6 +1332,46 @@ SELECT tf.doc_id,
        round(sum(tf * ql)::DOUBLE / (1000000.0 * sum(tf)), 6) AS logprob
 FROM tf JOIN ql USING (term)
 GROUP BY 1
+""",
+        # q68: sequence packing — q65's chunk CTE, bucket = doc_id % B,
+        # exclusive-prefix window sum, seq = floor(pre/budget), ordered
+        # string_agg sha chain. floor on a non-negative double equals
+        # Spark's F.floor of the same division.
+        "q68_pack_sequences": f"""
+WITH tok AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks)::DOUBLE / {CHUNK_TOKENS})
+                              AS BIGINT))) AS i
+  FROM tok
+),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         toks[i*{CHUNK_TOKENS}+1 : i*{CHUNK_TOKENS}+{CHUNK_TOKENS}] AS ck
+  FROM idx
+),
+ck AS (
+  SELECT doc_id, chunk_idx, CAST(len(ck) AS INT) AS n_tokens,
+         sha256(array_to_string(ck, ' ')) AS chunk_sha
+  FROM c
+),
+p AS (
+  SELECT *,
+         CAST(doc_id % {PACK_BUCKETS} AS INT) AS bucket,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY doc_id % {PACK_BUCKETS}
+           ORDER BY doc_id, chunk_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM ck
+)
+SELECT bucket,
+       CAST(floor(pre::DOUBLE / {SEQ_BUDGET}) AS BIGINT) AS seq_id,
+       count(*) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       round(sum(n_tokens)::DOUBLE / {SEQ_BUDGET}, 6) AS fill,
+       sha256(string_agg(chunk_sha, ' ' ORDER BY doc_id, chunk_idx)) AS seq_sha
+FROM p
+GROUP BY 1, 2
 """,
         # q65: context-window chunking — generate_series over
         # ceil(len/k) chunks, 1-based inclusive list slicing (the last

@@ -729,3 +729,35 @@ def test_unigram_logprob_hand_math(spark):
     assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
     assert abs(out[1]["logprob"] - (3 * -916291) / 3e6) <= 1.1e-6
     assert abs(out[2]["logprob"] - (-916291 - 1609438) / 2e6) <= 1.1e-6
+
+
+def test_pack_sequences_hand_math(spark):
+    """budget=8, buckets=2: doc 0 (bucket 0) chunks 5+5+5 tokens →
+    exclusive prefixes 0/5/10 → seqs 0/0/1 (first seq overflows to 10,
+    the documented straddle); doc 1 (bucket 1) single 3-token chunk →
+    its own seq 0. seq_sha is the sha256 of the ordered sha chain."""
+    import hashlib
+
+    from wikifrontier.textops import pack_sequences
+
+    rows = [
+        (0, 0, 5, "sha_a"),
+        (0, 1, 5, "sha_b"),
+        (0, 2, 5, "sha_c"),
+        (1, 0, 3, "sha_d"),
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx int, n_tokens int, chunk_sha string"
+    )
+    out = {
+        (r["bucket"], r["seq_id"]): r
+        for r in pack_sequences(chunks, budget=8, buckets=2).collect()
+    }
+    assert set(out) == {(0, 0), (0, 1), (1, 0)}
+    s00, s01, s10 = out[(0, 0)], out[(0, 1)], out[(1, 0)]
+    assert (s00["n_chunks"], s00["seq_tokens"]) == (2, 10)
+    assert (s01["n_chunks"], s01["seq_tokens"]) == (1, 5)
+    assert (s10["n_chunks"], s10["seq_tokens"]) == (1, 3)
+    assert abs(s00["fill"] - 1.25) < 1e-9
+    assert s00["seq_sha"] == hashlib.sha256(b"sha_a sha_b").hexdigest()
+    assert s10["seq_sha"] == hashlib.sha256(b"sha_d").hexdigest()

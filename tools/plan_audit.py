@@ -392,6 +392,26 @@ def main() -> int:
         summary_of(q67_plan_df),
     ))
 
+    # 22. sequence packing (q68)
+    q68_plan_df = queries.q68_pack_sequences(spark, sf_dir)
+    q68_plan = plan_of(q68_plan_df)
+    assert "CartesianProduct" not in q68_plan, "q68 grew a cartesian"
+    assert q68_plan.count("hashpartitioning") <= 2, (
+        "q68 should shuffle at most twice (bucket window + pack groupBy)"
+    )
+    sections.append((
+        "Sequence packing (q68)",
+        "Chunking rides the scan (no keyed shuffle — see q65); packing "
+        "then shuffles COUNTER rows only (doc_id, chunk_idx, n_tokens, "
+        "chunk_sha — text never enters the operator) once on the bucket "
+        "for the prefix-sum window, and the pack groupBy reuses that "
+        "partitioning. The sequence rule is floor(exclusive-prefix/"
+        "budget) — the window-function relaxation of next-fit, which is "
+        "what keeps packing data-parallel instead of a sequential scan; "
+        "machine-asserted: ≤2 hashpartitionings, no cartesian.",
+        summary_of(q68_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

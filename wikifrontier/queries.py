@@ -1407,6 +1407,20 @@ def q67_unigram_logprob(spark, sf_dir):
     return textops.unigram_logprob(docs)
 
 
+def q68_pack_sequences(spark, sf_dir):
+    """Sequence packing (textops.pack_sequences): q65's 64-token chunks
+    assembled into 256-token training sequences — doc_id % 64 bucket
+    shards, (doc_id, chunk_idx) order, sequence = floor(exclusive prefix
+    tokens / budget) (the window-function relaxation of next-fit). One
+    counters-only shuffle; text never enters the operator. Oracle: same
+    chunk CTE + window prefix sum + ordered string_agg sha."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    chunks = textops.chunk_documents(docs, k=textops.CHUNK_TOKENS)
+    return textops.pack_sequences(
+        chunks, budget=textops.SEQ_BUDGET, buckets=textops.PACK_BUCKETS
+    )
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

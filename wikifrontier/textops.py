@@ -449,3 +449,76 @@ def unigram_logprob(df, text: str = "text", id_col: str = "doc_id"):
         )
         .select(F.col("id").alias(id_col), "n_tokens", "logprob")
     )
+
+
+# --- sequence packing -----------------------------------------------------------
+SEQ_BUDGET = 256  # tokens per packed training sequence
+PACK_BUCKETS = 64  # deterministic packing shards (scale knob, see docstring)
+
+
+def pack_sequences(
+    chunks,
+    budget: int = SEQ_BUDGET,
+    buckets: int = PACK_BUCKETS,
+    id_col: str = "doc_id",
+):
+    """Sequence packing — assemble ``chunk_documents`` windows into
+    fixed-budget training sequences (the step after chunking in a
+    pretraining pipeline: pack ~k-token chunks into B-token model
+    contexts so padding is bounded). Deterministic and shuffle-light by
+    construction:
+
+    - chunks shard into ``buckets`` by ``doc_id % buckets`` (a document's
+      chunks stay together, in order — context continuity);
+    - within a bucket, chunks are ordered (doc_id, chunk_idx) and each
+      chunk lands in sequence ``floor(exclusive_prefix_tokens / budget)``
+      — the prefix-sum relaxation of next-fit packing. A chunk straddling
+      a boundary joins the earlier sequence, so a sequence's token count
+      lies in (budget - k, budget + k); exact next-fit needs a stateful
+      scan and buys < k/budget fill — the prefix rule is what keeps
+      packing a window function instead of a sequential pass.
+
+    Returns one row per packed sequence: (bucket, seq_id, n_chunks,
+    seq_tokens, fill, seq_sha) where seq_sha is the sha256 of the
+    ordered chunk_sha chain — a stable manifest of the sequence's
+    contents without carrying text.
+
+    Scale shape: ONE shuffle (hashpartition on bucket) and a per-bucket
+    sort of (id, idx, sha, n) counter rows — text never enters the
+    operator. ``buckets`` is the parallelism knob: size it so a bucket's
+    counter rows fit a task (at 100 TB ~ total_chunks / 10^7); packing
+    quality is bucket-local so the knob trades nothing away.
+    """
+    from pyspark.sql import Window
+
+    b = chunks.withColumn(
+        "bucket", F.pmod(F.col(id_col), F.lit(buckets)).cast("int")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col, "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = b.withColumn(
+        "pre", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    ).withColumn("seq_id", F.floor(F.col("pre") / F.lit(budget)).cast("long"))
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col), F.col("chunk_idx"), F.col("chunk_sha")))
+    )
+    return (
+        p.groupBy("bucket", "seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+            F.sha2(
+                F.array_join(
+                    F.transform(ordered, lambda s: s["chunk_sha"]), " "
+                ),
+                256,
+            ).alias("seq_sha"),
+        )
+        .withColumn(
+            "fill", F.round(F.col("seq_tokens") / F.lit(float(budget)), 6)
+        )
+        .select("bucket", "seq_id", "n_chunks", "seq_tokens", "fill", "seq_sha")
+    )
