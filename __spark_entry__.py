@@ -44,9 +44,10 @@ from wikifrontier.linkgraph import (
 )
 from wikifrontier.similarity import SEMDEDUP_THRESHOLD
 from wikifrontier.textops import (
-    BPE_RE, CHUNK_TOKENS, LANG_PROFILES, PACK_BUCKETS, PII_EMAIL_RE,
-    PII_IPV4_RE, PII_PHONE_RE, SAMPLE_HEX_DIGITS, SEQ_BUDGET, STOPWORDS,
-    TFIDF_TOP_K, TOKEN_RE, sample_threshold_hex,
+    BPE_RE, BUDGET_SHARDS, CHUNK_TOKENS, LANG_PROFILES, PACK_BUCKETS,
+    PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE, SAMPLE_HEX_DIGITS, SEQ_BUDGET,
+    STOPWORDS, TFIDF_TOP_K, TOKEN_BUDGETS, TOKEN_BUDGET_DEFAULT, TOKEN_RE,
+    sample_threshold_hex,
 )
 
 
@@ -552,6 +553,16 @@ f AS (
             for lang, rate in sorted(Q.MIXTURE_RATES.items())
         )
         + f" ELSE '{sample_threshold_hex(0.0)}' END"
+    )
+    # q69: per-shard token quotas — the same budget // shards floor the
+    # Spark operator applies.
+    _budget_case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN {b // BUDGET_SHARDS}"
+            for lang, b in sorted(TOKEN_BUDGETS.items())
+        )
+        + f" ELSE {TOKEN_BUDGET_DEFAULT // BUDGET_SHARDS} END"
     )
 
     return {
@@ -1546,6 +1557,28 @@ WITH s AS (
 )
 SELECT doc_id, lang, sample_key, n_tokens FROM s
 WHERE sample_key < {_mixture_case}
+""",
+        # q69: token-budget quota sampling — same md5 fill order and
+        # strict-fit predicate as the Spark operator; quotas are the
+        # identical budget // shards floors via _budget_case.
+        "q69_token_budget_sample": f"""
+WITH base AS (
+  SELECT doc_id, lang,
+    substr(md5(CAST(doc_id AS VARCHAR)), 1, {SAMPLE_HEX_DIGITS}) AS sample_key,
+    CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+    CAST(doc_id % {BUDGET_SHARDS} AS INT) AS shard
+  FROM documents
+),
+p AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY lang, shard ORDER BY sample_key, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+  FROM base
+)
+SELECT doc_id, lang, shard, sample_key, n_tokens,
+       CAST(pre + n_tokens AS BIGINT) AS cum_tokens
+FROM p
+WHERE pre + n_tokens <= {_budget_case}
 """,
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark

@@ -761,3 +761,42 @@ def test_pack_sequences_hand_math(spark):
     assert abs(s00["fill"] - 1.25) < 1e-9
     assert s00["seq_sha"] == hashlib.sha256(b"sha_a sha_b").hexdigest()
     assert s10["seq_sha"] == hashlib.sha256(b"sha_d").hexdigest()
+
+
+def test_token_budget_sample_fill_order(spark):
+    """Single shard, budget 10 for 'en': docs fill in md5(doc_id)-prefix
+    order and the kept set is the maximal ORDERED PREFIX that fits the
+    quota — a doc that would overflow ends the shard's fill (its tokens
+    still advance the prefix, so nothing after it is kept). Expected set
+    computed by replaying the same prefix rule in Python."""
+    import hashlib
+
+    from wikifrontier.textops import SAMPLE_HEX_DIGITS, token_budget_sample
+
+    rows = [
+        (0, "en", "a b c d"),        # 4 tokens
+        (1, "en", "a b c"),          # 3
+        (2, "en", "a b c d e"),      # 5
+        (3, "en", "a b"),            # 2
+        (4, "de", "a b c d e f"),    # 6 -> de budget 4: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def key(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:SAMPLE_HEX_DIGITS]
+
+    toks = {0: 4, 1: 3, 2: 5, 3: 2}
+    expect, pre = {}, 0
+    for i in sorted(toks, key=lambda i: (key(i), i)):
+        if pre + toks[i] <= 10:
+            expect[i] = pre + toks[i]
+        pre += toks[i]
+    out = {
+        r["doc_id"]: r
+        for r in token_budget_sample(
+            df, budgets={"en": 10, "de": 4}, shards=1
+        ).collect()
+    }
+    assert set(out) == set(expect)
+    assert {i: r["cum_tokens"] for i, r in out.items()} == expect
+    assert all(r["sample_key"] == key(i) for i, r in out.items())

@@ -412,6 +412,26 @@ def main() -> int:
         summary_of(q68_plan_df),
     ))
 
+    # 23. token-budget quota sampling (q69)
+    q69_plan_df = queries.q69_token_budget_sample(spark, sf_dir)
+    q69_plan = plan_of(q69_plan_df)
+    assert "CartesianProduct" not in q69_plan, "q69 grew a cartesian"
+    assert q69_plan.count("hashpartitioning") <= 1, (
+        "q69 should shuffle once (the stratum×shard window)"
+    )
+    sections.append((
+        "Token-budget quota sampling (q69)",
+        "The token count projects scan-side (text dies there); the only "
+        "shuffle is ONE counters-only hashpartitioning on (stratum, "
+        "shard) for the prefix-sum window — machine-asserted. Sharding "
+        "the quota (budget // shards per shard) is what removes the "
+        "one-task-per-language skew wall a naive per-stratum window "
+        "would hit at 100 TB; the md5 fill order makes the kept set a "
+        "pure function of (corpus, budgets, shards), which is what the "
+        "DuckDB oracle replays.",
+        summary_of(q69_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

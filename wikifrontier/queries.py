@@ -1421,6 +1421,17 @@ def q68_pack_sequences(spark, sf_dir):
     )
 
 
+def q69_token_budget_sample(spark, sf_dir):
+    """Token-budget quota sampling (textops.token_budget_sample): fill
+    each language's token budget (en 6000 / de,fr,es 2000 / default
+    1000, split over 4 hash shards) in deterministic md5-key order,
+    keeping docs that fit entirely. The token-budgeted twin of q57's
+    rate-based mixture. Oracle: same md5 key, shard, prefix window and
+    strict-fit predicate."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return textops.token_budget_sample(docs)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

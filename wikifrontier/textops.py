@@ -522,3 +522,84 @@ def pack_sequences(
         )
         .select("bucket", "seq_id", "n_chunks", "seq_tokens", "fill", "seq_sha")
     )
+
+
+# --- token-budget quota sampling -------------------------------------------------
+# per-stratum TOKEN budgets for the quota sampler (q69) — the
+# token-budgeted twin of the rate-based mixture sampler (q57): real
+# training mixtures are specified in tokens per source, not doc counts.
+TOKEN_BUDGETS = {"en": 6000, "de": 2000, "fr": 2000, "es": 2000}
+TOKEN_BUDGET_DEFAULT = 1000  # strata not named in TOKEN_BUDGETS
+BUDGET_SHARDS = 4  # quota shards per stratum (scale knob, see docstring)
+
+
+def token_budget_sample(
+    df,
+    budgets: dict[str, int] | None = None,
+    default_budget: int = TOKEN_BUDGET_DEFAULT,
+    shards: int = BUDGET_SHARDS,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text: str = "text",
+):
+    """Token-budget quota sampling — fill each stratum's token budget
+    with documents in deterministic md5-key order (the same audit key as
+    ``stratified_sample``), keeping the maximal ordered PREFIX that fits
+    (exclusive prefix + own tokens ≤ quota; the first doc that would
+    overflow ends the shard's fill — since the prefix only grows, kept
+    docs are provably a strict prefix, so ``cum_tokens`` is the running
+    kept total). Where ``stratified_sample`` answers "keep X% of docs",
+    this answers the question training mixtures actually ask: "give me
+    N tokens of each source".
+
+    Determinism: the fill order is the md5 hex prefix of the row key —
+    stable under reruns, repartitioning, and engine changes — so the
+    selected set is a pure function of (corpus, budgets, shards) and the
+    DuckDB oracle replays it exactly.
+
+    Scale shape: a stratum is a handful of values, so a naive
+    per-stratum window would be one task per language — a skew wall at
+    100 TB. The quota is therefore split across ``shards`` hash shards
+    (budget // shards each; the remainder is forfeited, bounded by
+    shards · max_doc_tokens): each (stratum, shard) fills independently,
+    giving stratum-parallelism × shard-parallelism with ONE counters-only
+    shuffle (text dies at the token count). ``shards`` sizes tasks the
+    same way PACK_BUCKETS does for packing.
+    """
+    from pyspark.sql import Window
+
+    budgets = TOKEN_BUDGETS if budgets is None else budgets
+    quota = F.lit(default_budget // shards).cast("long")
+    for name, b in sorted(budgets.items()):
+        quota = F.when(
+            F.col(stratum_col) == name, F.lit(b // shards).cast("long")
+        ).otherwise(quota)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(stratum_col).alias("stratum"),
+        quota.alias("quota"),
+        F.substring(
+            F.md5(F.col(id_col).cast("string")), 1, SAMPLE_HEX_DIGITS
+        ).alias("sample_key"),
+        F.size(tokens(F.col(text))).cast("long").alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(shards)).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("stratum", "shard")
+        .orderBy("sample_key", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.withColumn(
+            "pre", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+        )
+        .where(F.col("pre") + F.col("n_tokens") <= F.col("quota"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("stratum").alias(stratum_col),
+            "shard",
+            "sample_key",
+            "n_tokens",
+            (F.col("pre") + F.col("n_tokens")).alias("cum_tokens"),
+        )
+    )
