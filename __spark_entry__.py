@@ -44,6 +44,7 @@ from wikifrontier.linkgraph import (
 )
 from wikifrontier.similarity import SEMDEDUP_THRESHOLD
 from wikifrontier.textops import (
+    BM25_B, BM25_K1, BM25_QUERIES, BM25_SHARDS, BM25_TOP_K,
     BPE_RE, BUDGET_SHARDS, CHUNK_TOKENS, LANG_PROFILES, PACK_BUCKETS,
     PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE, SAMPLE_HEX_DIGITS, SEQ_BUDGET,
     STOPWORDS, TFIDF_TOP_K, TOKEN_BUDGETS, TOKEN_BUDGET_DEFAULT, TOKEN_RE,
@@ -563,6 +564,12 @@ f AS (
             for lang, b in sorted(TOKEN_BUDGETS.items())
         )
         + f" ELSE {TOKEN_BUDGET_DEFAULT // BUDGET_SHARDS} END"
+    )
+    # q70: the standing BM25 query set as a VALUES relation.
+    _bm25_values = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, ts in sorted(BM25_QUERIES.items())
+        for t in ts
     )
 
     return {
@@ -1579,6 +1586,42 @@ SELECT doc_id, lang, shard, sample_key, n_tokens,
        CAST(pre + n_tokens AS BIGINT) AS cum_tokens
 FROM p
 WHERE pre + n_tokens <= {_budget_case}
+""",
+        # q70: BM25 top-k — identical idf/tf-norm association and the
+        # same Python-computed double constants as textops.bm25_topk;
+        # per-term contributions quantized to 1e-6 longs before the sum.
+        "q70_bm25_topk": f"""
+WITH q(query_id, term) AS (VALUES {_bm25_values}),
+dl AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 sum(dl)::DOUBLE / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+contrib AS (
+  SELECT q.query_id, t.doc_id,
+    CAST(round((ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+      * ((t.tf * {BM25_K1 + 1.0!r})
+         / (t.tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
+              + ({BM25_B!r} * l.dl) / s.avgdl))))
+      * 1000000.0) AS BIGINT) AS c
+  FROM tfq t JOIN dfq d USING (term) JOIN dl l USING (doc_id)
+  JOIN q USING (term) CROSS JOIN stats s
+),
+scored AS (SELECT query_id, doc_id, sum(c) AS score_q,
+                  count(*) AS n_terms
+           FROM contrib GROUP BY 1, 2),
+loc AS (SELECT *, row_number() OVER (
+    PARTITION BY query_id, doc_id % {BM25_SHARDS}
+    ORDER BY score_q DESC, doc_id) AS rn
+  FROM scored),
+gtop AS (SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS "rank"
+  FROM loc WHERE rn <= {BM25_TOP_K})
+SELECT query_id, doc_id, "rank", n_terms, CAST(score_q AS BIGINT) AS score_q,
+       round(score_q / 1000000.0, 6) AS score
+FROM gtop WHERE "rank" <= {BM25_TOP_K}
 """,
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark

@@ -800,3 +800,41 @@ def test_token_budget_sample_fill_order(spark):
     assert set(out) == set(expect)
     assert {i: r["cum_tokens"] for i, r in out.items()} == expect
     assert all(r["sample_key"] == key(i) for i, r in out.items())
+
+
+def test_bm25_topk_hand_math(spark):
+    """3-doc corpus, one 2-term query: per-term contributions replayed in
+    Python with the identical constant association and 1e-6 quantization;
+    two-phase ranking (shards=4) must equal the single-window result."""
+    import math
+
+    from wikifrontier.textops import BM25_B, BM25_K1, bm25_topk
+
+    rows = [(0, "hash join hash"), (1, "join scan"), (2, "scan scan scan")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {"hj": ("hash", "join")}
+
+    n, avgdl = 3, 8.0 / 3.0
+
+    def c(tf, dfreq, dl):
+        idf = math.log((n - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+        norm = (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * ((1.0 - BM25_B) + (BM25_B * dl) / avgdl)
+        )
+        return math.floor((idf * norm) * 1000000.0 + 0.5)
+
+    expect = {
+        0: c(2, 1, 3) + c(1, 2, 3),  # hash tf=2 df=1; join tf=1 df=2
+        1: c(1, 2, 2),               # join only
+    }
+    out = {r["doc_id"]: r for r in bm25_topk(df, queries=q).collect()}
+    assert set(out) == {0, 1}
+    assert {i: r["score_q"] for i, r in out.items()} == expect
+    ranks = sorted(out.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in ranks] == sorted(
+        expect, key=lambda i: (-expect[i], i)
+    )
+    single = sorted(
+        map(tuple, bm25_topk(df, queries=q, shards=1).collect())
+    )
+    assert sorted(map(tuple, out.values())) == single

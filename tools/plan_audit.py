@@ -432,6 +432,26 @@ def main() -> int:
         summary_of(q69_plan_df),
     ))
 
+    # 24. BM25 top-k retrieval (q70)
+    q70_plan_df = queries.q70_bm25_topk(spark, sf_dir)
+    q70_plan = plan_of(q70_plan_df)
+    assert "CartesianProduct" not in q70_plan, "q70 grew a cartesian"
+    assert q70_plan.count("BroadcastHashJoin") >= 2, (
+        "q70 should broadcast the query-term set and the query map"
+    )
+    sections.append((
+        "BM25 top-k retrieval (q70)",
+        "The postings explode is filtered to query terms by a BROADCAST "
+        "semi-join before the tf fold, so every corpus-sized shuffle "
+        "carries (doc, term, counter) rows for matched terms only — "
+        "text dies at the scan. N/avgdl ride a 1-row broadcast; idf and "
+        "the query map are broadcast joins (machine-asserted ≥2 "
+        "BroadcastHashJoins, no cartesian). Top-k is two-phase — local "
+        "row_number per (query, doc%16) then a global rank over the "
+        "bounded ≤16k survivors — so no one-task-per-query window wall.",
+        summary_of(q70_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

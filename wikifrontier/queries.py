@@ -1432,6 +1432,17 @@ def q69_token_budget_sample(spark, sf_dir):
     return textops.token_budget_sample(docs)
 
 
+def q70_bm25_topk(spark, sf_dir):
+    """Top-k BM25 retrieval (textops.bm25_topk) for the fixed standing
+    query set BM25_QUERIES over the documents corpus — seed-expansion /
+    eval-set-mining retrieval with Lucene's non-negative idf. Per-term
+    contributions are quantized to 1e-6 longs before the per-(query,doc)
+    sum, so scores are exact integers the DuckDB oracle replays; top-k
+    is the two-phase (local shard, then global) ranking."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return textops.bm25_topk(docs)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -603,3 +603,133 @@ def token_budget_sample(
             (F.col("pre") + F.col("n_tokens")).alias("cum_tokens"),
         )
     )
+
+
+# --- BM25 retrieval --------------------------------------------------------------
+# Okapi BM25 with the Lucene non-negative idf, ln(1 + (N-df+0.5)/(df+0.5)).
+# The query workload is a fixed dictionary (retrieval over a crawled corpus
+# is "given these standing queries, which pages rank?" — e.g. seed-list
+# expansion or eval-set mining); terms are drawn from the synthetic
+# corpus vocabulary so every query matches real documents.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_SHARDS = 16  # local-top-k shards per query (scale knob, see docstring)
+BM25_SCALE = 1_000_000  # 1e-6 contribution quantization for exact sums
+BM25_QUERIES: dict[str, tuple[str, ...]] = {
+    "fast_scan": ("fast", "scan"),
+    "hash_join": ("hash", "join"),
+    "merge_sort": ("merge", "sort", "order"),
+    "stream_agg": ("stream", "window", "agg"),
+}
+
+
+def bm25_topk(
+    df,
+    queries: dict[str, tuple[str, ...]] | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    k: int = BM25_TOP_K,
+    shards: int = BM25_SHARDS,
+    text: str = "text",
+    id_col: str = "doc_id",
+):
+    """Top-k BM25 retrieval for a fixed query set over the corpus — the
+    inverted-index scoring pass a crawl pipeline runs for seed expansion
+    / eval-set mining (the ranked twin of ``tfidf_terms``). Returns one
+    row per (query_id, doc, rank ≤ k).
+
+    Exactness: each term's contribution idf·tf-norm is quantized to 1e-6
+    longs BEFORE the per-(query, doc) sum (``unigram_logprob``'s trick),
+    so scores are exact integer sums — order-independent and
+    bit-replayable by the DuckDB oracle; ranking then orders by
+    (score_q DESC, doc_id), a deterministic total order.
+
+    Scale shape: the postings explode is filtered to query terms by a
+    broadcast semi-join BEFORE the tf fold, so the only corpus-sized
+    shuffles carry (doc, term, count) rows for matched terms only; N and
+    avgdl ride a 1-row broadcast. Top-k is two-phase to dodge the
+    one-task-per-query window wall: a local row_number per (query,
+    doc_id%shards) keeps ≤ shards·k candidates per query, then the
+    global rank runs over that bounded set.
+    """
+    from pyspark.sql import Window
+
+    queries = BM25_QUERIES if queries is None else queries
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        sorted((qid, t) for qid, ts in queries.items() for t in ts),
+        "query_id string, term string",
+    )
+    terms = qdf.select("term").distinct()
+
+    lens = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text))).cast("long").alias("dl"),
+    )
+    stats = lens.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count("*").cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text))).alias("term"),
+        )
+        .join(F.broadcast(terms), "term")
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + (F.lit(b) * F.col("dl").cast("double")) / F.col("avgdl")
+        )
+    )
+    contrib = (
+        tf.join(dfreq, "term")
+        .join(lens, "id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qdf), "term")
+        .select(
+            "query_id",
+            "id",
+            F.round((idf * norm) * F.lit(float(BM25_SCALE)))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "id").agg(
+        F.sum("c").alias("score_q"), F.count("*").alias("n_terms")
+    )
+    order = [F.col("score_q").desc(), F.col("id")]
+    w_local = Window.partitionBy(
+        "query_id", F.pmod(F.col("id"), F.lit(shards))
+    ).orderBy(*order)
+    w_global = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            "rank",
+            "n_terms",
+            "score_q",
+            F.round(F.col("score_q") / F.lit(float(BM25_SCALE)), 6).alias(
+                "score"
+            ),
+        )
+    )
