@@ -565,6 +565,13 @@ f AS (
         )
         + f" ELSE {TOKEN_BUDGET_DEFAULT // BUDGET_SHARDS} END"
     )
+    # q71: 2-shingles (adjacent bigrams) — the k=2 twin of SHINGLE3.
+    _SHINGLE2 = (
+        "CASE WHEN len(t) >= 2 THEN "
+        "list_transform(generate_series(1, CAST(len(t)-1 AS INT)), "
+        "i -> t[i] || ' ' || t[i+1]) "
+        "ELSE [] END"
+    )
     # q70: the standing BM25 query set as a VALUES relation.
     _bm25_values = ", ".join(
         f"('{qid}', '{t}')"
@@ -1622,6 +1629,39 @@ gtop AS (SELECT *, row_number() OVER (
 SELECT query_id, doc_id, "rank", n_terms, CAST(score_q AS BIGINT) AS score_q,
        round(score_q / 1000000.0, 6) AS score
 FROM gtop WHERE "rank" <= {BM25_TOP_K}
+""",
+        # q71: stupid-backoff bigram LM — trains on doc_id % 2 = 0,
+        # scores all docs; identical quantized-long arithmetic as the
+        # Spark operator (textops.bigram_logprob).
+        "q71_bigram_logprob": f"""
+WITH tokt AS (SELECT doc_id, {TOKS} AS t FROM documents),
+train AS (SELECT * FROM tokt WHERE doc_id % 2 = 0),
+c1 AS (SELECT term, count(*) AS c1
+       FROM (SELECT unnest(t) AS term FROM train) GROUP BY 1),
+tots AS (SELECT sum(c1) AS tot, count(*) AS vocab FROM c1),
+bc AS (SELECT s, count(*) AS bc
+       FROM (SELECT unnest({_SHINGLE2}) AS s FROM train) GROUP BY 1),
+spn AS (SELECT doc_id, s, count(*) AS n
+        FROM (SELECT doc_id, unnest({_SHINGLE2}) AS s FROM tokt)
+        GROUP BY 1, 2),
+pairs AS (SELECT DISTINCT s,
+                 string_split(s, ' ')[1] AS w1,
+                 string_split(s, ' ')[2] AS w2 FROM spn),
+ql AS (
+  SELECT p.s,
+    CAST(round(ln(CASE WHEN bc.bc IS NOT NULL
+        THEN CAST(bc.bc AS DOUBLE) / cu.c1
+        ELSE 0.4 * (CAST(COALESCE(cw.c1, 0) + 1 AS DOUBLE)
+                    / CAST(t.tot + t.vocab AS DOUBLE)) END)
+      * 1000000.0) AS BIGINT) AS ql
+  FROM pairs p LEFT JOIN bc ON bc.s = p.s
+  LEFT JOIN c1 cu ON cu.term = p.w1
+  LEFT JOIN c1 cw ON cw.term = p.w2
+  CROSS JOIN tots t
+)
+SELECT spn.doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+       round(sum(n * ql)::DOUBLE / (1000000.0 * sum(n)), 6) AS logprob
+FROM spn JOIN ql USING (s) GROUP BY 1
 """,
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark

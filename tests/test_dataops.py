@@ -838,3 +838,32 @@ def test_bm25_topk_hand_math(spark):
         map(tuple, bm25_topk(df, queries=q, shards=1).collect())
     )
     assert sorted(map(tuple, out.values())) == single
+
+
+def test_bigram_logprob_hand_math(spark):
+    """Train half = docs 0,2; doc 1 contains the train-unseen bigram
+    'c d', so the stupid-backoff branch (0.4 · Laplace unigram) must
+    fire. Quantized longs replayed by hand."""
+    import math
+
+    from wikifrontier.textops import bigram_logprob
+
+    rows = [(0, "a b a"), (1, "a b c d"), (2, "b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def q(x):  # HALF_UP quantization to 1e-6 longs
+        y = x * 1000000.0
+        return math.floor(y + 0.5) if y >= 0 else math.ceil(y - 0.5)
+
+    ql_half = q(math.log(0.5))            # seen bigrams: bc=1 / c1=2
+    ql_back = q(math.log(0.4 * (1.0 / 8.0)))  # cf(d)=0, tot=5, vocab=3
+    expect = {
+        0: (2, round(2 * ql_half / 2e6, 6)),
+        1: (3, round((2 * ql_half + ql_back) / 3e6, 6)),
+        2: (1, round(ql_half / 1e6, 6)),
+    }
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["logprob"])
+        for r in bigram_logprob(df).collect()
+    }
+    assert out == expect

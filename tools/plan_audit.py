@@ -452,6 +452,22 @@ def main() -> int:
         summary_of(q70_plan_df),
     ))
 
+    # 25. stupid-backoff bigram LM (q71)
+    q71_plan_df = queries.q71_bigram_logprob(spark, sf_dir)
+    q71_plan = plan_of(q71_plan_df)
+    assert "CartesianProduct" not in q71_plan, "q71 grew a cartesian"
+    sections.append((
+        "Stupid-backoff bigram LM score (q71)",
+        "Bigrams are built scan-side (shingles k=2 — text dies at the "
+        "explode); every later shuffle carries (bigram | term, counter) "
+        "rows. The train-half counts fold with map-side partial agg, "
+        "corpus totals ride a 1-row broadcast, and the per-pair ln P is "
+        "quantized to 1e-6 longs per DISTINCT bigram before the keyed "
+        "join back to the per-doc fold — exact integer sums, no "
+        "cartesian (machine-asserted).",
+        summary_of(q71_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

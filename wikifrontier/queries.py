@@ -1443,6 +1443,17 @@ def q70_bm25_topk(spark, sf_dir):
     return textops.bm25_topk(docs)
 
 
+def q71_bigram_logprob(spark, sf_dir):
+    """Stupid-backoff bigram LM score (textops.bigram_logprob): train
+    bigram/unigram counts on the even-doc_id half, score every document
+    by mean bigram log-probability (unseen bigram → 0.4·Laplace
+    unigram) — the KenLM-perplexity-filter stand-in one tier above
+    q67's unigram LM. Oracle: identical CTE chain with the same
+    quantized-long arithmetic."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return textops.bigram_logprob(docs)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

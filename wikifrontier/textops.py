@@ -733,3 +733,98 @@ def bm25_topk(
             ),
         )
     )
+
+
+# --- bigram LM quality score -----------------------------------------------------
+# Stupid-backoff bigram LM (Brants et al. 2007): P(w2|w1) = c(w1 w2)/c(w1)
+# when the bigram was seen in training, else ALPHA · P_laplace(w2). The LM
+# trains on the even-doc_id half of the corpus and scores ALL docs, so the
+# odd half genuinely exercises the backoff path.
+BIGRAM_ALPHA = 0.4
+BIGRAM_TRAIN_MOD = 2  # train on doc_id % MOD == 0
+
+
+def bigram_logprob(df, text: str = "text", id_col: str = "doc_id"):
+    """Bigram-LM document quality score — the sharper sibling of
+    ``unigram_logprob`` and the closest cheap stand-in for CCNet's
+    KenLM-perplexity filter: train bigram/unigram counts on half the
+    corpus (doc_id % 2 == 0), score every document by its mean bigram
+    log-probability under stupid backoff (unseen bigram → α · Laplace
+    unigram). Documents with < 2 tokens emit no row.
+
+    Exactness: ln P is quantized to 1e-6 longs per DISTINCT bigram
+    BEFORE the per-document fold (``unigram_logprob``'s trick), so the
+    aggregate is an exact integer sum the DuckDB oracle replays
+    bit-for-bit.
+
+    Scale shape: bigrams are built scan-side (``shingles(k=2)`` — text
+    dies at the explode); every shuffle afterwards carries (term |
+    bigram, counter) rows; corpus totals (tot, vocab) ride a 1-row
+    broadcast; the per-pair ql table joins back on the bigram key. No
+    driver actions.
+    """
+    tokt = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text)).alias("t")
+    )
+    train = tokt.filter(F.col("id") % BIGRAM_TRAIN_MOD == 0)
+    c1 = (
+        train.select(F.explode("t").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c1"))
+    )
+    tots = c1.agg(
+        F.sum("c1").alias("tot"), F.count("*").alias("vocab")
+    )
+    bc = (
+        train.select(F.explode(shingles(F.col("t"), 2)).alias("s"))
+        .groupBy("s")
+        .agg(F.count("*").alias("bc"))
+    )
+    spn = (
+        tokt.select("id", F.explode(shingles(F.col("t"), 2)).alias("s"))
+        .groupBy("id", "s")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = spn.select(
+        "s",
+        F.split(F.col("s"), " ")[0].alias("w1"),
+        F.split(F.col("s"), " ")[1].alias("w2"),
+    ).distinct()
+    p_seen = F.col("bc").cast("double") / F.col("c1")
+    p_backoff = F.lit(BIGRAM_ALPHA) * (
+        (F.coalesce(F.col("cf"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("tot") + F.col("vocab")).cast("double")
+    )
+    ql = (
+        pairs.join(bc, "s", "left")
+        .join(c1, pairs["w1"] == c1["term"], "left")
+        .drop("term")
+        .join(
+            c1.select(F.col("term").alias("w2t"), F.col("c1").alias("cf")),
+            pairs["w2"] == F.col("w2t"),
+            "left",
+        )
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "s",
+            F.round(
+                F.log(F.when(F.col("bc").isNotNull(), p_seen).otherwise(p_backoff))
+                * F.lit(float(LOGPROB_SCALE))
+            )
+            .cast("long")
+            .alias("ql"),
+        )
+    )
+    return (
+        spn.join(ql, "s")
+        .groupBy("id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n") * F.col("ql")).cast("double")
+                / (F.lit(float(LOGPROB_SCALE)) * F.sum("n")),
+                6,
+            ).alias("logprob"),
+        )
+        .select(F.col("id").alias(id_col), "n_bigrams", "logprob")
+    )
