@@ -1663,6 +1663,27 @@ SELECT spn.doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
        round(sum(n * ql)::DOUBLE / (1000000.0 * sum(n)), 6) AS logprob
 FROM spn JOIN ql USING (s) GROUP BY 1
 """,
+        # q72: per-node triangle counts — the Spark side runs the
+        # degree-oriented wedge join; the triangle SET is orientation-
+        # independent, so the id-ordered (a<b<c) 3-way join replays it.
+        "q72_triangle_count": """
+WITH e0 AS (
+  SELECT doc_id AS src,
+         unnest([doc_id % 97, (doc_id * 31 + 7) % 97,
+                 (doc_id * 17 + 3) % 97]) AS dst
+  FROM documents
+),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src <> dst),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+n AS (SELECT unnest([x, y, z]) AS id FROM tri)
+SELECT id, count(*) AS n_triangles FROM n GROUP BY 1
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

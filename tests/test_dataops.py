@@ -867,3 +867,22 @@ def test_bigram_logprob_hand_math(spark):
         for r in bigram_logprob(df).collect()
     }
     assert out == expect
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 on nodes 0-3 (4 triangles, each node on 3) plus a pendant
+    edge 3-4, with reversed duplicates and a self-loop that must all
+    dedup away. Node 4 (no triangle) emits no row."""
+    from wikifrontier.linkgraph import triangle_count
+
+    raw = [
+        (0, 1), (1, 2), (0, 2), (2, 3), (1, 3), (0, 3),  # K4
+        (3, 4),          # pendant
+        (1, 0), (2, 1),  # reversed duplicates
+        (4, 4),          # self-loop
+    ]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    out = {
+        r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()
+    }
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}

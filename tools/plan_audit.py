@@ -468,6 +468,23 @@ def main() -> int:
         summary_of(q71_plan_df),
     ))
 
+    # 26. triangle counting (q72)
+    q72_plan_df = queries.q72_triangle_count(spark, sf_dir)
+    q72_plan = plan_of(q72_plan_df)
+    assert "CartesianProduct" not in q72_plan, "q72 grew a cartesian"
+    sections.append((
+        "Per-node triangle counts (q72)",
+        "Degree orientation (Chiba–Nishizeki): every undirected edge "
+        "points from the smaller (degree, id) endpoint to the larger, "
+        "so wedges are generated only at their lowest-key vertex — "
+        "oriented out-degree is O(sqrt(m))-bounded, which is what keeps "
+        "the wedge join from exploding at webgraph hub nodes. Both "
+        "wedge generation and closure are keyed equi-joins "
+        "(machine-asserted no cartesian); every shuffled row is "
+        "(node|edge, counter).",
+        summary_of(q72_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

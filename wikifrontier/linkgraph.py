@@ -326,3 +326,77 @@ def anchor_profile(
         F.coalesce(F.col("term"), F.lit("")).alias("top_term"),
         F.coalesce(F.col("term_count"), F.lit(0)).cast("long").alias("top_term_count"),
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected link graph →
+    (id, n_triangles) for every node on at least one triangle. Triangle
+    density is the classic link-spam / community signal (a page whose
+    neighbors all interlink is in a clique-ish cluster — nepotistic
+    link farms light up; genuine topical hubs mostly don't), the fourth
+    score family over the reference's ``links`` relation
+    (database/db_models/models.py:108-158) after PageRank, HITS, and
+    co-citation.
+
+    Algorithm: degree orientation (the node-iterator bound of
+    Chiba–Nishizeki / Schank–Wagner): orient every undirected edge from
+    the endpoint with the smaller (degree, id) key to the larger, then
+    a wedge is generated ONLY at its lowest-key vertex and closed by an
+    oriented equi-join. Per-edge expansion is bounded by the oriented
+    out-degree ≤ O(sqrt(m)) on any graph (arboricity bound), so the
+    wedge relation never blows up on skewed webgraphs the way a naive
+    neighbor self-join at hub nodes would. The triangle SET is
+    orientation-independent, which is exactly what lets the DuckDB
+    oracle replay it with the simple id-ordered (a<b<c) 3-way join.
+
+    Scale shape: dedup + degree fold + two keyed equi-joins + one
+    counters-only groupBy — every shuffled row is (node|edge, counter).
+    No driver actions.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    e_or = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("dy"),
+    )
+    wedges = (
+        e_or.alias("f")
+        .join(e_or.alias("g"), F.col("f.x") == F.col("g.x"))
+        .filter(
+            F.struct(F.col("f.dy"), F.col("f.y"))
+            < F.struct(F.col("g.dy"), F.col("g.y"))
+        )
+        .select(
+            F.col("f.x").alias("x"),
+            F.col("f.y").alias("y"),
+            F.col("g.y").alias("z"),
+        )
+    )
+    tri = wedges.join(
+        e_or.select(F.col("x").alias("y"), F.col("y").alias("z")),
+        ["y", "z"],
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n_triangles"))
+    )

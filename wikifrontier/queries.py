@@ -1454,6 +1454,23 @@ def q71_bigram_logprob(spark, sf_dir):
     return textops.bigram_logprob(docs)
 
 
+def q72_triangle_count(spark, sf_dir):
+    """Per-node triangle counts (linkgraph.triangle_count) over the q62
+    derived dense graph — the degree-oriented Chiba–Nishizeki wedge
+    join, the link-farm / community-density signal. The triangle set is
+    orientation-independent, so the oracle replays it with the simple
+    id-ordered (a<b<c) 3-way self-join."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edges = docs.select(
+        d.alias("src"),
+        F.explode(
+            F.array(d % 97, (d * 31 + 7) % 97, (d * 17 + 3) % 97)
+        ).alias("dst"),
+    )
+    return linkgraph.triangle_count(edges)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
