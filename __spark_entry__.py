@@ -46,7 +46,8 @@ from wikifrontier.similarity import SEMDEDUP_THRESHOLD
 from wikifrontier.textops import (
     BM25_B, BM25_K1, BM25_QUERIES, BM25_SHARDS, BM25_TOP_K,
     BPE_RE, BUDGET_SHARDS, CHUNK_TOKENS, LANG_PROFILES, PACK_BUCKETS,
-    PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE, SAMPLE_HEX_DIGITS, SEQ_BUDGET,
+    PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE, REP_DUP_MAX, REP_PII_MAX,
+    REP_QUALITY_MIN, SAMPLE_HEX_DIGITS, SEQ_BUDGET,
     STOPWORDS, TFIDF_TOP_K, TOKEN_BUDGETS, TOKEN_BUDGET_DEFAULT, TOKEN_RE,
     sample_threshold_hex,
 )
@@ -1683,6 +1684,80 @@ tri AS (
 ),
 n AS (SELECT unnest([x, y, z]) AS id FROM tri)
 SELECT id, count(*) AS n_triangles FROM n GROUP BY 1
+""",
+        # q73: per-source reputation rollup — identical injection +
+        # quality/PII derivations as textops.source_reputation over
+        # queries.rep_inject; the keep verdict compares ROUNDED rates.
+        "q73_source_reputation": f"""
+WITH inj AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 10 = 0
+         THEN '{Q.REP_BOILER} ' || (doc_id % 3)
+         ELSE text
+    || CASE WHEN doc_id % 5 = 0
+         THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+              || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+              || '.' || ((doc_id * 13) % 256) ELSE '' END
+    END AS t
+  FROM documents
+),
+fq AS (
+  SELECT doc_id, source, t,
+    len(toks) AS n,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tok_chars,
+    CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE) AS stops
+  FROM (SELECT doc_id, source, t,
+               regexp_extract_all(lower(t), '{TOKEN_RE}') AS toks FROM inj)
+),
+m1 AS (
+  SELECT doc_id, len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS n_emails,
+         regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM inj
+),
+m2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS n_phones,
+         regexp_replace(t1, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t2
+  FROM m1
+),
+m3 AS (
+  SELECT doc_id, n_emails, n_phones,
+         len(regexp_extract_all(t2, '{PII_IPV4_RE}')) AS n_ipv4s
+  FROM m2
+),
+pd AS (
+  SELECT fq.doc_id, fq.source,
+    CAST(round(round(
+      least(n / 100.0, 1.0) * 0.4
+      + (CASE WHEN n > 0 THEN stops / n ELSE 0.0 END) * 0.3
+      + least((CASE WHEN n > 0 THEN tok_chars / n ELSE 0.0 END) / 8.0, 1.0)
+        * 0.3, 6) * 1000000.0) AS BIGINT) AS ql,
+    CASE WHEN (m.n_emails + m.n_phones + m.n_ipv4s) > 0
+         THEN 1 ELSE 0 END AS has_pii,
+    sha256(fq.t) AS h
+  FROM fq JOIN m3 m USING (doc_id)
+),
+dup AS (SELECT *, count(*) OVER (PARTITION BY h) AS c FROM pd),
+roll AS (
+  SELECT source, count(*) AS n_docs, sum(ql) AS sq, sum(has_pii) AS np,
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS nd
+  FROM dup GROUP BY 1
+),
+rates AS (
+  SELECT source, n_docs,
+    round(sq::DOUBLE / (1000000.0 * n_docs), 6) AS mean_quality,
+    round(CAST(np AS DOUBLE) / n_docs, 6) AS pii_rate,
+    round(CAST(nd AS DOUBLE) / n_docs, 6) AS dup_rate
+  FROM roll
+)
+SELECT source, n_docs, mean_quality, pii_rate, dup_rate,
+       (mean_quality >= {REP_QUALITY_MIN} AND dup_rate <= {REP_DUP_MAX}
+        AND pii_rate <= {REP_PII_MAX}) AS keep
+FROM rates
 """,
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark

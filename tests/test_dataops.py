@@ -886,3 +886,30 @@ def test_triangle_count_hand_graph(spark):
         r["id"]: r["n_triangles"] for r in triangle_count(edges).collect()
     }
     assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_source_reputation_hand_math(spark):
+    """Three sources: 'a' = an exact-dup pair (dropped: dup_rate 1.0 and
+    low quality), 'b' = one PII doc + one clean doc whose mean quality
+    sits just under the gate (dropped), 'c' = one clean high-quality doc
+    (kept). Quality longs replayed by hand."""
+    from wikifrontier.textops import source_reputation
+
+    rows = [
+        ("a", 0, "x"),
+        ("a", 1, "x"),
+        ("b", 2, "call 555-123-4567"),
+        ("b", 3, "the of and to in is that the of and"),
+        ("c", 4, "the of and to in is that the of a"),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    # hand quality scores: min(n/100,1)*.4 + stop_ratio*.3 + min(mtl/8,1)*.3
+    # doc0/1: n=1, mtl=1        -> 0.0415
+    # doc2:   n=4, mtl=3.5      -> 0.14725
+    # doc3:   n=10, stop=1, mtl=2.6 -> 0.4375
+    # doc4:   n=10, stop=1, mtl=2.4 -> 0.43
+    out = {r["source"]: r for r in source_reputation(df).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["n_docs"], a["mean_quality"], a["pii_rate"], a["dup_rate"], a["keep"]) == (2, 0.0415, 0.0, 1.0, False)
+    assert (b["n_docs"], b["mean_quality"], b["pii_rate"], b["dup_rate"], b["keep"]) == (2, 0.292375, 0.5, 0.0, False)
+    assert (c["n_docs"], c["mean_quality"], c["pii_rate"], c["dup_rate"], c["keep"]) == (1, 0.43, 0.0, 0.0, True)

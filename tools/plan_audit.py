@@ -485,6 +485,26 @@ def main() -> int:
         summary_of(q72_plan_df),
     ))
 
+    # 27. per-source reputation rollup (q73)
+    q73_plan_df = queries.q73_source_reputation(spark, sf_dir)
+    q73_plan = plan_of(q73_plan_df)
+    assert "CartesianProduct" not in q73_plan, "q73 grew a cartesian"
+    assert q73_plan.count("hashpartitioning") <= 2, (
+        "q73 should shuffle twice (sha window + source rollup)"
+    )
+    sections.append((
+        "Per-source reputation rollup (q73)",
+        "Quality, PII counts, and the sha256 dup key are all scan-side "
+        "projections — text dies at the scan. The dup flag is ONE "
+        "window count over the sha key (partitions = dup-cluster "
+        "sizes, bounded), the rollup ONE counters-only groupBy on the "
+        "source with map-side partial agg collapsing the small key "
+        "space before the exchange — machine-asserted ≤2 "
+        "hashpartitionings, no cartesian. The keep verdict compares "
+        "1e-6-rounded rates, so it is bit-stable across engines.",
+        summary_of(q73_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -1310,13 +1310,10 @@ def q62_cocitation(spark, sf_dir):
     return linkgraph.cocitation(edges, min_cocite=2)
 
 
-def pii_inject(docs) -> "DataFrame":
-    """Deterministic PII injection fixture shared by q63 and its oracle:
-    the synthetic corpus text is PII-free word soup, so documents gain
-    derived spans — an email when doc_id % 5 == 0, a phone when
-    doc_id % 7 == 0, an IPv4 when doc_id % 3 == 0 — making every
-    count/mask assertion exact. The derivation is replayed verbatim in
-    the DuckDB oracle (same arithmetic, same concat)."""
+def _pii_suffixes() -> tuple:
+    """The q63/q73 PII suffix columns (email when doc_id % 5 == 0, phone
+    when % 7 == 0, IPv4 when % 3 == 0) — shared so both fixtures and
+    their oracles derive identical spans."""
     d = F.col("doc_id")
     email = F.when(
         d % 5 == 0,
@@ -1342,9 +1339,40 @@ def pii_inject(docs) -> "DataFrame":
             ((d * 13) % 256).cast("string"),
         ),
     ).otherwise(F.lit(""))
+    return email, phone, ip
+
+
+def pii_inject(docs) -> "DataFrame":
+    """Deterministic PII injection fixture shared by q63 and its oracle:
+    the synthetic corpus text is PII-free word soup, so documents gain
+    derived spans — an email when doc_id % 5 == 0, a phone when
+    doc_id % 7 == 0, an IPv4 when doc_id % 3 == 0 — making every
+    count/mask assertion exact. The derivation is replayed verbatim in
+    the DuckDB oracle (same arithmetic, same concat)."""
+    email, phone, ip = _pii_suffixes()
     return docs.select(
         "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
     )
+
+
+REP_BOILER = "all rights reserved terms of service variant"
+
+
+def rep_inject(docs) -> "DataFrame":
+    """Reputation fixture shared by q73 and its oracle: every tenth doc's
+    text is replaced wholesale by one of three shared boilerplate
+    strings (pure boilerplate pages → exact dup clusters, concentrated
+    in the sources whose residues hit doc_id % 10 == 0); every other doc
+    gets the q63 PII suffixes — so dup_rate, pii_rate and mean quality
+    all genuinely vary per source, and sources get dropped for different
+    reasons (dup-heavy vs PII-heavy)."""
+    d = F.col("doc_id")
+    email, phone, ip = _pii_suffixes()
+    injected = F.when(
+        d % 10 == 0,
+        F.concat(F.lit(REP_BOILER + " "), (d % 3).cast("string")),
+    ).otherwise(F.concat(F.col("text"), email, phone, ip))
+    return docs.select("doc_id", "source", injected.alias("text"))
 
 
 def q63_pii_scrub(spark, sf_dir):
@@ -1452,6 +1480,17 @@ def q71_bigram_logprob(spark, sf_dir):
     quantized-long arithmetic."""
     docs = spread(load(spark, sf_dir, "documents"))
     return textops.bigram_logprob(docs)
+
+
+def q73_source_reputation(spark, sf_dir):
+    """Per-source reputation rollup (textops.source_reputation) over the
+    rep_inject fixture (boilerplate dup clusters + PII suffixes): doc
+    count, quantized-exact mean quality, dup rate, PII rate, and the
+    keep/drop verdict per source — the RefinedWeb-style domain gate.
+    Oracle: identical injection + quality/PII CTEs + window dup count +
+    rounded-rate thresholds."""
+    docs = rep_inject(spread(load(spark, sf_dir, "documents")))
+    return textops.source_reputation(docs)
 
 
 def q72_triangle_count(spark, sf_dir):

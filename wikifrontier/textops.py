@@ -828,3 +828,85 @@ def bigram_logprob(df, text: str = "text", id_col: str = "doc_id"):
         )
         .select(F.col("id").alias(id_col), "n_bigrams", "logprob")
     )
+
+
+# --- per-source reputation rollup -------------------------------------------------
+# Keep/drop thresholds for the source governance gate (RefinedWeb-style
+# domain filtering: a source whose pages are low-quality, duplicated
+# boilerplate, or PII-heavy is dropped wholesale).
+REP_QUALITY_MIN = 0.30
+REP_DUP_MAX = 0.20
+REP_PII_MAX = 0.60
+
+
+def source_reputation(
+    df,
+    quality_min: float = REP_QUALITY_MIN,
+    dup_max: float = REP_DUP_MAX,
+    pii_max: float = REP_PII_MAX,
+    text: str = "text",
+    id_col: str = "doc_id",
+    source: str = "source",
+):
+    """Per-source reputation rollup — the domain-governance gate of a
+    webtext pipeline (RefinedWeb/C4 drop whole domains, not documents):
+    per source, the doc count, mean composite quality, exact-dup rate
+    (sha256 of the text appearing in >1 doc corpus-wide), PII incidence
+    rate, and the keep/drop verdict against the thresholds.
+
+    Exactness: the per-doc quality score (already 1e-6-rounded) is
+    re-quantized to longs before the per-source sum — exact integer
+    aggregation, order-independent (``unigram_logprob``'s trick); the
+    three rates are single integer-over-integer divisions rounded to
+    1e-6, and ``keep`` compares those ROUNDED values, so the verdict is
+    bit-stable across engines.
+
+    Scale shape: quality/PII/sha256 are all scan-side projections (text
+    dies there); the dup flag is ONE window count over the sha key
+    (partition = dup-cluster size, bounded); the rollup is one
+    counters-only groupBy on the source. Source count is small but the
+    groupBy input is (source, 3 counters) — partial aggregation
+    collapses it map-side, so the small key space is not a skew wall.
+    """
+    from pyspark.sql import Window
+
+    feats = quality_features(F.col(text))
+    pii = pii_features(F.col(text))
+    per_doc = df.select(
+        F.col(source).alias("source"),
+        F.round(feats["quality_score"] * F.lit(1000000.0))
+        .cast("long")
+        .alias("ql"),
+        (
+            (pii["n_emails"] + pii["n_phones"] + pii["n_ipv4s"]) > 0
+        ).cast("int").alias("has_pii"),
+        F.sha2(F.col(text), 256).alias("h"),
+    )
+    flagged = per_doc.withColumn(
+        "c", F.count("*").over(Window.partitionBy("h"))
+    )
+    roll = flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ql").alias("sq"),
+        F.sum("has_pii").alias("np"),
+        F.sum((F.col("c") > 1).cast("int")).alias("nd"),
+    )
+    mean_q = F.round(
+        F.col("sq").cast("double")
+        / (F.lit(1000000.0) * F.col("n_docs")),
+        6,
+    )
+    pii_rate = F.round(F.col("np").cast("double") / F.col("n_docs"), 6)
+    dup_rate = F.round(F.col("nd").cast("double") / F.col("n_docs"), 6)
+    return roll.select(
+        "source",
+        "n_docs",
+        mean_q.alias("mean_quality"),
+        pii_rate.alias("pii_rate"),
+        dup_rate.alias("dup_rate"),
+        (
+            (mean_q >= F.lit(quality_min))
+            & (dup_rate <= F.lit(dup_max))
+            & (pii_rate <= F.lit(pii_max))
+        ).alias("keep"),
+    )
