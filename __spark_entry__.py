@@ -43,6 +43,7 @@ from wikifrontier.linkgraph import (
     PAGERANK_ITERATIONS,
 )
 from wikifrontier.similarity import SEMDEDUP_THRESHOLD
+from wikifrontier.streaming import SESSION_GAP_SEC
 from wikifrontier.textops import (
     BM25_B, BM25_K1, BM25_QUERIES, BM25_SHARDS, BM25_TOP_K,
     BPE_RE, BUDGET_SHARDS, CHUNK_TOKENS, LANG_PROFILES, PACK_BUCKETS,
@@ -1758,6 +1759,32 @@ SELECT source, n_docs, mean_quality, pii_rate, dup_rate,
        (mean_quality >= {REP_QUALITY_MIN} AND dup_rate <= {REP_DUP_MAX}
         AND pii_rate <= {REP_PII_MAX}) AS keep
 FROM rates
+""",
+        # q74: gaps-and-islands sessionization — same (epoch micros,
+        # event_id) total order and 6 h cut rule as
+        # streaming.sessionize_events; DECIMAL(18,2) value sums.
+        "q74_sessionize_events": f"""
+WITH b AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+),
+m AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > {SESSION_GAP_SEC * 1_000_000}
+             THEN 1 ELSE 0 END AS ns
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+s AS (
+  SELECT *, sum(ns) OVER (
+    PARTITION BY user_id ORDER BY us, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM m
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event,
+       round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM s GROUP BY 1, 2
 """,
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark

@@ -913,3 +913,32 @@ def test_source_reputation_hand_math(spark):
     assert (a["n_docs"], a["mean_quality"], a["pii_rate"], a["dup_rate"], a["keep"]) == (2, 0.0415, 0.0, 1.0, False)
     assert (b["n_docs"], b["mean_quality"], b["pii_rate"], b["dup_rate"], b["keep"]) == (2, 0.292375, 0.5, 0.0, False)
     assert (c["n_docs"], c["mean_quality"], c["pii_rate"], c["dup_rate"], c["keep"]) == (1, 0.43, 0.0, 0.0, True)
+
+
+def test_sessionize_events_hand_math(spark):
+    """Two users: user 1 has a 600 s pair (one session) then a next-day
+    event (new session); user 2 has a lone event. Durations and
+    exact-decimal value totals checked by hand."""
+    from datetime import datetime
+
+    from wikifrontier.streaming import sessionize_events
+
+    rows = [
+        (1, 0, datetime(2024, 1, 1, 0, 0, 0), 1.5),
+        (1, 1, datetime(2024, 1, 1, 0, 10, 0), 2.25),
+        (1, 2, datetime(2024, 1, 2, 0, 0, 0), 3.0),
+        (2, 3, datetime(2024, 1, 1, 0, 0, 1), 0.1),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, value double"
+    )
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize_events(df).collect()
+    }
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11, s12, s21 = out[(1, 1)], out[(1, 2)], out[(2, 1)]
+    assert (s11["n_events"], s11["first_event"], s11["last_event"]) == (2, 0, 1)
+    assert (s11["duration_sec"], s11["total_value"]) == (600.0, 3.75)
+    assert (s12["n_events"], s12["duration_sec"], s12["total_value"]) == (1, 0.0, 3.0)
+    assert (s21["n_events"], s21["total_value"]) == (1, 0.1)

@@ -505,6 +505,25 @@ def main() -> int:
         summary_of(q73_plan_df),
     ))
 
+    # 28. event sessionization (q74)
+    q74_plan_df = queries.q74_sessionize_events(spark, sf_dir)
+    q74_plan = plan_of(q74_plan_df)
+    assert "CartesianProduct" not in q74_plan, "q74 grew a cartesian"
+    assert q74_plan.count("hashpartitioning") <= 1, (
+        "q74 should shuffle once (user_id, shared by windows + rollup)"
+    )
+    sections.append((
+        "Event sessionization (q74)",
+        "Gaps-and-islands with ONE shuffle: the lag + prefix-sum "
+        "windows and the (user, session) rollup all share the user_id "
+        "hashpartitioning (groupBy keys ⊇ the partition key, so "
+        "Catalyst adds no second exchange — machine-asserted ≤1 "
+        "hashpartitioning). Timestamps reduce to wall-clock micros "
+        "scan-side (TIMESTAMP_NTZ diff — no session-TZ/DST dependence); "
+        "value totals are exact DECIMAL(18,2) sums.",
+        summary_of(q74_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -1493,6 +1493,18 @@ def q73_source_reputation(spark, sf_dir):
     return textops.source_reputation(docs)
 
 
+def q74_sessionize_events(spark, sf_dir):
+    """Gaps-and-islands sessionization (streaming.sessionize_events) of
+    the user event log: a 6 h inactivity gap closes a session; one row
+    per (user, session) with counts, first/last event, duration, and
+    the exact-decimal value total. Oracle: same lag/prefix-sum windows
+    over (epoch micros, event_id) order."""
+    from wikifrontier import streaming
+
+    events = load(spark, sf_dir, "events")
+    return streaming.sessionize_events(events)
+
+
 def q72_triangle_count(spark, sf_dir):
     """Per-node triangle counts (linkgraph.triangle_count) over the q62
     derived dense graph — the degree-oriented Chiba–Nishizeki wedge

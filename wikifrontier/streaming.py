@@ -199,3 +199,67 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+# --- event sessionization (batch twin) ------------------------------------------
+SESSION_GAP_SEC = 21600  # 6 h of inactivity closes a session
+
+
+def sessionize_events(
+    events: DataFrame, gap_sec: int = SESSION_GAP_SEC
+) -> DataFrame:
+    """Gaps-and-islands sessionization of the user event log → one row
+    per (user, session): event count, first/last event id, duration,
+    value total. A session ends after ``gap_sec`` of inactivity — the
+    batch twin of a streaming session window (at ingest time the same
+    cut rule runs as `F.session_window` / `applyInPandasWithState`; this
+    operator is the replayable batch form the oracle can check).
+
+    Determinism: events order by (epoch micros, event_id) inside each
+    user — a total order — so session boundaries are engine-independent;
+    the value total uses the q11 DECIMAL(18,2) trick (exact decimal sum,
+    order-independent) and duration is a single integer-micros
+    subtraction.
+
+    Scale shape: ONE shuffle — the hashpartitioning on user_id that
+    both windows and the rollup groupBy share (groupBy keys ⊇ the
+    partition key, so Catalyst adds no second exchange). Per-user
+    partitions are bounded by per-user event counts; a user whose
+    history outgrows a task is the streaming path's problem (state
+    store), not this batch replay's.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = int(gap_sec) * 1_000_000
+    # ts is TIMESTAMP_NTZ (naive wall clock, as DuckDB reads the same
+    # parquet): micros via a pure wall-clock diff from the NTZ epoch —
+    # no session-TZ/DST dependence, identical to epoch_us() in the oracle.
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts"),
+    )
+    base = events.select("user_id", "event_id", us.alias("us"), "value")
+    marked = base.withColumn(
+        "ns",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | (F.col("us") - F.lag("us").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "session_idx",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return marked.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.round((F.max("us") - F.min("us")) / F.lit(1000000.0), 6).alias(
+            "duration_sec"
+        ),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
