@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+from pyspark.sql import functions as F
+
 from wikifrontier import streaming
 
 
@@ -80,3 +82,62 @@ def test_stateful_host_rate_across_restarts(spark, tmp_path):
     second = {r["host"]: r for r in streaming.run_available_now_collect(out2, ckpt)}
     assert second["h1.example.org"]["n_total"] == 7
     assert second["h1.example.org"]["batch_n"] == 3
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """F.session_window stream (drained with availableNow) must agree
+    with the batch gaps-and-islands replay (sessionize_events) on
+    session membership and per-session aggregates for the same gap."""
+    events_dir = str(tmp_path / "sess_ev")
+    ckpt = str(tmp_path / "sess_ckpt")
+    t0 = datetime(2025, 8, 15, 12, 0, 0)
+    gap = 600  # 10 min
+    rows = [
+        # user 1: two events 30 s apart, then one 2 h later
+        (1, 0, t0, 1.5),
+        (1, 1, t0 + timedelta(seconds=30), 2.25),
+        (1, 2, t0 + timedelta(hours=2), 3.0),
+        # user 2: one lone event
+        (2, 3, t0 + timedelta(seconds=5), 0.1),
+    ]
+    ddl = "user_id long, event_id long, ts timestamp, value double"
+    spark.createDataFrame(rows, ddl).coalesce(1).write.parquet(events_dir)
+    # session windows emit in APPEND mode only once the watermark passes
+    # their end — a later sentinel batch (user 99, +3 days) pushes it
+    sentinel = [(99, 999, t0 + timedelta(days=3), 0.0)]
+    spark.createDataFrame(sentinel, ddl).coalesce(1).write.mode(
+        "append"
+    ).parquet(events_dir)
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out = streaming.run_available_now_collect(
+        streaming.streaming_sessionize(stream, gap_sec=gap, watermark="1 second"),
+        ckpt,
+        output_mode="append",
+    )
+    got = sorted(
+        (r["user_id"], r["n_events"], r["first_event"], r["last_event"],
+         r["total_value"])
+        for r in out
+        if r["user_id"] != 99
+    )
+    batch = streaming.sessionize_events(
+        spark.createDataFrame(rows, ddl).withColumn(
+            "ts", F.col("ts").cast("timestamp_ntz")
+        ),
+        gap_sec=gap,
+    )
+    want = sorted(
+        (r["user_id"], r["n_events"], r["first_event"], r["last_event"],
+         r["total_value"])
+        for r in batch.collect()
+    )
+    assert got == want == [
+        (1, 1, 2, 2, 3.0),
+        (1, 2, 0, 1, 3.75),
+        (2, 1, 3, 3, 0.1),
+    ]

@@ -161,10 +161,15 @@ def stateful_host_rate(
     )
 
 
-def run_available_now_collect(stream_df: DataFrame, checkpoint_dir: str) -> list:
+def run_available_now_collect(
+    stream_df: DataFrame, checkpoint_dir: str, output_mode: str = "update"
+) -> list:
     """Drain the source through a `foreachBatch` collector and return the
     emitted rows. Unlike the memory sink, foreachBatch supports resuming
-    from the checkpoint — the restart path stateful operators need."""
+    from the checkpoint — the restart path stateful operators need.
+    Session-window aggregations reject update mode; pass "append" (and
+    make sure something pushes the watermark past the windows you want
+    emitted — append only releases watermark-closed windows)."""
     rows: list = []
 
     def sink(batch_df: DataFrame, _batch_id: int) -> None:
@@ -172,7 +177,7 @@ def run_available_now_collect(stream_df: DataFrame, checkpoint_dir: str) -> list
 
     q = (
         stream_df.writeStream.foreachBatch(sink)
-        .outputMode("update")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -235,10 +240,12 @@ def sessionize_events(
     # ts is TIMESTAMP_NTZ (naive wall clock, as DuckDB reads the same
     # parquet): micros via a pure wall-clock diff from the NTZ epoch —
     # no session-TZ/DST dependence, identical to epoch_us() in the oracle.
+    # TIMESTAMP inputs become session-TZ wall clock (deterministic: the
+    # engine pins the session TZ); NTZ inputs pass through unchanged.
     us = F.timestamp_diff(
         "MICROSECOND",
         F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-        F.col("ts"),
+        F.col("ts").cast("timestamp_ntz"),
     )
     base = events.select("user_id", "event_id", us.alias("us"), "value")
     marked = base.withColumn(
@@ -262,4 +269,51 @@ def sessionize_events(
         F.sum(F.col("value").cast("decimal(18,2)"))
         .cast("double")
         .alias("total_value"),
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    gap_sec: int = SESSION_GAP_SEC,
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """The STREAMING twin of ``sessionize_events``: `F.session_window`
+    merges events within ``gap_sec`` of each other into one growing
+    window per user; the watermark closes sessions (and bounds state)
+    once event time passes session end + watermark — the same cut rule
+    the batch operator replays, so on a fully drained bounded source
+    the two agree on session membership (asserted by
+    ``tests/test_streaming.py``).
+
+    Scale shape: session-window state is per (user, open session) and
+    watermark-evicted — the state store holds only live sessions, never
+    history, which is what lets a perpetual telemetry stream run
+    forever. Output rows mirror the batch rollup (minus the ordinal
+    index, which only a total replay can assign).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), f"{int(gap_sec)} seconds"),
+            F.col(user_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "first_event",
+            "last_event",
+            "total_value",
+        )
     )
