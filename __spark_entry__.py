@@ -34,6 +34,7 @@ from wikifrontier.corpus import (
 from wikifrontier.dedup import (
     CONTAINMENT_MAX_DF, CONTAM_MIN_OVERLAP, LSH_BANDS, MINHASH_PERMS,
     MINHASH_SLICE, SEGMENT_LEN, SIMHASH_BANDS, SIMHASH_BITS,
+    SUBSTR_DUP_FRAC, SUBSTR_WINDOW,
 )
 from wikifrontier.filters import TRAP_AMPLIFICATION, TRAP_AVG_DEPTH, TRAP_PARAM_FRAC
 from wikifrontier.frontier import ERROR_TYPES
@@ -1785,6 +1786,46 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM s GROUP BY 1, 2
+""",
+        # q75: exact-substring duplication profile — same license-block
+        # injection, rolling-window hashing, and >1-doc ban set as
+        # dedup.substring_dup_profile over queries.substring_inject.
+        "q75_substring_dup": f"""
+WITH inj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 4 = 0 THEN text || ' {Q.SUBSTR_LICENSE}'
+         ELSE text END AS text
+  FROM documents
+),
+tok AS (SELECT doc_id, {TOKS} AS t FROM inj),
+base AS (
+  SELECT doc_id,
+    greatest(len(t) - {SUBSTR_WINDOW} + 1, 0) AS n_windows,
+    CASE WHEN len(t) >= {SUBSTR_WINDOW} THEN
+      list_transform(
+        generate_series(1, CAST(len(t) - {SUBSTR_WINDOW} + 1 AS INT)),
+        i -> sha256(array_to_string(t[i:i + {SUBSTR_WINDOW - 1}], ' ')))
+    ELSE [] END AS hs
+  FROM tok
+),
+wr AS (SELECT doc_id, unnest(hs) AS h FROM base),
+banned AS (
+  SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS ndocs FROM wr GROUP BY 1)
+  WHERE ndocs > 1
+),
+dups AS (SELECT doc_id, count(*) AS n_dup FROM wr JOIN banned USING (h)
+         GROUP BY 1),
+prof AS (
+  SELECT b.doc_id, CAST(b.n_windows AS BIGINT) AS n_windows,
+    CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+    round(CASE WHEN b.n_windows > 0
+               THEN CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / b.n_windows
+               ELSE 0.0 END, 6) AS dup_frac
+  FROM base b LEFT JOIN dups d USING (doc_id)
+)
+SELECT doc_id, n_windows, n_dup_windows, dup_frac,
+       (dup_frac >= {SUBSTR_DUP_FRAC}) AS flagged
+FROM prof
 """,
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark

@@ -942,3 +942,29 @@ def test_sessionize_events_hand_math(spark):
     assert (s11["duration_sec"], s11["total_value"]) == (600.0, 3.75)
     assert (s12["n_events"], s12["duration_sec"], s12["total_value"]) == (1, 0.0, 3.0)
     assert (s21["n_events"], s21["total_value"]) == (1, 0.1)
+
+
+def test_substring_dup_profile_hand_math(spark):
+    """Two docs share a 21-token run at DIFFERENT offsets (unaligned —
+    the case segment dedup misses); a third doc is unrelated and a
+    fourth is shorter than the window. Expected window counts replayed
+    by hand: a 21-token shared run yields 2 shared 20-windows per doc."""
+    from wikifrontier.dedup import substring_dup_profile
+
+    shared = " ".join(f"w{i}" for i in range(21))          # 21 tokens
+    rows = [
+        (0, "alpha " + shared),                            # 22 toks, 3 windows
+        (1, "beta gamma " + shared + " delta"),            # 24 toks, 5 windows
+        (2, " ".join(f"u{i}" for i in range(30))),         # 30 toks, 11 windows
+        (3, "tiny doc"),                                   # < window -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in substring_dup_profile(df).collect()}
+    # doc0 windows: [alpha w0..w18], [w0..w19], [w1..w20] -> last 2 shared
+    # doc1 windows at offsets 1..5; [w0..w19], [w1..w20] shared
+    assert (out[0]["n_windows"], out[0]["n_dup_windows"]) == (3, 2)
+    assert (out[1]["n_windows"], out[1]["n_dup_windows"]) == (5, 2)
+    assert (out[2]["n_windows"], out[2]["n_dup_windows"]) == (11, 0)
+    assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (0, 0)
+    assert out[0]["dup_frac"] == round(2 / 3, 6) and out[0]["flagged"]
+    assert out[3]["dup_frac"] == 0.0 and not out[3]["flagged"]

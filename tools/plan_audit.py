@@ -524,6 +524,25 @@ def main() -> int:
         summary_of(q74_plan_df),
     ))
 
+    # 29. exact-substring duplication profile (q75)
+    q75_plan_df = queries.q75_substring_dup(spark, sf_dir)
+    q75_plan = plan_of(q75_plan_df)
+    assert "CartesianProduct" not in q75_plan, "q75 grew a cartesian"
+    assert "BroadcastHashJoin" in q75_plan, (
+        "q75 must broadcast the banned-hash set (inverted keep-join)"
+    )
+    sections.append((
+        "Exact-substring duplication profile (q75)",
+        "Rolling 20-token windows are hashed scan-side inside the token "
+        "array (text never leaves the scan; only 64-hex hashes explode). "
+        "The >1-doc ban set is the boilerplate sliver of the corpus — "
+        "broadcast LEFT-SEMI back onto the hash rows (q52's inverted "
+        "keep-join, machine-asserted BroadcastHashJoin) — so no "
+        "corpus-sized join side ever carries text. Two counters-only "
+        "shuffles: the hash frequency fold and the per-doc rollup.",
+        summary_of(q75_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

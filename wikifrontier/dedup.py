@@ -793,3 +793,82 @@ def incremental_ingest(
             .alias("est_jaccard"),
         )
     )
+
+
+# --- sliding-window exact-substring duplication profile ---------------------------
+SUBSTR_WINDOW = 20   # tokens per rolling window (Lee et al. 2022 use 50)
+SUBSTR_DUP_FRAC = 0.05  # flag threshold: ≥5% of windows duplicated
+
+
+def substring_dup_profile(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    window: int = SUBSTR_WINDOW,
+    flag_frac: float = SUBSTR_DUP_FRAC,
+) -> DataFrame:
+    """Per-document duplicated-substring profile — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): hash every ``window``-token rolling
+    window (stride 1), count how many of a document's windows also occur
+    in ANOTHER document, and flag documents whose duplicated-window
+    fraction crosses ``flag_frac``. Complements the existing dedup
+    family: q52 catches aligned paragraph boilerplate, q48 intra-doc
+    repetition, q49 pairwise containment — this catches UNALIGNED
+    cross-document substring reuse at any offset.
+
+    Scale shape: windows are hashed scan-side (transform over the token
+    array — the text never leaves the scan; only 64-hex hashes explode).
+    The banned set (hashes in >1 doc) is the boilerplate sliver of the
+    corpus — broadcast LEFT-SEMI back onto the hash rows (q52's inverted
+    keep-join, VERDICT r4), so no corpus-sized join side ever carries
+    text. Two counters-only shuffles: the hash frequency fold and the
+    per-doc rollup.
+
+    Returns (id, n_windows, n_dup_windows, dup_frac, flagged); documents
+    shorter than ``window`` tokens report 0 windows, 0.0, false.
+    """
+    toks = tokens(F.col(text))
+    n_win = F.greatest(F.size(toks) - window + 1, F.lit(0))
+    hashes = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - window + 1),
+            lambda i: F.sha2(F.concat_ws(" ", F.slice(toks, i, window)), 256),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(
+        F.col(id_col).alias("id"), n_win.alias("n_windows"), hashes.alias("hs")
+    )
+    win_rows = base.select("id", F.explode("hs").alias("h"))
+    banned = (
+        win_rows.groupBy("h")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .filter(F.col("ndocs") > 1)
+        .select("h")
+    )
+    dups = (
+        win_rows.join(F.broadcast(banned), "h", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    dup_frac = F.round(
+        F.when(
+            F.col("n_windows") > 0,
+            F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        base.select("id", "n_windows")
+        .join(dups, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .withColumn("dup_frac", dup_frac)
+        .withColumn("flagged", F.col("dup_frac") >= F.lit(flag_frac))
+    )

@@ -1493,6 +1493,39 @@ def q73_source_reputation(spark, sf_dir):
     return textops.source_reputation(docs)
 
 
+SUBSTR_LICENSE = (
+    "this work is licensed under the creative commons attribution "
+    "share alike license and may be copied distributed transmitted and "
+    "adapted with attribution required for any reuse"
+)
+
+
+def substring_inject(docs) -> "DataFrame":
+    """q75 fixture: every fourth doc gets a shared 26-token license block
+    appended, so cross-document duplicated rolling windows exist at
+    arbitrary offsets (the word-soup corpus has none naturally)."""
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.when(
+            d % 4 == 0, F.concat(F.col("text"), F.lit(" " + SUBSTR_LICENSE))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q75_substring_dup(spark, sf_dir):
+    """Exact-substring duplication profile (dedup.substring_dup_profile,
+    Lee et al. 2022): per doc, how many 20-token rolling windows also
+    occur in another document, over the license-block fixture. Catches
+    UNALIGNED cross-doc substring reuse that the segment (q52) and
+    whole-doc (q13) passes miss. Oracle: identical injection + window
+    hashing + >1-doc ban set + left-join rollup."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return dedup.substring_dup_profile(substring_inject(docs))
+
+
 def q74_sessionize_events(spark, sf_dir):
     """Gaps-and-islands sessionization (streaming.sessionize_events) of
     the user event log: a 6 h inactivity gap closes a session; one row
