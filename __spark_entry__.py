@@ -1827,6 +1827,68 @@ SELECT doc_id, n_windows, n_dup_windows, dup_frac,
        (dup_frac >= {SUBSTR_DUP_FRAC}) AS flagged
 FROM prof
 """,
+        # q76: IVF recall@10 vs brute force — both legs are the q19/q28
+        # CTE chains verbatim (renamed to avoid collisions), then the
+        # same (query, neighbor) overlap join as similarity.ann_recall.
+        "q76_ann_recall": f"""
+WITH {_kmeans_sql(iters=2, k=8)},
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {COSINE.format(a='v.embedding', b='c.cvec')} DESC,
+                      c.centroid_id) AS rn
+    FROM embeddings v CROSS JOIN c2 c
+  ) WHERE rn = 1
+),
+iv AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS vec, a.centroid_id
+  FROM embeddings e JOIN assign a USING (vec_id)
+),
+iq AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qvec, a.centroid_id
+  FROM embeddings e JOIN assign a USING (vec_id)
+  WHERE e.vec_id < 5
+),
+iranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM (
+    SELECT iq.query_id, iv.neighbor_id,
+           round({COSINE.format(a='iq.qvec', b='iv.vec')}, 6) AS cos_sim
+    FROM iq JOIN iv USING (centroid_id)
+    WHERE iv.neighbor_id <> iq.query_id
+  )
+),
+ivf AS (SELECT query_id, neighbor_id FROM iranked WHERE rnk <= 10),
+bq AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+       WHERE vec_id < 5),
+branked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+  FROM (
+    SELECT bq.query_id, v.vec_id AS neighbor_id,
+           round({COSINE.format(a='bq.qvec', b='v.embedding')}, 6) AS cos_sim
+    FROM bq CROSS JOIN embeddings v
+    WHERE v.vec_id <> bq.query_id
+  )
+),
+bf AS (SELECT query_id, neighbor_id FROM branked WHERE rnk <= 10),
+hits AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM bf b JOIN ivf i
+    ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+  GROUP BY 1
+),
+tr AS (SELECT query_id, count(*) AS n_truth FROM bf GROUP BY 1)
+SELECT t.query_id, CAST(t.n_truth AS BIGINT) AS n_truth,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_truth, 6) AS recall
+FROM tr t LEFT JOIN hits h USING (query_id)
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

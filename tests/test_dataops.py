@@ -968,3 +968,29 @@ def test_substring_dup_profile_hand_math(spark):
     assert (out[3]["n_windows"], out[3]["n_dup_windows"]) == (0, 0)
     assert out[0]["dup_frac"] == round(2 / 3, 6) and out[0]["flagged"]
     assert out[3]["dup_frac"] == 0.0 and not out[3]["flagged"]
+
+
+def test_ann_recall_single_list_is_exact(spark):
+    """With a 1-centroid codebook the IVF probe scans everything, so
+    recall@k must be exactly 1.0 for every query; with a split codebook
+    recall stays a valid fraction of the per-query truth size."""
+    from wikifrontier.similarity import ann_recall
+
+    rows = [
+        (0, [1.0, 0.0, 0.1]), (1, [0.9, 0.1, 0.0]), (2, [0.8, 0.2, 0.1]),
+        (3, [0.0, 1.0, 0.1]), (4, [0.1, 0.9, 0.0]), (5, [0.2, 0.8, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id < 2")
+
+    exact = ann_recall(emb, q, k=3, codebook_k=1, codebook_iters=1).collect()
+    assert len(exact) == 2
+    assert all(r["n_truth"] == 3 and r["recall"] == 1.0 for r in exact)
+
+    split = ann_recall(emb, q, k=3, codebook_k=2, codebook_iters=2).collect()
+    assert all(
+        0.0 <= r["recall"] <= 1.0
+        and r["n_hits"] <= r["n_truth"] == 3
+        and r["recall"] == round(r["n_hits"] / 3, 6)
+        for r in split
+    )

@@ -543,6 +543,22 @@ def main() -> int:
         summary_of(q75_plan_df),
     ))
 
+    # 30. ANN recall QA (q76)
+    q76_plan_df = queries.q76_ann_recall(spark, sf_dir)
+    q76_plan = plan_of(q76_plan_df)
+    assert "CartesianProduct" not in q76_plan, "q76 grew a cartesian"
+    sections.append((
+        "ANN recall@k QA (q76)",
+        "Both legs ARE the production operators (brute-force ground "
+        "truth broadcasts the 5-query side; IVF probes only each "
+        "query's inverted list over the learned codebook), so the "
+        "measured recall is the deployed path's. The overlap join is "
+        "keyed on (query, neighbor) — counters only; no cartesian "
+        "(machine-asserted; the broadcast nested-loop legs are the "
+        "bounded query/codebook sides by construction).",
+        summary_of(q76_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -1493,6 +1493,17 @@ def q73_source_reputation(spark, sf_dir):
     return textops.source_reputation(docs)
 
 
+def q76_ann_recall(spark, sf_dir):
+    """ANN index QA (similarity.ann_recall): per-query recall@10 of the
+    IVF path (q28's learned 8-centroid codebook, single probe) against
+    the brute-force ground truth (q19) — the evaluation an embedding
+    deployment runs before trusting an index. Both legs ARE the
+    production operators. Oracle: both CTE chains composed + the same
+    overlap join."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    return sim.ann_recall(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 SUBSTR_LICENSE = (
     "this work is licensed under the creative commons attribution "
     "share alike license and may be copied distributed transmitted and "

@@ -291,3 +291,53 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def ann_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    codebook_k: int = 8,
+    codebook_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN index QA: recall@k of the IVF index (learned codebook,
+    single-probe) against the brute-force cosine ground truth — per
+    query, how many of the true top-k the approximate path returned.
+    This is the evaluation loop an embedding-dedup / similarity-search
+    deployment runs before trusting an index at corpus scale (recall
+    drops → probe more lists or grow the codebook).
+
+    Both legs reuse the production operators unchanged
+    (``brute_force_topk``, ``kmeans_centroids`` → ``ivf_topk``), so the
+    measured recall is the deployed path's, not a reimplementation's.
+    The overlap join is keyed on (query, neighbor) — counters only; the
+    denominator is the per-query ground-truth size (= k except on tiny
+    corpora), so recall is exact at any scale.
+    """
+    truth = brute_force_topk(vectors, queries, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    cents = kmeans_centroids(
+        vectors, k=codebook_k, iters=codebook_iters, vec_col=vec_col, id_col=id_col
+    )
+    approx = ivf_topk(vectors, queries, cents, k, vec_col, id_col).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = truth.groupBy("query_id").agg(F.count("*").alias("n_truth"))
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("n_truth").cast("long").alias("n_truth"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.col("n_truth"),
+            6,
+        ).alias("recall"),
+    )
