@@ -1889,6 +1889,27 @@ SELECT t.query_id, CAST(t.n_truth AS BIGINT) AS n_truth,
        round(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_truth, 6) AS recall
 FROM tr t LEFT JOIN hits h USING (query_id)
 """,
+        # q77: inverted-index construction — same tf fold, argmax
+        # tie-break, and "doc:tf,…" postings serialization as
+        # textops.build_inverted_index.
+        "q77_inverted_index": f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+top AS (
+  SELECT term, doc_id AS top_doc, tf AS top_tf FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY term ORDER BY tf DESC, doc_id) AS rn
+    FROM tf
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+         string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+  FROM tf GROUP BY 1
+)
+SELECT a.term, a.df, a.cf, t.top_doc, t.top_tf, a.postings
+FROM agg a JOIN top t USING (term)
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

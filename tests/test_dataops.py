@@ -994,3 +994,18 @@ def test_ann_recall_single_list_is_exact(spark):
         and r["recall"] == round(r["n_hits"] / 3, 6)
         for r in split
     )
+
+
+def test_inverted_index_hand_math(spark):
+    """3 tiny docs: postings order, df/cf, and the (tf desc, id asc)
+    argmax tie-break replayed by hand — 'b' ties on tf=1 between docs 0
+    and 2, so top_doc must be 0."""
+    from wikifrontier.textops import build_inverted_index
+
+    rows = [(0, "a a b"), (1, "a c"), (2, "b c c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["term"]: r for r in build_inverted_index(df).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a["df"], a["cf"], a["top_doc"], a["top_tf"], a["postings"]) == (2, 3, 0, 2, "0:2,1:1")
+    assert (b["df"], b["cf"], b["top_doc"], b["top_tf"], b["postings"]) == (2, 2, 0, 1, "0:1,2:1")
+    assert (c["df"], c["cf"], c["top_doc"], c["top_tf"], c["postings"]) == (2, 3, 2, 2, "1:1,2:2")

@@ -1493,6 +1493,16 @@ def q73_source_reputation(spark, sf_dir):
     return textops.source_reputation(docs)
 
 
+def q77_inverted_index(spark, sf_dir):
+    """Inverted-index construction (textops.build_inverted_index): per
+    term, df / cf / highest-tf doc / the full postings list serialized
+    "doc:tf,…" in ascending doc order — the artifact q70's BM25 probes.
+    Oracle: same tf fold + string_agg postings with identical ordering
+    and argmax tie-breaks."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return textops.build_inverted_index(docs)
+
+
 def q76_ann_recall(spark, sf_dir):
     """ANN index QA (similarity.ann_recall): per-query recall@10 of the
     IVF path (q28's learned 8-centroid codebook, single probe) against

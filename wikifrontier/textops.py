@@ -910,3 +910,45 @@ def source_reputation(
             & (pii_rate <= F.lit(pii_max))
         ).alias("keep"),
     )
+
+
+def build_inverted_index(df, text: str = "text", id_col: str = "doc_id"):
+    """Materialize the inverted index the retrieval pass (``bm25_topk``)
+    probes — one row per term: document frequency, collection frequency,
+    the highest-tf document (tf desc, id tie-break), and the full
+    postings list serialized as a deterministic "doc:tf,…" string
+    (ascending doc order — engine-independent, hashable, and the format
+    a downstream index sink would write).
+
+    Scale shape: one counters-only (doc, term) tf fold off the scan-side
+    explode (text dies there), then one term-keyed fold that computes
+    df/cf/argmax/postings together — two shuffles total, both carrying
+    (term | doc, counter) rows. Per-term postings strings are bounded by
+    document frequency; for web-scale stopword rows the same fold would
+    shard by (term, doc_id % B) first — the q69/q68 quota-shard pattern —
+    but the operator's contract (one row per term) is the index shape
+    retrieval needs.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text))).alias("term"),
+        )
+        .groupBy("term", "id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.min_by("id", F.struct((-F.col("tf")).alias("ntf"), F.col("id"))).alias(
+            "top_doc"
+        ),
+        F.max("tf").alias("top_tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("id", "tf"))),
+                lambda s: F.concat_ws(":", s["id"], s["tf"]),
+            ),
+        ).alias("postings"),
+    )
