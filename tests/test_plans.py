@@ -256,3 +256,41 @@ def test_hits_loop_shape(spark):
     plan = plan_of(hits(edges, iterations=2, checkpoint=False))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_bm25_broadcasts_query_side(spark):
+    """q70: the query-term set and query map must ride broadcast joins,
+    never a cartesian — the corpus-sized shuffles carry counters only."""
+    plan = plan_of(queries.q70_bm25_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_source_reputation_two_shuffles(spark):
+    """q73: one sha-window shuffle + one source rollup, nothing more."""
+    plan = plan_of(queries.q73_source_reputation(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning") <= 2
+
+
+def test_sessionize_single_shuffle(spark):
+    """q74: the lag/prefix windows and the (user, session) rollup must
+    share ONE user_id exchange (groupBy keys ⊇ partition key)."""
+    plan = plan_of(queries.q74_sessionize_events(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning") <= 1
+
+
+def test_substring_dup_inverted_keep_join(spark):
+    """q75: the >1-doc ban set must come back as a BROADCAST semi-join
+    (inverted keep-join) so window text never rides a shuffle."""
+    plan = plan_of(queries.q75_substring_dup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_two_shuffles(spark):
+    """q77: (doc,term) tf fold + term fold are the only exchanges."""
+    plan = plan_of(queries.q77_inverted_index(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("hashpartitioning") <= 2
