@@ -1910,6 +1910,83 @@ agg AS (
 SELECT a.term, a.df, a.cf, t.top_doc, t.top_tf, a.postings
 FROM agg a JOIN top t USING (term)
 """,
+        # q78: q47's recursive closure + the q73 quality quantization +
+        # the same (ql desc, id) argmax as dedup.canonical_selection.
+        "q78_canonical_selection": f"""
+WITH RECURSIVE {NEARDUP}, {_minhash_sig_sql('docs')},
+banded AS (
+  SELECT doc_id AS id, unnest([
+      {bands}]) AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+  WHERE round(({agree}) / 12.0, 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM scored
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM scored
+),
+walk(id, lab) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+),
+clusters AS (SELECT id AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY id),
+qf AS (
+  SELECT doc_id,
+    len(toks) AS n,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) AS tok_chars,
+    CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST}))) AS DOUBLE) AS stops
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM docs)
+),
+qlt AS (
+  SELECT doc_id,
+    CAST(round(round(
+      least(n / 100.0, 1.0) * 0.4
+      + (CASE WHEN n > 0 THEN stops / n ELSE 0.0 END) * 0.3
+      + least((CASE WHEN n > 0 THEN tok_chars / n ELSE 0.0 END) / 8.0, 1.0)
+        * 0.3, 6) * 1000000.0) AS BIGINT) AS ql
+  FROM qf
+),
+jj AS (SELECT c.doc_id, c.cluster_id, q.ql
+       FROM clusters c JOIN qlt q USING (doc_id)),
+canon AS (
+  SELECT cluster_id, doc_id AS canonical_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY ql DESC, doc_id) AS rn
+    FROM jj
+  ) WHERE rn = 1
+)
+SELECT jj.doc_id, jj.cluster_id, jj.ql, canon.canonical_id,
+       (jj.doc_id = canon.canonical_id) AS is_canonical
+FROM jj JOIN canon USING (cluster_id)
+""",
+        # q79: lang-ID confusion matrix — the q21 marker-argmax CASE +
+        # the same counters-only rollup as textops.langid_confusion.
+        "q79_langid_confusion": f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    {lang_scores}
+  FROM (SELECT doc_id, lang, {TOKS} AS toks FROM documents)
+),
+p AS (SELECT lang AS true_lang, {lang_case} AS pred_lang FROM s),
+cm AS (SELECT true_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+tot AS (SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true FROM cm GROUP BY 1)
+SELECT cm.true_lang, cm.pred_lang, cm.n, tot.n_true,
+       round(CAST(cm.n AS DOUBLE) / tot.n_true, 6) AS frac,
+       (cm.true_lang = cm.pred_lang) AS correct
+FROM cm JOIN tot USING (true_lang)
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

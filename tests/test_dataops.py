@@ -1009,3 +1009,45 @@ def test_inverted_index_hand_math(spark):
     assert (a["df"], a["cf"], a["top_doc"], a["top_tf"], a["postings"]) == (2, 3, 0, 2, "0:2,1:1")
     assert (b["df"], b["cf"], b["top_doc"], b["top_tf"], b["postings"]) == (2, 2, 0, 1, "0:1,2:1")
     assert (c["df"], c["cf"], c["top_doc"], c["top_tf"], c["postings"]) == (2, 3, 2, 2, "1:1,2:2")
+
+
+def test_canonical_selection_quality_argmax(spark):
+    """Cluster of 3 with a quality TIE between docs 1 and 2 (id
+    tie-break must pick 1) plus a singleton; every member annotated."""
+    from wikifrontier.dedup import canonical_selection
+
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3)], "doc_id long, cluster_id long"
+    )
+    quality = spark.createDataFrame(
+        [(0, 100), (1, 300), (2, 300), (3, 50)], "doc_id long, ql long"
+    )
+    out = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in canonical_selection(clusters, quality).collect()
+    }
+    assert out == {0: (1, False), 1: (1, True), 2: (1, False), 3: (3, True)}
+
+
+def test_langid_confusion_hand_counts(spark):
+    """Texts built from the marker profiles so predictions are known:
+    two true-'en' docs predicted en, one true-'en' doc predicted de, one
+    true-'de' doc predicted de. Recall fractions replayed by hand."""
+    from wikifrontier.textops import langid_confusion
+
+    rows = [
+        (0, "en", "the a key value of"),
+        (1, "en", "the key of it all"),
+        (2, "en", "vector hash und der nicht"),
+        (3, "de", "und der nicht vector hash"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        (r["true_lang"], r["pred_lang"]): (r["n"], r["n_true"], r["frac"], r["correct"])
+        for r in langid_confusion(df).collect()
+    }
+    assert out == {
+        ("en", "en"): (2, 3, 0.666667, True),
+        ("en", "de"): (1, 3, 0.333333, False),
+        ("de", "de"): (1, 1, 1.0, True),
+    }

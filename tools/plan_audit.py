@@ -578,6 +578,38 @@ def main() -> int:
         summary_of(q77_plan_df),
     ))
 
+    # 32. quality-weighted canonical selection (q78)
+    q78_plan_df = queries.q78_canonical_selection(spark, sf_dir)
+    q78_plan = plan_of(q78_plan_df)
+    assert "CartesianProduct" not in q78_plan, "q78 grew a cartesian"
+    sections.append((
+        "Quality-weighted canonical selection (q78)",
+        "On top of q47's hash-min clusters: one keyed join attaches "
+        "pre-quantized quality longs, one counters-only min_by groupBy "
+        "on the cluster id picks the (quality desc, id) argmax, one "
+        "join back annotates members. No window over the corpus, no "
+        "cartesian (machine-asserted); the argmax is exact-integer so "
+        "the keep decision is engine-independent.",
+        summary_of(q78_plan_df),
+    ))
+
+    # 33. lang-ID confusion matrix (q79)
+    q79_plan_df = queries.q79_langid_confusion(spark, sf_dir)
+    q79_plan = plan_of(q79_plan_df)
+    assert "CartesianProduct" not in q79_plan, "q79 grew a cartesian"
+    assert q79_plan.count("hashpartitioning") <= 2, (
+        "q79 should shuffle at most twice (cm fold + totals fold)"
+    )
+    sections.append((
+        "Language-ID confusion matrix (q79)",
+        "Prediction is a pure codegen'd column expression evaluated "
+        "scan-side; the confusion fold is ONE counters-only groupBy on "
+        "(true, pred) with map-side partial agg, and the per-language "
+        "totals ride a broadcast join over the tiny language key space "
+        "— machine-asserted ≤2 hashpartitionings, no cartesian.",
+        summary_of(q79_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -872,3 +872,36 @@ def substring_dup_profile(
         .withColumn("dup_frac", dup_frac)
         .withColumn("flagged", F.col("dup_frac") >= F.lit(flag_frac))
     )
+
+
+def canonical_selection(
+    clusters: DataFrame, quality: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-survivor selection by QUALITY: given cluster labels
+    (``dedup_clusters``) and a per-doc quality score, pick each
+    cluster's highest-quality member (quality desc, id asc tie-break)
+    as the document the dedup pass keeps, and annotate every member
+    with its cluster's canonical id. ``dedup_clusters``' min-id label
+    is an arbitrary-but-deterministic survivor; production pipelines
+    keep the BEST duplicate (longest / cleanest / highest-LM-score),
+    which is exactly this operator with the scorer of choice.
+
+    Scale shape: one keyed join to attach scores, one counters-only
+    ``min_by`` groupBy on the cluster id (map-side partial agg; cluster
+    key space ≤ doc count), one join back on the cluster id. Scores
+    should be pre-quantized longs (``unigram_logprob``'s trick) so the
+    argmax is exact on any engine.
+    """
+    j = clusters.join(quality, id_col)
+    canon = j.groupBy("cluster_id").agg(
+        F.min_by(
+            F.col(id_col), F.struct((-F.col("ql")).alias("nq"), F.col(id_col))
+        ).alias("canonical_id")
+    )
+    return j.join(canon, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "ql",
+        "canonical_id",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )

@@ -1493,6 +1493,36 @@ def q73_source_reputation(spark, sf_dir):
     return textops.source_reputation(docs)
 
 
+def q79_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix (textops.langid_confusion): the
+    (stored lang × predicted lang) eval rollup with per-true-language
+    recall — the classifier-QA twin of q76's ANN recall, guarding the
+    lang-stratified samplers (q57/q69). Oracle: same marker-argmax CASE
+    + counters-only rollup."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return textops.langid_confusion(docs)
+
+
+def q78_canonical_selection(spark, sf_dir):
+    """Quality-weighted canonical selection (dedup.canonical_selection)
+    over q47's near-dup clusters: per cluster keep the member with the
+    highest quantized quality score (ties → lowest id) — the
+    keep-the-BEST-duplicate policy production dedup runs instead of
+    q47's keep-min-id. Oracle: q47's recursive-CTE closure + the same
+    quality quantization + window argmax."""
+    docs = neardup_docs(load(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    clusters = dedup.dedup_clusters(docs, pairs)
+    feats = textops.quality_features(F.col("text"))
+    quality = docs.select(
+        "doc_id",
+        F.round(feats["quality_score"] * F.lit(1000000.0))
+        .cast("long")
+        .alias("ql"),
+    )
+    return dedup.canonical_selection(clusters, quality)
+
+
 def q77_inverted_index(spark, sf_dir):
     """Inverted-index construction (textops.build_inverted_index): per
     term, df / cf / highest-tf doc / the full postings list serialized

@@ -952,3 +952,36 @@ def build_inverted_index(df, text: str = "text", id_col: str = "doc_id"):
             ),
         ).alias("postings"),
     )
+
+
+def langid_confusion(df, text: str = "text", true_col: str = "lang", id_col: str = "doc_id"):
+    """Classifier-eval rollup for the language-ID heuristic: the
+    (true, predicted) confusion matrix with per-true-language recall —
+    the QA loop a pipeline runs when a stored `lang` column (upstream
+    metadata) disagrees with the content-based classifier, before
+    trusting either for mixture sampling (q57/q69 stratify on lang, so
+    misclassification directly skews training mixtures).
+
+    Scale shape: prediction is a pure column expression (codegen'd,
+    scan-parallel); ONE counters-only groupBy on (true, pred) with
+    map-side partial agg; the per-true totals join is on the tiny
+    language key space (broadcast at any corpus size).
+    """
+    toks = tokens(F.col(text))
+    cm = (
+        df.select(
+            F.col(true_col).alias("true_lang"),
+            predicted_lang(toks).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = cm.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    return cm.join(F.broadcast(totals), "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        "n_true",
+        F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias("frac"),
+        (F.col("true_lang") == F.col("pred_lang")).alias("correct"),
+    )
