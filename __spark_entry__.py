@@ -1987,6 +1987,25 @@ SELECT cm.true_lang, cm.pred_lang, cm.n, tot.n_true,
        (cm.true_lang = cm.pred_lang) AS correct
 FROM cm JOIN tot USING (true_lang)
 """,
+        # q80: per-host budget plan — same skewed URL derivation, cap
+        # arithmetic, and drain bound as politeness.budget_plan.
+        "q80_budget_plan": """
+WITH pending AS (
+  SELECT 'h' || (CASE WHEN doc_id % 4 < 2 THEN 0 ELSE doc_id % 13 END)
+         || '.example.org' AS host
+  FROM documents
+),
+plan AS (
+  SELECT host, count(*) AS n_pending,
+         CAST(least(count(*), 25) AS BIGINT) AS next_round_alloc,
+         CAST(ceil(count(*) / 25.0) AS BIGINT) AS rounds_to_drain
+  FROM pending GROUP BY 1
+),
+bound AS (SELECT max(rounds_to_drain) AS drain_bound FROM plan)
+SELECT p.host, p.n_pending, p.next_round_alloc, p.rounds_to_drain,
+       b.drain_bound, (p.rounds_to_drain = b.drain_bound) AS is_critical
+FROM plan p CROSS JOIN bound b
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

@@ -1051,3 +1051,20 @@ def test_langid_confusion_hand_counts(spark):
         ("en", "de"): (1, 3, 0.333333, False),
         ("de", "de"): (1, 1, 1.0, True),
     }
+
+
+def test_budget_plan_hand_math(spark):
+    """Host A has 26 pending URLs (cap 10 → alloc 10, 3 rounds), host B
+    has 7 (alloc 7, 1 round): A is the critical path."""
+    from wikifrontier.politeness import budget_plan
+
+    rows = [(f"https://a.org/p{i}",) for i in range(26)] + [
+        (f"https://b.org/p{i}",) for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    out = {r["host"]: r for r in budget_plan(df, per_host_cap=10).collect()}
+    a, b = out["a.org"], out["b.org"]
+    assert (a["n_pending"], a["next_round_alloc"], a["rounds_to_drain"]) == (26, 10, 3)
+    assert (b["n_pending"], b["next_round_alloc"], b["rounds_to_drain"]) == (7, 7, 1)
+    assert a["drain_bound"] == b["drain_bound"] == 3
+    assert a["is_critical"] and not b["is_critical"]

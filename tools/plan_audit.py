@@ -610,6 +610,24 @@ def main() -> int:
         summary_of(q79_plan_df),
     ))
 
+    # 34. per-host crawl-budget plan (q80)
+    q80_plan_df = queries.q80_budget_plan(spark, sf_dir)
+    q80_plan = plan_of(q80_plan_df)
+    assert "CartesianProduct" not in q80_plan, "q80 grew a cartesian"
+    assert q80_plan.count("hashpartitioning") <= 1, (
+        "q80 should shuffle once (the per-host counter fold)"
+    )
+    sections.append((
+        "Per-host crawl-budget plan (q80)",
+        "URLs collapse to per-host counters map-side before the single "
+        "exchange (machine-asserted ≤1 hashpartitioning); the global "
+        "drain bound rides a 1-row broadcast. The skewed fixture (half "
+        "of all URLs on one host) is the reference's en.wikipedia "
+        "shape — the plan identifies the critical host without ever "
+        "shuffling a URL.",
+        summary_of(q80_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -125,3 +125,49 @@ def host_state(pages: DataFrame, url_col: str = "url", ts_col: str = "last_crawl
         F.max(F.col(ts_col)).alias("last_fetch_at"),
         F.min(F.col(ts_col)).alias("first_fetch_at"),
     )
+
+
+DEFAULT_PLAN_CAP = 25  # per-host per-round politeness allocation
+
+
+def budget_plan(
+    pending: DataFrame,
+    per_host_cap: int = DEFAULT_PLAN_CAP,
+    url_col: str = "url",
+) -> DataFrame:
+    """Per-host crawl-budget plan over the pending frontier — the
+    capacity question a crawl operator asks before a run: with at most
+    ``per_host_cap`` fetches per host per round (the politeness budget
+    `cap_per_host` enforces), how many rounds until each host's queue
+    drains, what does the next round allocate, and which host is the
+    critical path (the drain bound for the whole crawl — the reference's
+    en.wikipedia single-host skew is exactly a critical-host story,
+    README.md:204-207).
+
+    Scale shape: ONE counters-only groupBy on the host (map-side partial
+    agg collapses URL rows to per-host counters before the exchange);
+    the global drain bound is a 1-row broadcast. URLs never shuffle.
+    """
+    host = F.parse_url(F.col(url_col), F.lit("HOST"))
+    per_host = pending.select(host.alias("host")).groupBy("host").agg(
+        F.count("*").alias("n_pending")
+    )
+    plan = per_host.select(
+        "host",
+        "n_pending",
+        F.least(F.col("n_pending"), F.lit(per_host_cap))
+        .cast("long")
+        .alias("next_round_alloc"),
+        F.ceil(F.col("n_pending") / F.lit(float(per_host_cap)))
+        .cast("long")
+        .alias("rounds_to_drain"),
+    )
+    bound = plan.agg(F.max("rounds_to_drain").alias("drain_bound"))
+    return plan.crossJoin(F.broadcast(bound)).select(
+        "host",
+        "n_pending",
+        "next_round_alloc",
+        "rounds_to_drain",
+        "drain_bound",
+        (F.col("rounds_to_drain") == F.col("drain_bound")).alias("is_critical"),
+    )

@@ -1493,6 +1493,25 @@ def q73_source_reputation(spark, sf_dir):
     return textops.source_reputation(docs)
 
 
+def q80_budget_plan(spark, sf_dir):
+    """Per-host crawl-budget plan (politeness.budget_plan): rounds to
+    drain each host's pending queue under the per-host politeness cap
+    (25/round) and the critical host bounding the whole crawl — over a
+    skewed derived frontier (half of all URLs on one host, the
+    reference's en.wikipedia shape). Oracle: same host derivation +
+    ceil arithmetic + max-bound broadcast."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://h"),
+        F.when(d % 4 < 2, F.lit(0)).otherwise(d % 13).cast("string"),
+        F.lit(".example.org/p/"),
+        d.cast("string"),
+    )
+    pending = docs.select(url.alias("url"))
+    return politeness.budget_plan(pending)
+
+
 def q79_langid_confusion(spark, sf_dir):
     """Language-ID confusion matrix (textops.langid_confusion): the
     (stored lang × predicted lang) eval rollup with per-true-language
