@@ -88,3 +88,29 @@ def test_report_missing_checkpoint(spark, tmp_path, capsys):
     rc = cli.main(["report", "--checkpoint", str(tmp_path / "nope")])
     assert rc == 1
     assert "error" in json.loads(capsys.readouterr().out.strip())
+
+
+def test_plan_over_checkpoint(spark, tmp_path, capsys):
+    """crawl → checkpoint → plan: the budget planner reads the pending
+    frontier (single-host synthetic corpus ⇒ en.wikipedia.org is the
+    critical host) and its arithmetic matches the report's pending count."""
+    ckpt = str(tmp_path / "plan_ckpt")
+    rc = cli.main([
+        "crawl", "--pages", "300", "--rounds", "4", "--budget", "60",
+        "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    crawl_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    rc = cli.main(["plan", "--checkpoint", ckpt, "--per-host-cap", "10"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    summary, hosts = lines[-1], lines[:-1]
+    assert summary["per_host_cap"] == 10
+    assert summary["n_hosts"] == len(hosts) == 1
+    h = hosts[0]
+    assert h["host"] == "en.wikipedia.org" and h["is_critical"]
+    assert h["n_pending"] == crawl_out["pending"]
+    assert h["next_round_alloc"] == min(10, h["n_pending"])
+    assert h["rounds_to_drain"] == -(-h["n_pending"] // 10)
+    assert summary["drain_bound_rounds"] == h["rounds_to_drain"]

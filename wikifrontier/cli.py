@@ -13,6 +13,8 @@ Subcommands:
   report    print state-table summaries from a checkpoint dir
   linkrank  PageRank (or --algo hits) over a checkpoint's link graph
             (priority-queue feed)
+  plan      per-host budget/capacity plan over a checkpoint's pending
+            frontier (rounds-to-drain, critical host)
 """
 
 from __future__ import annotations
@@ -73,6 +75,20 @@ def build_parser() -> argparse.ArgumentParser:
     lr.add_argument("--out", type=str, default=None,
                     help="also write the full (url, pr) table as parquet")
     lr.add_argument("--master", type=str, default=None)
+
+    pl = sub.add_parser(
+        "plan",
+        help="per-host crawl-budget plan over a checkpoint's pending "
+             "frontier (rounds-to-drain, next-round allocation, "
+             "critical host)",
+    )
+    pl.add_argument("--checkpoint", type=str, required=True)
+    pl.add_argument("--per-host-cap", type=int, default=None,
+                    help="politeness cap per host per round "
+                         "(default: politeness.DEFAULT_PLAN_CAP)")
+    pl.add_argument("--top", type=int, default=20,
+                    help="print the N most-loaded hosts")
+    pl.add_argument("--master", type=str, default=None)
 
     r = sub.add_parser("report", help="summarize a checkpoint")
     r.add_argument("--checkpoint", type=str, required=True)
@@ -243,12 +259,52 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_plan(args) -> int:
+    """Budget/capacity plan over the pending frontier: the q80 operator
+    (politeness.budget_plan) against a real checkpoint — how many rounds
+    until each host drains under the politeness cap, and which host
+    bounds the crawl (the reference's en.wikipedia skew, README:204-207,
+    as an operational question)."""
+    from pyspark.sql import functions as F
+
+    from wikifrontier import politeness
+    from wikifrontier import state as state_io
+    from wikifrontier.session import get_spark
+
+    spark = get_spark(master=args.master)
+    st = state_io.load_checkpoint(spark, args.checkpoint)
+    if st is None:
+        print(json.dumps({"error": "no complete checkpoint found"}))
+        return 1
+    cap = args.per_host_cap or politeness.DEFAULT_PLAN_CAP
+    plan = politeness.budget_plan(st.pending, per_host_cap=cap)
+    rows = (
+        plan.orderBy(F.col("n_pending").desc(), "host").limit(args.top).collect()
+    )
+    for r in rows:
+        print(json.dumps({
+            "host": r["host"],
+            "n_pending": r["n_pending"],
+            "next_round_alloc": r["next_round_alloc"],
+            "rounds_to_drain": r["rounds_to_drain"],
+            "is_critical": r["is_critical"],
+        }))
+    print(json.dumps({
+        "round": st.round,
+        "per_host_cap": cap,
+        "n_hosts": plan.count(),
+        "drain_bound_rounds": rows[0]["drain_bound"] if rows else 0,
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     return {
         "crawl": cmd_crawl,
         "report": cmd_report,
         "linkrank": cmd_linkrank,
+        "plan": cmd_plan,
     }[args.cmd](args)
 
 
