@@ -2006,6 +2006,27 @@ SELECT p.host, p.n_pending, p.next_round_alloc, p.rounds_to_drain,
        b.drain_bound, (p.rounds_to_drain = b.drain_bound) AS is_critical
 FROM plan p CROSS JOIN bound b
 """,
+        # q81: corpus freshness — same warc_ts derivation and integer-
+        # micros age arithmetic as frontier.freshness_profile.
+        "q81_freshness": """
+WITH pages AS (
+  SELECT lang,
+    epoch_us(TIMESTAMP '2024-01-01 00:00:00'
+             + doc_id * INTERVAL 1 SECOND) AS us
+  FROM documents
+),
+ref AS (SELECT max(us) AS ref_us FROM pages),
+aged AS (SELECT lang AS stratum, us, (r.ref_us - us) AS age_us
+         FROM pages CROSS JOIN ref r)
+SELECT stratum, count(*) AS n_docs,
+  round((max(us) - min(us)) / 1000000.0, 6) AS span_sec,
+  round(sum(age_us)::DOUBLE / (1000000.0 * count(*)), 6) AS mean_age_sec,
+  CAST(sum(CASE WHEN age_us > 250000000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_stale,
+  round(CAST(sum(CASE WHEN age_us > 250000000 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*), 6) AS stale_frac
+FROM aged GROUP BY 1
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

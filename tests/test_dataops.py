@@ -1068,3 +1068,23 @@ def test_budget_plan_hand_math(spark):
     assert (b["n_pending"], b["next_round_alloc"], b["rounds_to_drain"]) == (7, 7, 1)
     assert a["drain_bound"] == b["drain_bound"] == 3
     assert a["is_critical"] and not b["is_critical"]
+
+
+def test_freshness_profile_hand_math(spark):
+    """Captures at t=0/100/400 s for lang a, t=400 s for lang b; newest
+    is 400 so ages are 400/300/0/0. stale_after=250 → one stale doc."""
+    from datetime import datetime, timedelta
+
+    from wikifrontier.frontier import freshness_profile
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("a", t0), ("a", t0 + timedelta(seconds=100)),
+        ("a", t0 + timedelta(seconds=400)), ("b", t0 + timedelta(seconds=400)),
+    ]
+    df = spark.createDataFrame(rows, "lang string, warc_ts timestamp_ntz")
+    out = {r["stratum"]: r for r in freshness_profile(df).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_docs"], a["span_sec"], a["mean_age_sec"]) == (3, 400.0, round(700 / 3, 6))
+    assert (a["n_stale"], a["stale_frac"]) == (2, 0.666667)
+    assert (b["n_docs"], b["span_sec"], b["mean_age_sec"], b["n_stale"]) == (1, 0.0, 0.0, 0)

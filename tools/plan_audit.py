@@ -632,6 +632,21 @@ def main() -> int:
         summary_of(q80_plan_df),
     ))
 
+    # 35. corpus freshness profile (q81)
+    q81_plan_df = queries.q81_freshness(spark, sf_dir)
+    q81_plan = plan_of(q81_plan_df)
+    assert "CartesianProduct" not in q81_plan, "q81 grew a cartesian"
+    sections.append((
+        "Corpus freshness profile (q81)",
+        "Timestamps reduce to wall-clock integer micros scan-side (the "
+        "NTZ diff trick — no TZ/DST dependence); the corpus-max capture "
+        "time rides a 1-row broadcast and the per-stratum rollup is ONE "
+        "counters-only groupBy with map-side partial agg. Ages are "
+        "exact integer micros, so the mean is a single rounded "
+        "division — bit-replayable. No cartesian (machine-asserted).",
+        summary_of(q81_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -1166,3 +1166,65 @@ def run_crawl(
             state.bloom.cleanup()
             state.bloom = None
     return state
+
+
+# --- corpus freshness profile ------------------------------------------------
+STALE_AFTER_SEC = 250  # capture age beyond which a page counts as stale
+
+
+def freshness_profile(
+    pages: DataFrame,
+    ts_col: str = "warc_ts",
+    stratum: str = "lang",
+    stale_after_sec: int = STALE_AFTER_SEC,
+) -> DataFrame:
+    """Capture-freshness rollup over the web_pages corpus — the recency
+    report a crawl operator reads next to the recrawl queue (S7/q09
+    decides WHICH urls to refetch; this reports HOW stale each slice of
+    the stored corpus is, per stratum): doc count, capture-time span,
+    mean age relative to the newest capture in the corpus, and the
+    stale fraction (age > ``stale_after_sec``). The reference stores
+    the equivalent `last_crawled_at` per page but never aggregates it.
+
+    Exactness: timestamps reduce to wall-clock integer MICROS scan-side
+    (the NTZ diff trick from ``streaming.sessionize_events`` — no
+    session-TZ/DST dependence); ages are integer micros, so sums are
+    exact and the mean is one rounded division — bit-replayable.
+
+    Scale shape: the corpus-max capture time is a 1-row broadcast; the
+    rollup is ONE counters-only groupBy on the stratum with map-side
+    partial agg. Timestamps never shuffle as values, only as counters.
+    """
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(ts_col).cast("timestamp_ntz"),
+    )
+    base = pages.select(F.col(stratum).alias("stratum"), us.alias("us"))
+    newest = base.agg(F.max("us").alias("ref_us"))
+    aged = base.crossJoin(F.broadcast(newest)).select(
+        "stratum", "us", (F.col("ref_us") - F.col("us")).alias("age_us")
+    )
+    return aged.groupBy("stratum").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            (F.max("us") - F.min("us")) / F.lit(1000000.0), 6
+        ).alias("span_sec"),
+        F.round(
+            F.sum("age_us").cast("double")
+            / (F.lit(1000000.0) * F.count("*")),
+            6,
+        ).alias("mean_age_sec"),
+        F.sum(
+            (F.col("age_us") > F.lit(int(stale_after_sec) * 1_000_000))
+            .cast("int")
+        ).cast("long").alias("n_stale"),
+        F.round(
+            F.sum(
+                (F.col("age_us") > F.lit(int(stale_after_sec) * 1_000_000))
+                .cast("int")
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("stale_frac"),
+    )

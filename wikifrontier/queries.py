@@ -1493,6 +1493,25 @@ def q73_source_reputation(spark, sf_dir):
     return textops.source_reputation(docs)
 
 
+def q81_freshness(spark, sf_dir):
+    """Corpus capture-freshness rollup (frontier.freshness_profile): per
+    lang, doc count, capture span, mean age vs the newest capture, and
+    the stale fraction (age > 250 s at this scale), over the input-hint
+    warc_ts derivation (epoch + doc_id seconds — the same rule
+    synth/corpus use). Exact integer-micros arithmetic throughout.
+    Oracle: identical ts derivation + epoch_us ages + rounded rollup."""
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        "lang",
+        F.timestamp_add(
+            "SECOND",
+            F.col("doc_id").cast("int"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("warc_ts"),
+    )
+    return frontier.freshness_profile(pages)
+
+
 def q80_budget_plan(spark, sf_dir):
     """Per-host crawl-budget plan (politeness.budget_plan): rounds to
     drain each host's pending queue under the per-host politeness cap
