@@ -2027,6 +2027,128 @@ SELECT stratum, count(*) AS n_docs,
         / count(*), 6) AS stale_frac
 FROM aged GROUP BY 1
 """,
+        # q82: CDX capture index — identical 3-captures-per-doc derivation
+        # (version schedule v(0)=0, v(1)=id%2, v(2)=v(1)+(id%3==0?0:1)),
+        # SURT key from string ops, same lag window for revisit flags.
+        "q82_cdx_index": """
+WITH caps AS (
+  SELECT doc_id, text, j,
+    CASE WHEN j = 0 THEN 0
+         WHEN j = 1 THEN doc_id % 2
+         ELSE (doc_id % 2) + (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
+    END AS v
+  FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS JJ(j)
+),
+rows_ AS (
+  SELECT
+    'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+    CAST(doc_id * 3 + j AS BIGINT) AS warc_ts,
+    sha256(text || '#v' || v) AS digest,
+    CAST(length(text) + v AS BIGINT) AS length
+  FROM caps
+),
+surted AS (
+  SELECT
+    array_to_string(
+      list_reverse(string_split(
+        split_part(lower(split_part(split_part(url, '://', 2), '/', 1)),
+                   ':', 1), '.')), ',')
+    || ')'
+    || (CASE WHEN substr(split_part(url, '://', 2),
+              length(split_part(split_part(url, '://', 2), '/', 1)) + 1) = ''
+         THEN '/'
+         ELSE lower(substr(split_part(url, '://', 2),
+              length(split_part(split_part(url, '://', 2), '/', 1)) + 1))
+        END) AS surt,
+    url, warc_ts, digest, length
+  FROM rows_
+)
+SELECT surt, url, warc_ts, digest, length,
+  CAST(row_number() OVER w AS BIGINT) AS capture_no,
+  coalesce(lag(digest) OVER w = digest, false) AS is_revisit
+FROM surted
+WINDOW w AS (PARTITION BY url ORDER BY warc_ts, digest)
+""",
+        # q83: redirect resolution — recursive one-hop walk with the same
+        # max_hops=16 cutoff; unresolved = longest walk still ends at a
+        # redirect source (cycle / over-long chain).
+        "q83_redirect_chains": """
+WITH RECURSIVE r AS (
+  SELECT 'https://en.wikipedia.org/wiki/Doc_' || doc_id AS src,
+         'https://en.wikipedia.org/wiki/Doc_' || (doc_id - 1) AS dst
+  FROM documents WHERE doc_id % 8 <> 0
+  UNION ALL
+  SELECT 'https://en.wikipedia.org/wiki/Cycle_A',
+         'https://en.wikipedia.org/wiki/Cycle_B'
+  UNION ALL
+  SELECT 'https://en.wikipedia.org/wiki/Cycle_B',
+         'https://en.wikipedia.org/wiki/Cycle_A'
+),
+walk AS (
+  SELECT src AS src_url, dst AS cur, 1 AS hops FROM r
+  UNION ALL
+  SELECT w.src_url, r.dst, w.hops + 1
+  FROM walk w JOIN r ON w.cur = r.src
+  WHERE w.hops < 16
+),
+last AS (
+  SELECT src_url, cur, hops FROM (
+    SELECT src_url, cur, hops,
+      row_number() OVER (PARTITION BY src_url ORDER BY hops DESC) AS rn
+    FROM walk
+  ) WHERE rn = 1
+)
+SELECT l.src_url,
+  CASE WHEN s.src IS NULL AND l.hops <= 16 THEN l.cur END AS final_url,
+  CAST(CASE WHEN s.src IS NULL AND l.hops <= 16 THEN l.hops END AS INT)
+    AS n_hops,
+  (s.src IS NULL AND l.hops <= 16) AS resolved
+FROM last l LEFT JOIN (SELECT DISTINCT src FROM r) s ON l.cur = s.src
+""",
+        # q84: mirror detection — same 5-host layout + alt-host plant,
+        # digest rollup with a sorted distinct host list.
+        "q84_mirror_hosts": """
+WITH pages AS (
+  SELECT 'https://m' || (doc_id % 5) || '.example.org/p/' || doc_id AS url,
+         'm' || (doc_id % 5) || '.example.org' AS host,
+         sha256(text) AS digest
+  FROM documents
+  UNION ALL
+  SELECT 'https://alt.example.org/p/' || doc_id,
+         'alt.example.org',
+         sha256(text)
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT digest,
+  count(*) AS n_urls,
+  count(DISTINCT host) AS n_hosts,
+  array_to_string(list_sort(list(DISTINCT host)), ',') AS hosts
+FROM pages
+GROUP BY digest
+HAVING count(DISTINCT host) >= 2
+""",
+        # q85: snapshot diff — same old/new membership + digest-change
+        # rules, FULL OUTER JOIN + null-pattern CASE.
+        "q85_snapshot_diff": """
+WITH old AS (
+  SELECT 'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+         sha256(text) AS old_digest
+  FROM documents WHERE doc_id % 10 <> 9
+),
+new_ AS (
+  SELECT 'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+         sha256(text || (CASE WHEN doc_id % 3 = 0 THEN '!' ELSE '' END))
+           AS new_digest
+  FROM documents WHERE doc_id % 10 <> 0
+)
+SELECT coalesce(o.url, n.url) AS url,
+  CASE WHEN o.url IS NULL THEN 'added'
+       WHEN n.url IS NULL THEN 'removed'
+       WHEN o.old_digest = n.new_digest THEN 'unchanged'
+       ELSE 'changed' END AS change,
+  o.old_digest, n.new_digest
+FROM old o FULL OUTER JOIN new_ n ON o.url = n.url
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

@@ -294,3 +294,60 @@ def test_inverted_index_two_shuffles(spark):
     plan = plan_of(queries.q77_inverted_index(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert plan.count("hashpartitioning") <= 2
+
+
+def test_redirect_doubling_shape(spark):
+    """resolve_redirects must be pointer doubling. Two invariants: the
+    round count is logarithmic in max_hops (a per-hop walk would be
+    linear), and each round's body is a keyed equi-join — never a
+    cartesian. The full unrolled plan doubles per round by construction
+    (each round composes the state with ITSELF), which is exactly why
+    production keeps checkpoint=True; the explainable audit is therefore
+    one round (max_hops=2)."""
+    from wikifrontier.linkgraph import doubling_rounds, resolve_redirects
+
+    assert doubling_rounds(16) == 4
+    assert doubling_rounds(100) == 7
+    assert doubling_rounds(1) == 1
+
+    edges = spark.range(1, 200).select(
+        F.concat(F.lit("u"), F.col("id")).alias("src"),
+        F.concat(F.lit("u"), F.col("id") - 1).alias("dst"),
+    )
+    plan = plan_of(resolve_redirects(edges, max_hops=2, checkpoint=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # 1 doubling round + the final cycle-probe join
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert 2 <= n_joins <= 4, plan
+
+
+def test_cdx_index_single_shuffle(spark):
+    """The capture index is ONE hash shuffle (the url window); the SURT
+    key is computed map-side with string builtins — no UDF, no second
+    exchange."""
+    from wikifrontier.cdx import cdx_index
+    from wikifrontier.queries import _cdx_captures
+
+    import re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(cdx_index(_cdx_captures(docs)))
+    # one Exchange node (each node appears once in the formatted detail list)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_is_single_equijoin(spark):
+    """The two-snapshot diff is exactly one full-outer equi-join keyed on
+    url — no nested loop, no extra shuffle beyond the two join sides."""
+    from wikifrontier import queries
+
+    import re
+
+    plan = plan_of(queries.q85_snapshot_diff(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan))
+    assert n_joins == 1, plan

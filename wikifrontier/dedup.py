@@ -905,3 +905,34 @@ def canonical_selection(
         "canonical_id",
         (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+def mirror_hosts(pages: DataFrame, min_hosts: int = 2) -> DataFrame:
+    """Cross-host content mirrors: digests served by >= min_hosts hosts.
+
+    Input ``(url, host, digest)``; output one row per mirrored digest:
+    ``(digest, n_urls, n_hosts, hosts)`` with ``hosts`` the comma-joined
+    sorted distinct host list. Mirror farms (the same page body under many
+    hostnames) are a classic crawl pathology — they waste fetch budget and
+    poison exact-dedup statistics, and the standard defence (Broder-era
+    mirror detection) is exactly this digest×host rollup. The reference
+    has no cross-host view at all (its `pages` table is keyed by url,
+    database/db_models/models.py); this is the batch-side governance
+    operator a 10^10-frontier crawl runs between rounds to demote mirrored
+    hosts in the scheduler.
+
+    Scale shape: ONE hash shuffle on digest; both aggregates
+    (count + collect_set) partial-aggregate map-side, and the host set per
+    digest is bounded by the mirror fan-out (pathological farms cap out in
+    the thousands — still a single in-memory array). The >= min_hosts
+    filter runs post-agg on counters only; page text/html never moves.
+    """
+    return (
+        pages.groupBy("digest")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.array_join(F.array_sort(F.collect_set("host")), ",").alias("hosts"),
+        )
+        .where(F.col("n_hosts") >= min_hosts)
+    )

@@ -400,3 +400,83 @@ def triangle_count(
         .groupBy("id")
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+def resolve_redirects(
+    redirects: DataFrame,
+    max_hops: int = 16,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Resolve redirect chains to their final target by pointer doubling.
+
+    Input: one row per redirect edge ``(src, dst)`` (an HTTP 301/302 or a
+    wiki #REDIRECT page — the reference follows redirects inline inside
+    each crawler worker via requests' session semantics,
+    components/crawler/core/http_fetcher.py, so its link graph stores the
+    post-redirect url; a batch engine instead resolves the whole redirect
+    relation at once and rewrites edges in bulk).
+
+    Output: ``(src_url, final_url, n_hops, resolved)`` — one row per
+    redirect SOURCE. ``resolved=false`` (with NULL final/hops) marks
+    chains that do not terminate within ``max_hops`` — i.e. redirect
+    cycles, which real crawls must detect rather than loop on.
+
+    Scale shape — the parallel pointer-jumping classic: instead of walking
+    chains one hop per round (O(longest chain) rounds), the frontier
+    table composes with ITSELF each round, doubling the resolved path
+    length: ceil(log2(max_hops)) rounds total, each ONE keyed equi-join
+    (shuffle on the current endpoint) with no driver-side action in the
+    loop. A 100-hop chain resolves in 7 rounds. Rows whose endpoint finds
+    no continuation are terminal and pass through unchanged, so the join
+    input shrinks as chains complete. ``localCheckpoint(eager=False)``
+    caps lineage per round (same rationale as ``pagerank``);
+    ``checkpoint=False`` keeps the full loop body visible to the plan
+    audit.
+    """
+    edges = redirects.select(
+        F.col(src).alias("src_url"), F.col(dst).alias("cur")
+    ).dropDuplicates(["src_url"])
+    # state: src_url resolved forward to `cur` after `n_hops` hops
+    state = edges.select("src_url", "cur", F.lit(1).cast("int").alias("n_hops"))
+    rounds = doubling_rounds(max_hops)
+    for _ in range(rounds):
+        hop = state.select(
+            F.col("src_url").alias("j_src"),
+            F.col("cur").alias("j_cur"),
+            F.col("n_hops").alias("j_hops"),
+        )
+        state = (
+            state.join(hop, state["cur"] == hop["j_src"], "left")
+            .select(
+                "src_url",
+                F.coalesce("j_cur", "cur").alias("cur"),
+                (
+                    F.col("n_hops")
+                    + F.coalesce(F.col("j_hops"), F.lit(0))
+                ).alias("n_hops"),
+            )
+        )
+        if checkpoint:
+            state = state.localCheckpoint(eager=False)
+    # an endpoint that is still a redirect source after 2^rounds>=max_hops
+    # composed hops can only be on a cycle (or a >max_hops chain): unresolved
+    srcs = edges.select(F.col("src_url").alias("cur")).distinct()
+    resolved = F.col("cyc").isNull() & (F.col("n_hops") <= max_hops)
+    return (
+        state.join(srcs.select(F.col("cur"), F.lit(1).alias("cyc")), "cur", "left")
+        .select(
+            "src_url",
+            F.when(resolved, F.col("cur")).alias("final_url"),
+            F.when(resolved, F.col("n_hops")).cast("int").alias("n_hops"),
+            resolved.alias("resolved"),
+        )
+    )
+
+
+def doubling_rounds(max_hops: int) -> int:
+    """ceil(log2(max_hops)) clamped to >=1 — the pointer-jumping round
+    count: after k composition rounds each source has advanced
+    min(2^k, chain length) hops. 16 hops → 4 rounds; 100 → 7."""
+    return max(1, (max_hops - 1).bit_length())

@@ -1644,6 +1644,122 @@ def q72_triangle_count(spark, sf_dir):
     return linkgraph.triangle_count(edges)
 
 
+def _cdx_captures(docs: DataFrame) -> DataFrame:
+    """3 deterministic captures per doc for the archive-index operators:
+    capture j∈{0,1,2} at epoch-offset (doc_id*3+j) s; the content version
+    bumps on a doc_id-parity schedule so some recaptures are byte-identical
+    (revisit records) and some changed — v(0)=0, v(1)=doc_id%2,
+    v(2)=v(1)+(doc_id%3==0 ? 0 : 1). Replayed verbatim in the oracle."""
+    d = F.col("doc_id")
+    v1 = (d % 2).cast("int")
+    caps = docs.select(
+        "doc_id",
+        "text",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("j"),
+    )
+    j = F.col("j")
+    v = F.when(j == 0, F.lit(0)).when(j == 1, v1).otherwise(
+        v1 + F.when(d % 3 == 0, F.lit(0)).otherwise(F.lit(1))
+    )
+    return caps.select(
+        F.concat(F.lit("https://en.wikipedia.org/wiki/Doc_"), d).alias("url"),
+        (d * 3 + j).cast("bigint").alias("warc_ts"),
+        F.sha2(F.concat(F.col("text"), F.lit("#v"), v.cast("string")), 256).alias(
+            "digest"
+        ),
+        (F.length("text") + v).cast("bigint").alias("length"),
+    )
+
+
+def q82_cdx_index(spark, sf_dir):
+    """CDX-style capture index (cdx.cdx_index) over 3 deterministic
+    captures per doc: SURT sort key, per-url capture ordinal, and WARC
+    revisit flags (digest unchanged since the previous capture — the
+    condition under which an archive stores a pointer instead of a second
+    copy). One hash shuffle on url. Oracle: identical capture derivation
+    + the same lag window in DuckDB."""
+    from wikifrontier import cdx
+
+    docs = load(spark, sf_dir, "documents")
+    return cdx.cdx_index(_cdx_captures(docs))
+
+
+def q83_redirect_chains(spark, sf_dir):
+    """Redirect-chain resolution (linkgraph.resolve_redirects) by pointer
+    doubling — ceil(log2(max_hops)) keyed self-joins instead of one join
+    per hop. Fixture: within each doc_id block of 8, Doc_i redirects to
+    Doc_(i-1) (chains of length 1..7 ending at the block's %8==0
+    terminal) plus a planted 2-cycle that must come back
+    resolved=false. Oracle: DuckDB recursive CTE walking one hop per
+    level with the same max_hops cutoff and cycle rule."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://en.wikipedia.org/wiki/Doc_"), d)
+    prev = F.concat(F.lit("https://en.wikipedia.org/wiki/Doc_"), d - 1)
+    chain = docs.where(d % 8 != 0).select(url.alias("src"), prev.alias("dst"))
+    cyc = spark.createDataFrame(
+        [
+            ("https://en.wikipedia.org/wiki/Cycle_A", "https://en.wikipedia.org/wiki/Cycle_B"),
+            ("https://en.wikipedia.org/wiki/Cycle_B", "https://en.wikipedia.org/wiki/Cycle_A"),
+        ],
+        "src string, dst string",
+    )
+    return linkgraph.resolve_redirects(chain.unionByName(cyc), max_hops=16)
+
+
+def q84_mirror_hosts(spark, sf_dir):
+    """Cross-host content-mirror detection (dedup.mirror_hosts): digests
+    served from >=2 distinct hosts, with url/host counts and the sorted
+    host list. Fixture plants an alt-host mirror for every doc_id%4==0
+    page over a 5-host base layout; organic text collisions (short docs
+    sharing a body) surface identically in both engines. One shuffle on
+    digest; counters only. Oracle: same groupBy in DuckDB with
+    list_sort(list(DISTINCT host))."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("m"), (d % 5).cast("string"), F.lit(".example.org"))
+    base = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), d).alias("url"),
+        host.alias("host"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+    )
+    alt = docs.where(d % 4 == 0).select(
+        F.concat(F.lit("https://alt.example.org/p/"), d).alias("url"),
+        F.lit("alt.example.org").alias("host"),
+        F.sha2(F.col("text"), 256).alias("digest"),
+    )
+    return dedup.mirror_hosts(base.unionByName(alt))
+
+
+def q85_snapshot_diff(spark, sf_dir):
+    """Two-snapshot crawl diff (cdx.snapshot_diff): every url classified
+    added / removed / changed / unchanged by digest comparison across an
+    old snapshot (doc_id%10!=9) and a new one (doc_id%10!=0) whose
+    content changed for doc_id%3==0. One full-outer equi-join on url —
+    the incremental-crawl planning primitive (changed ∪ added is the
+    next round's priority set). Oracle: the same FULL OUTER JOIN +
+    null-pattern CASE in DuckDB."""
+    from wikifrontier import cdx
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://en.wikipedia.org/wiki/Doc_"), d)
+    old = docs.where(d % 10 != 9).select(
+        url.alias("url"), F.sha2(F.col("text"), 256).alias("digest")
+    )
+    new = docs.where(d % 10 != 0).select(
+        url.alias("url"),
+        F.sha2(
+            F.concat(
+                F.col("text"),
+                F.when(d % 3 == 0, F.lit("!")).otherwise(F.lit("")),
+            ),
+            256,
+        ).alias("digest"),
+    )
+    return cdx.snapshot_diff(old, new)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
