@@ -927,12 +927,21 @@ def mirror_hosts(pages: DataFrame, min_hosts: int = 2) -> DataFrame:
     the thousands — still a single in-memory array). The >= min_hosts
     filter runs post-agg on counters only; page text/html never moves.
     """
+    # n_hosts comes from the collect_set (already distinct, partial-agg'd
+    # map-side) instead of countDistinct — countDistinct plans a second
+    # (digest, host) expand-exchange before the digest one; this shape is
+    # ONE exchange total (machine-asserted in plan_audit).
     return (
         pages.groupBy("digest")
         .agg(
             F.count("*").alias("n_urls"),
-            F.countDistinct("host").alias("n_hosts"),
-            F.array_join(F.array_sort(F.collect_set("host")), ",").alias("hosts"),
+            F.array_sort(F.collect_set("host")).alias("host_set"),
         )
-        .where(F.col("n_hosts") >= min_hosts)
+        .where(F.size("host_set") >= min_hosts)
+        .select(
+            "digest",
+            "n_urls",
+            F.size("host_set").cast("bigint").alias("n_hosts"),
+            F.array_join("host_set", ",").alias("hosts"),
+        )
     )
