@@ -114,3 +114,43 @@ def test_plan_over_checkpoint(spark, tmp_path, capsys):
     assert h["next_round_alloc"] == min(10, h["n_pending"])
     assert h["rounds_to_drain"] == -(-h["n_pending"] // 10)
     assert summary["drain_bound_rounds"] == h["rounds_to_drain"]
+
+
+def test_diff_between_checkpoints(spark, tmp_path, capsys):
+    """crawl shallow → checkpoint A; crawl deeper → checkpoint B; `diff`
+    must classify B-only urls as added, none removed, and every shared
+    url unchanged (the synthetic corpus is static between runs)."""
+    ckpt_a = str(tmp_path / "ckpt_a")
+    ckpt_b = str(tmp_path / "ckpt_b")
+    rc = cli.main([
+        "crawl", "--pages", "300", "--rounds", "2", "--budget", "60",
+        "--checkpoint", ckpt_a,
+    ])
+    assert rc == 0
+    a_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = cli.main([
+        "crawl", "--pages", "300", "--rounds", "4", "--budget", "60",
+        "--checkpoint", ckpt_b,
+    ])
+    assert rc == 0
+    b_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert b_out["pages"] > a_out["pages"]
+
+    rc = cli.main(["diff", "--old", ckpt_a, "--new", ckpt_b, "--sample", "3"])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = json.loads(lines[0])
+    assert summary["removed"] == 0
+    assert summary["changed"] == 0
+    assert summary["added"] > 0
+    assert summary["added"] + summary["unchanged"] >= b_out["pages"] - 5
+    samples = [json.loads(line) for line in lines[1:]]
+    assert samples and all(s["change"] == "added" for s in samples)
+
+
+def test_diff_missing_checkpoint(spark, tmp_path, capsys):
+    rc = cli.main([
+        "diff", "--old", str(tmp_path / "nope"), "--new", str(tmp_path / "nope2"),
+    ])
+    assert rc == 1
+    assert "error" in json.loads(capsys.readouterr().out.strip())

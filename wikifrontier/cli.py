@@ -15,6 +15,8 @@ Subcommands:
             (priority-queue feed)
   plan      per-host budget/capacity plan over a checkpoint's pending
             frontier (rounds-to-drain, critical host)
+  diff      classify urls across two checkpoints' crawled page sets as
+            added/removed/changed/unchanged by content hash
 """
 
 from __future__ import annotations
@@ -89,6 +91,20 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--top", type=int, default=20,
                     help="print the N most-loaded hosts")
     pl.add_argument("--master", type=str, default=None)
+
+    d = sub.add_parser(
+        "diff",
+        help="classify every url across two checkpoints' crawled page "
+             "sets as added/removed/changed/unchanged by content hash "
+             "(the incremental-crawl planning view)",
+    )
+    d.add_argument("--old", type=str, required=True,
+                   help="checkpoint dir of the earlier crawl")
+    d.add_argument("--new", type=str, required=True,
+                   help="checkpoint dir of the later crawl")
+    d.add_argument("--sample", type=int, default=0,
+                   help="also print up to N changed/added urls")
+    d.add_argument("--master", type=str, default=None)
 
     r = sub.add_parser("report", help="summarize a checkpoint")
     r.add_argument("--checkpoint", type=str, required=True)
@@ -298,6 +314,51 @@ def cmd_plan(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Two-checkpoint crawl diff: the q85 operator (cdx.snapshot_diff)
+    over the crawled page sets of two checkpoints, keyed on url and
+    compared by html_content_hash. `changed ∪ added` is the next
+    incremental round's priority set; the counts print as one JSON
+    line, optionally followed by sampled urls."""
+    from pyspark.sql import functions as F
+
+    from wikifrontier import cdx
+    from wikifrontier import state as state_io
+    from wikifrontier.session import get_spark
+
+    spark = get_spark(master=args.master)
+    snaps = {}
+    for label, path in (("old", args.old), ("new", args.new)):
+        st = state_io.load_checkpoint(spark, path)
+        if st is None:
+            print(json.dumps({"error": f"no complete checkpoint at --{label}"}))
+            return 1
+        snaps[label] = st.pages.where(
+            F.col("html_content_hash").isNotNull()
+        ).select("url", F.col("html_content_hash").alias("digest"))
+    diff = cdx.snapshot_diff(snaps["old"], snaps["new"])
+    counts = {
+        r["change"]: r["n"]
+        for r in diff.groupBy("change").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({
+        "old": args.old,
+        "new": args.new,
+        **{k: counts.get(k, 0)
+           for k in ("added", "removed", "changed", "unchanged")},
+    }))
+    if args.sample > 0:
+        rows = (
+            diff.where(F.col("change").isin("added", "changed"))
+            .orderBy("url")
+            .limit(args.sample)
+            .collect()
+        )
+        for r in rows:
+            print(json.dumps({"url": r["url"], "change": r["change"]}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     return {
@@ -305,6 +366,7 @@ def main(argv: list[str] | None = None) -> int:
         "report": cmd_report,
         "linkrank": cmd_linkrank,
         "plan": cmd_plan,
+        "diff": cmd_diff,
     }[args.cmd](args)
 
 
