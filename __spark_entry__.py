@@ -2149,6 +2149,64 @@ SELECT coalesce(o.url, n.url) AS url,
   o.old_digest, n.new_digest
 FROM old o FULL OUTER JOIN new_ n ON o.url = n.url
 """,
+        # q86: DSIR importance weights — same tf/cf fold (target counts as
+        # conditional sums), add-1 smoothing over the raw vocab, 1e-6-long
+        # quantization before the per-doc sum.
+        "q86_dsir_weights": f"""
+WITH tok AS (
+  SELECT doc_id, (lang = 'en') AS is_t, unnest({TOKS}) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, is_t, term, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+cf AS (
+  SELECT term, sum(tf) AS cf_r,
+         sum(CASE WHEN is_t THEN tf ELSE 0 END) AS cf_t
+  FROM tf GROUP BY 1
+),
+tot AS (
+  SELECT count(*) AS vocab, sum(cf_r) AS tot_r, sum(cf_t) AS tot_t FROM cf
+),
+lr AS (
+  SELECT term,
+    CAST(round(ln(
+      ((cf_t + 1)::DOUBLE / (tot_t + vocab)::DOUBLE)
+      / ((cf_r + 1)::DOUBLE / (tot_r + vocab)::DOUBLE)
+    ) * 1000000) AS BIGINT) AS lr_q
+  FROM cf CROSS JOIN tot
+),
+agg AS (
+  SELECT tf.doc_id,
+    CAST(sum(tf) AS BIGINT) AS n_tokens,
+    round(sum(tf * lr_q)::DOUBLE / (1000000.0 * sum(tf)), 6) AS importance
+  FROM tf JOIN lr USING (term)
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens, importance, (importance > 0) AS keep FROM agg
+""",
+        # q87: CCNet terciles — q67's score chain + plain ntile(3); the
+        # Spark side reproduces ntile semantics with a histogram +
+        # cumulative counts (no single-task global window).
+        "q87_perplexity_buckets": f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT sum(cf) AS tot FROM cf),
+ql AS (
+  SELECT term,
+         CAST(round(ln(cf::DOUBLE / tot.tot::DOUBLE) * 1000000) AS BIGINT) AS ql
+  FROM cf CROSS JOIN tot
+),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum(tf * ql)::DOUBLE / (1000000.0 * sum(tf)), 6) AS logprob
+  FROM tf JOIN ql USING (term)
+  GROUP BY 1
+)
+SELECT doc_id, logprob,
+  CASE ntile(3) OVER (ORDER BY logprob DESC, doc_id)
+    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scores
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

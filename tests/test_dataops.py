@@ -1088,3 +1088,39 @@ def test_freshness_profile_hand_math(spark):
     assert (a["n_docs"], a["span_sec"], a["mean_age_sec"]) == (3, 400.0, round(700 / 3, 6))
     assert (a["n_stale"], a["stale_frac"]) == (2, 0.666667)
     assert (b["n_docs"], b["span_sec"], b["mean_age_sec"], b["n_stale"]) == (1, 0.0, 0.0, 0)
+
+
+def test_dsir_weights_hand_math(spark):
+    """Target = doc 1 only. cf: a(r2,t2) b(r2,t1) c(r1,t0); V=3, tot_r=5,
+    tot_t=3. lr_q(a)=round(ln((3/6)/(3/8))·1e6)=287682, lr_q(b)=
+    round(ln((2/6)/(3/8))·1e6)=-117783, lr_q(c)=round(ln((1/6)/(2/8))·1e6)
+    =-405465. doc1 importance = (2·287682-117783)/3e6 = 0.152527 (keep);
+    doc2 = (-117783-405465)/2e6 = -0.261624 (drop)."""
+    from pyspark.sql import functions as F
+
+    from wikifrontier.textops import dsir_weights
+
+    rows = [(1, "a a b", "en"), (2, "b c", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(df, F.col("lang") == "en").collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert abs(out[1]["importance"] - 0.152527) <= 1.1e-6
+    assert abs(out[2]["importance"] - (-0.261624)) <= 1.1e-6
+    assert out[1]["keep"] is True and out[2]["keep"] is False
+
+
+def test_perplexity_buckets_ntile_semantics(spark):
+    """n=7 → ntile sizes 3/2/2 with remainder in the head; the -2.0 score
+    tie breaks by doc_id; every bucket boundary checked by hand."""
+    from wikifrontier.textops import perplexity_buckets
+
+    rows = [(1, -1.0), (2, -2.0), (3, -2.0), (4, -3.0), (5, -4.0),
+            (6, -5.0), (7, -6.0)]
+    scores = spark.createDataFrame(rows, "doc_id long, logprob double")
+    out = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(scores).collect()}
+    assert out == {1: "head", 2: "head", 3: "head",
+                   4: "middle", 5: "middle", 6: "tail", 7: "tail"}

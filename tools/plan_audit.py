@@ -729,6 +729,43 @@ def main() -> int:
         summary_of(q85_plan_df),
     ))
 
+    # 40. DSIR importance weights (q86)
+    q86_plan_df = queries.q86_dsir_weights(spark, sf_dir)
+    q86_plan = plan_of(q86_plan_df)
+    assert "CartesianProduct" not in q86_plan, "q86 grew a cartesian"
+    assert "BroadcastExchange" in q86_plan, (
+        "q86 totals must ride a 1-row broadcast"
+    )
+    sections.append((
+        "DSIR importance weights (q86)",
+        "Text dies at the explode; the (doc, term) tf fold and the "
+        "term-level cf fold are counters-only shuffles, with the TARGET "
+        "counts riding the same fold as conditional sums (one corpus "
+        "pass trains both LMs). Vocab size + both totals are ONE 1-row "
+        "broadcast; the per-term log-ratio is quantized to 1e-6 longs "
+        "before the per-doc integer sum, so the result is "
+        "order-independent at any parallelism. No cartesian "
+        "(machine-asserted), no driver actions.",
+        summary_of(q86_plan_df),
+    ))
+
+    # 41. CCNet perplexity terciles (q87)
+    q87_plan_df = queries.q87_perplexity_buckets(spark, sf_dir)
+    q87_plan = plan_of(q87_plan_df)
+    assert "CartesianProduct" not in q87_plan, "q87 grew a cartesian"
+    sections.append((
+        "CCNet perplexity terciles (q87)",
+        "Exact ntile(3) WITHOUT the single-task global window: the "
+        "quantized scores collapse to a (score, count) histogram "
+        "(counters only), the cumulative count runs over the "
+        "DISTINCT-score histogram — the only serial step, orders of "
+        "magnitude smaller than the corpus — and each doc's exact global "
+        "position is cum_before + row_number within its own score "
+        "partition (keyed shuffle). The oracle is a plain ntile(3); the "
+        "Spark plan never funnels the corpus through one task.",
+        summary_of(q87_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

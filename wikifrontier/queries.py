@@ -1760,6 +1760,28 @@ def q85_snapshot_diff(spark, sf_dir):
     return cdx.snapshot_diff(old, new)
 
 
+def q86_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (textops.dsir_weights) with the English
+    slice as the target distribution: per doc, the quantized-exact mean
+    token ln(p_target/p_raw) with add-1 smoothing, and the keep flag for
+    the resampling pool (importance > 0 = more target-like than
+    corpus-average). Oracle: identical tf/cf/smoothing/quantization CTE
+    chain."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    return textops.dsir_weights(docs, F.col("lang") == "en")
+
+
+def q87_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail terciles (textops.perplexity_buckets) over
+    the q67 unigram-LM scores — exact ntile(3) semantics computed WITHOUT
+    a single-task global window (distinct-score histogram + cumulative
+    counts + within-score row_number). Oracle: q67's score chain + a
+    plain ntile(3) OVER (ORDER BY logprob DESC, doc_id)."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    scores = textops.unigram_logprob(docs)
+    return textops.perplexity_buckets(scores)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -985,3 +985,135 @@ def langid_confusion(df, text: str = "text", true_col: str = "lang", id_col: str
         F.round(F.col("n").cast("double") / F.col("n_true"), 6).alias("frac"),
         (F.col("true_lang") == F.col("pred_lang")).alias("correct"),
     )
+
+
+# --- DSIR importance resampling -------------------------------------------------
+def dsir_weights(df, is_target, text: str = "text", id_col: str = "doc_id"):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how much more likely its tokens are under the TARGET distribution
+    (the in-domain slice you want more of) than under the raw-corpus
+    distribution — per-token mean of ln(p_target(w)/p_raw(w)) with add-1
+    smoothing over the raw vocabulary. ``keep = importance > 0`` marks
+    documents that look more target-like than corpus-average: the
+    resampling pool.
+
+    ``is_target`` is a boolean Column over ``df``'s rows (e.g.
+    ``F.col("lang") == "en"``), so the target LM trains on a slice of the
+    same scan — no second corpus pass.
+
+    Exactness: the per-term log-ratio is quantized to 1e-6 longs BEFORE
+    the per-document sum (unigram_logprob's trick), so the aggregate is
+    an exact integer sum — order-independent at any parallelism, hence
+    bit-replayable by the DuckDB oracle.
+
+    Scale shape: text dies at the explode; the (doc, term) tf fold and
+    the term-level cf fold (target counts ride the SAME fold as
+    conditional sums — one pass, not two) are counters-only shuffles; the
+    vocab size + both totals are ONE 1-row broadcast; the log-ratio table
+    joins back on term. No driver actions.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        is_target.alias("is_t"),
+        F.explode(tokens(F.col(text))).alias("term"),
+    )
+    tf = tok.groupBy("id", "is_t", "term").agg(F.count("*").alias("tf"))
+    cf = tf.groupBy("term").agg(
+        F.sum("tf").alias("cf_r"),
+        F.sum(F.when(F.col("is_t"), F.col("tf")).otherwise(F.lit(0))).alias(
+            "cf_t"
+        ),
+    )
+    tot = cf.agg(
+        F.count("*").alias("vocab"),
+        F.sum("cf_r").alias("tot_r"),
+        F.sum("cf_t").alias("tot_t"),
+    )
+    lr = cf.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log(
+                (
+                    (F.col("cf_t") + 1).cast("double")
+                    / (F.col("tot_t") + F.col("vocab")).cast("double")
+                )
+                / (
+                    (F.col("cf_r") + 1).cast("double")
+                    / (F.col("tot_r") + F.col("vocab")).cast("double")
+                )
+            )
+            * LOGPROB_SCALE
+        )
+        .cast("long")
+        .alias("lr_q"),
+    )
+    out = (
+        tf.join(lr, "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf") * F.col("lr_q")).cast("double")
+                / (F.lit(float(LOGPROB_SCALE)) * F.sum("tf")),
+                6,
+            ).alias("importance"),
+        )
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "importance",
+        (F.col("importance") > 0).alias("keep"),
+    )
+
+
+# --- CCNet perplexity buckets ----------------------------------------------------
+def perplexity_buckets(scores, lp_col: str = "logprob", id_col: str = "doc_id"):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank documents
+    by LM score (``unigram_logprob`` output here; KenLM perplexity in
+    CCNet) and cut the corpus into exact terciles — `head` trains the
+    cleanest models, `tail` gets dropped or down-weighted.
+
+    Scale shape — exact ntile WITHOUT the single-task global window: the
+    quantized score column collapses to a (score, count) histogram first
+    (counters only), the cumulative count runs over the DISTINCT-score
+    histogram (orders of magnitude smaller than the corpus; the only
+    serial step), and each document's exact global position is
+    cum_before + its row_number within its own score partition (a keyed
+    shuffle on the score value). The tercile thresholds ceil(n/3) /
+    ceil(2n/3) reproduce SQL ntile(3) semantics exactly (remainder rows
+    land in the earlier buckets), so the oracle is a plain
+    ``ntile(3) OVER (ORDER BY logprob DESC, doc_id)``.
+    """
+    from pyspark.sql import Window
+
+    s = scores.select(F.col(id_col).alias("id"), F.col(lp_col).alias("lp"))
+    hist = s.groupBy("lp").agg(F.count("*").alias("cnt"))
+    # serial step is over distinct score VALUES only (head/tail of the
+    # histogram, not the corpus)
+    w_hist = Window.orderBy(F.col("lp").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "lp", (F.sum("cnt").over(w_hist) - F.col("cnt")).alias("cum_before")
+    )
+    n_tot = hist.agg(F.sum("cnt").alias("n"))
+    w_tie = Window.partitionBy("lp").orderBy("id")
+    pos = (
+        s.join(cum, "lp")
+        .select(
+            "id",
+            "lp",
+            (F.col("cum_before") + F.row_number().over(w_tie)).alias("pos"),
+        )
+        .crossJoin(F.broadcast(n_tot))
+    )
+    return pos.select(
+        F.col("id").alias(id_col),
+        F.col("lp").alias(lp_col),
+        F.when(F.col("pos") <= F.ceil(F.col("n") / 3), F.lit("head"))
+        .when(F.col("pos") <= F.ceil(F.col("n") * 2 / 3), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
