@@ -2207,6 +2207,68 @@ SELECT doc_id, logprob,
     WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM scores
 """,
+        # q88: sitemap ingestion — identical XML build (string_agg ORDER BY
+        # doc_id), same lazy-quantifier extraction (RE2 ∩ Java regex), same
+        # seen anti-join.
+        "q88_sitemap_seeds": """
+WITH entry AS (
+  SELECT CAST(doc_id % 7 AS INT) AS sitemap_id, doc_id,
+    '<url><loc>https://en.wikipedia.org/wiki/Doc_' || doc_id || '</loc>'
+    || (CASE WHEN doc_id % 4 <> 0
+        THEN '<lastmod>2024-01-'
+             || lpad(CAST(doc_id % 27 + 1 AS VARCHAR), 2, '0')
+             || '</lastmod>'
+        ELSE '' END)
+    || '</url>' AS e
+  FROM documents
+),
+blobs AS (
+  SELECT sitemap_id,
+    '<urlset>' || string_agg(e, '' ORDER BY doc_id) || '</urlset>' AS xml
+  FROM entry GROUP BY 1
+),
+parsed AS (
+  SELECT sitemap_id, unnest(regexp_extract_all(xml, '<url>(.*?)</url>', 1)) AS u
+  FROM blobs
+),
+locs AS (
+  SELECT sitemap_id,
+    regexp_extract(u, '<loc>(.*?)</loc>', 1) AS loc,
+    nullif(regexp_extract(u, '<lastmod>(.*?)</lastmod>', 1), '') AS lastmod
+  FROM parsed
+  WHERE regexp_extract(u, '<loc>(.*?)</loc>', 1) <> ''
+),
+seen AS (
+  SELECT 'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT l.sitemap_id, l.loc, l.lastmod
+FROM locs l LEFT JOIN seen s ON l.loc = s.url
+WHERE s.url IS NULL
+""",
+        # q89: per-host circuit breaker — same attempt derivation, counters
+        # fold, rounded-rate threshold CASE.
+        "q89_circuit_breaker": """
+WITH attempts AS (
+  SELECT 'h' || (event_id % 20) AS host,
+         ((event_id // 20) % ((event_id % 20) + 2) <> 0) AS ok
+  FROM events
+),
+agg AS (
+  SELECT host, count(*) AS n_attempts,
+         CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_failures
+  FROM attempts GROUP BY 1
+)
+SELECT host, n_attempts, n_failures,
+  round(n_failures::DOUBLE / n_attempts, 6) AS failure_rate,
+  CASE
+    WHEN n_attempts >= 10
+         AND round(n_failures::DOUBLE / n_attempts, 6) >= 0.5 THEN 'open'
+    WHEN n_attempts >= 10
+         AND round(n_failures::DOUBLE / n_attempts, 6) >= 0.25 THEN 'half_open'
+    ELSE 'closed' END AS state
+FROM agg
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

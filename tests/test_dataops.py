@@ -1124,3 +1124,55 @@ def test_perplexity_buckets_ntile_semantics(spark):
     out = {r["doc_id"]: r["bucket"] for r in perplexity_buckets(scores).collect()}
     assert out == {1: "head", 2: "head", 3: "head",
                    4: "middle", 5: "middle", 6: "tail", 7: "tail"}
+
+
+def test_sitemap_entries_and_seeds(spark):
+    """Hand-built urlset: loc-less blocks drop, missing lastmod → NULL,
+    seen urls anti-join away, newest lastmod first with loc tie-break."""
+    from wikifrontier.sitemaps import seed_candidates, sitemap_entries
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://a.org/1</loc><lastmod>2024-02-01</lastmod></url>"
+        "<url><loc>https://a.org/2</loc></url>"
+        "<url><lastmod>2024-03-01</lastmod></url>"  # loc-less → dropped
+        "<url><loc>https://a.org/3</loc><lastmod>2024-03-01</lastmod></url>"
+        "<url><loc>https://a.org/4</loc><lastmod>2024-03-01</lastmod></url>"
+        "</urlset>"
+    )
+    blobs = spark.createDataFrame([(0, xml)], "sitemap_id int, xml string")
+    entries = sitemap_entries(blobs)
+    got = {(r["loc"], r["lastmod"]) for r in entries.collect()}
+    assert got == {
+        ("https://a.org/1", "2024-02-01"),
+        ("https://a.org/2", None),
+        ("https://a.org/3", "2024-03-01"),
+        ("https://a.org/4", "2024-03-01"),
+    }
+    seen = spark.createDataFrame([("https://a.org/3",)], "url string")
+    seeds = seed_candidates(entries, seen).collect()
+    assert [r["loc"] for r in seeds] == [
+        "https://a.org/4",  # newest, tie broken by loc (3 is seen)
+        "https://a.org/1",
+        "https://a.org/2",  # NULL lastmod sorts last
+    ]
+
+
+def test_circuit_breaker_thresholds(spark):
+    """Threshold ladder by hand: 50% with evidence → open, exactly 25% →
+    half_open, 10% → closed, 100% failure but only 9 attempts → closed
+    (below BREAKER_MIN_ATTEMPTS)."""
+    from wikifrontier.politeness import host_circuit_breaker
+
+    rows = (
+        [("a", i % 2 == 0) for i in range(20)]        # 50% fail → open
+        + [("b", i % 4 != 0) for i in range(20)]      # 25% fail → half_open
+        + [("c", i % 10 != 0) for i in range(20)]     # 10% fail → closed
+        + [("d", False) for _ in range(9)]            # n<10 → closed
+    )
+    df = spark.createDataFrame(rows, "host string, ok boolean")
+    out = {r["host"]: r for r in host_circuit_breaker(df).collect()}
+    assert out["a"]["state"] == "open" and out["a"]["n_failures"] == 10
+    assert out["b"]["state"] == "half_open"
+    assert out["c"]["state"] == "closed"
+    assert out["d"]["state"] == "closed" and out["d"]["failure_rate"] == 1.0

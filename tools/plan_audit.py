@@ -766,6 +766,44 @@ def main() -> int:
         summary_of(q87_plan_df),
     ))
 
+    # 42. sitemap ingestion (q88)
+    q88_plan_df = queries.q88_sitemap_seeds(spark, sf_dir)
+    q88_plan = plan_of(q88_plan_df)
+    assert "CartesianProduct" not in q88_plan, "q88 grew a cartesian"
+    assert "BatchEvalPython" not in q88_plan and "ArrowEvalPython" not in q88_plan, (
+        "sitemap parsing must stay JVM-side (regexp columns, no UDF)"
+    )
+    sections.append((
+        "Sitemap ingestion (q88)",
+        "XML parsing is codegen'd regexp column expressions (no UDF, no "
+        "XML library — machine-asserted no Python eval): a pure map over "
+        "whatever partitions hold the sitemap blobs. The only keyed work "
+        "is the seen anti-join; the lastmod ordering is a presentation "
+        "sort that production callers replace with the existing top-k "
+        "pop. Lazy-quantifier patterns are Java-regex ∩ RE2, so the "
+        "DuckDB oracle replays the byte-identical extraction.",
+        summary_of(q88_plan_df),
+    ))
+
+    # 43. per-host circuit breaker (q89)
+    q89_plan_df = queries.q89_circuit_breaker(spark, sf_dir)
+    q89_plan = plan_of(q89_plan_df)
+    assert "CartesianProduct" not in q89_plan, "q89 grew a cartesian"
+    assert q89_plan.count("hashpartitioning") <= 1, (
+        "q89 must be one counters-only host fold"
+    )
+    sections.append((
+        "Per-host fetch circuit breaker (q89)",
+        "Attempt rows collapse to per-host counters map-side before the "
+        "single host exchange (machine-asserted ≤1 hashpartitioning); "
+        "the closed/half-open/open verdict is a codegen'd CASE over the "
+        "counters with the rounded-rate bit-stability rule. The output "
+        "is O(hosts) — the relation cap_per_host consumes to claw "
+        "politeness budget back from dead or hostile hosts between "
+        "rounds.",
+        summary_of(q89_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -1782,6 +1782,67 @@ def q87_perplexity_buckets(spark, sf_dir):
     return textops.perplexity_buckets(scores)
 
 
+def q88_sitemap_seeds(spark, sf_dir):
+    """Sitemap ingestion (sitemaps.sitemap_entries + seed_candidates):
+    docs fold into 7 deterministic <urlset> XML blobs (lastmod present
+    only for doc_id%4!=0), the entries are regexp-exploded back out, and
+    the already-crawled set (doc_id%3==0) is anti-joined away — the
+    second discovery channel a real crawl runs beside link extraction.
+    Oracle: identical string_agg XML build + the same RE2∩Java-regex
+    extraction + NOT-IN anti-join in DuckDB."""
+    from wikifrontier import sitemaps
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://en.wikipedia.org/wiki/Doc_"), d)
+    lastmod = F.when(
+        d % 4 != 0,
+        F.concat(
+            F.lit("<lastmod>2024-01-"),
+            F.lpad((d % 27 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    entry = F.concat(F.lit("<url><loc>"), url, F.lit("</loc>"), lastmod, F.lit("</url>"))
+    blobs = (
+        docs.select((d % 7).cast("int").alias("sitemap_id"), "doc_id", entry.alias("e"))
+        .groupBy("sitemap_id")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "e"))),
+                        lambda x: x.e,
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    entries = sitemaps.sitemap_entries(blobs)
+    seen = docs.where(d % 3 == 0).select(url.alias("url"))
+    return sitemaps.seed_candidates(entries, seen)
+
+
+def q89_circuit_breaker(spark, sf_dir):
+    """Per-host fetch circuit breaker (politeness.host_circuit_breaker):
+    attempts derived from the event log (host = event_id%20, failure when
+    floor(event_id/20) % (host+2) == 0, so per-host failure rates span
+    the closed / half-open / open ladder), rolled up to breaker verdicts
+    with the rounded-rate threshold rule. Oracle: same derivation +
+    counters + CASE in DuckDB."""
+    events = load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    h = (e % 20).cast("int")
+    attempts = events.select(
+        F.concat(F.lit("h"), h.cast("string")).alias("host"),
+        (F.floor(e / 20) % (h + 2) != 0).alias("ok"),
+    )
+    return politeness.host_circuit_breaker(attempts)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
