@@ -2269,6 +2269,87 @@ SELECT host, n_attempts, n_failures,
     ELSE 'closed' END AS state
 FROM agg
 """,
+        # q90: WARC layout — q82's capture derivation + the same md5-digit
+        # file shard + exclusive prefix-sum frame.
+        "q90_warc_layout": """
+WITH caps AS (
+  SELECT doc_id, text, j,
+    CASE WHEN j = 0 THEN 0
+         WHEN j = 1 THEN doc_id % 2
+         ELSE (doc_id % 2) + (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
+    END AS v
+  FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS JJ(j)
+),
+rows_ AS (
+  SELECT
+    'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+    CAST(doc_id * 3 + j AS BIGINT) AS warc_ts,
+    sha256(text || '#v' || v) AS digest,
+    CAST(length(text) + v AS BIGINT) AS length
+  FROM caps
+),
+keyed AS (
+  SELECT
+    substr(md5(url), 1, 1) AS warc_file,
+    array_to_string(
+      list_reverse(string_split(
+        split_part(lower(split_part(split_part(url, '://', 2), '/', 1)),
+                   ':', 1), '.')), ',')
+    || ')'
+    || (CASE WHEN substr(split_part(url, '://', 2),
+              length(split_part(split_part(url, '://', 2), '/', 1)) + 1) = ''
+         THEN '/'
+         ELSE lower(substr(split_part(url, '://', 2),
+              length(split_part(split_part(url, '://', 2), '/', 1)) + 1))
+        END) AS surt,
+    url, warc_ts, digest, length
+  FROM rows_
+)
+SELECT warc_file, surt, url, warc_ts, digest, length,
+  CAST(coalesce(sum(length) OVER (
+    PARTITION BY warc_file ORDER BY surt, warc_ts, digest
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS offset
+FROM keyed
+""",
+        # q91: robust length outliers — lower-median/MAD via the same
+        # histogram + cumulative CTE chain (no engine median()).
+        "q91_length_outliers": """
+WITH s AS (
+  SELECT doc_id AS id, lang AS st, CAST(n_chars AS BIGINT) AS x
+  FROM documents
+),
+hist AS (SELECT st, x, count(*) AS cnt FROM s GROUP BY 1, 2),
+cum AS (
+  SELECT st, x,
+    sum(cnt) OVER (PARTITION BY st ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(cnt) OVER (PARTITION BY st) AS tot
+  FROM hist
+),
+med AS (
+  SELECT st, min(x) AS med FROM cum WHERE cum >= ceil(tot / 2.0) GROUP BY 1
+),
+dev AS (
+  SELECT s.id, s.st, s.x, med.med, abs(s.x - med.med) AS d
+  FROM s JOIN med USING (st)
+),
+dhist AS (SELECT st, d, count(*) AS cnt FROM dev GROUP BY 1, 2),
+dcum AS (
+  SELECT st, d,
+    sum(cnt) OVER (PARTITION BY st ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(cnt) OVER (PARTITION BY st) AS tot
+  FROM dhist
+),
+mad AS (
+  SELECT st, min(d) AS mad FROM dcum WHERE cum >= ceil(tot / 2.0) GROUP BY 1
+)
+SELECT dev.id AS doc_id, dev.st AS lang, dev.x AS n_chars,
+  dev.med AS median, mad.mad,
+  (mad.mad > 0 AND dev.d > 3.0 * mad.mad) AS is_outlier
+FROM dev JOIN mad USING (st)
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

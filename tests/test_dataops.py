@@ -1176,3 +1176,49 @@ def test_circuit_breaker_thresholds(spark):
     assert out["b"]["state"] == "half_open"
     assert out["c"]["state"] == "closed"
     assert out["d"]["state"] == "closed" and out["d"]["failure_rate"] == 1.0
+
+
+def test_warc_layout_offsets(spark):
+    """Offsets are exclusive prefix sums in (surt, ts) order within each
+    md5-sharded file; the first record of every file sits at offset 0 and
+    each file's offsets are gapless sums of the preceding lengths."""
+    from collections import defaultdict
+
+    from wikifrontier.cdx import warc_layout
+
+    rows = [
+        (f"https://h{i % 3}.org/p/{i}", i, f"d{i}", 100 + i) for i in range(24)
+    ]
+    caps = spark.createDataFrame(
+        rows, "url string, warc_ts long, digest string, length long"
+    )
+    out = warc_layout(caps).collect()
+    assert len(out) == 24
+    by_file = defaultdict(list)
+    for r in out:
+        by_file[r["warc_file"]].append(r)
+    for recs in by_file.values():
+        recs.sort(key=lambda r: (r["surt"], r["warc_ts"], r["digest"]))
+        expect = 0
+        for r in recs:
+            assert r["offset"] == expect
+            expect += r["length"]
+
+
+def test_robust_outliers_hand_math(spark):
+    """Stratum a: values 10,10,10,10,100 → lower median 10, deviations
+    0,0,0,0,90 → MAD 0 → nothing flagged (constant-column rule). Stratum
+    b: 1..7 with a 1000 → med 4 (ceil(8/2)=4th of the sorted 8), MAD of
+    |x−4| = {3,2,1,0,1,2,3,996} → sorted 0,1,1,2,2,3,3,996 → 4th = 2 →
+    only the 1000 exceeds 4+3·2."""
+    from wikifrontier.textops import robust_outliers
+
+    rows = [(i, "a", 10) for i in range(4)] + [(4, "a", 100)]
+    rows += [(10 + i, "b", i + 1) for i in range(7)] + [(17, "b", 1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = {r["doc_id"]: r for r in robust_outliers(df).collect()}
+    assert out[4]["median"] == 10 and out[4]["mad"] == 0
+    assert not any(out[i]["is_outlier"] for i in range(5))  # MAD=0 stratum
+    assert out[17]["median"] == 4 and out[17]["mad"] == 2
+    assert out[17]["is_outlier"] is True
+    assert not any(out[10 + i]["is_outlier"] for i in range(7))

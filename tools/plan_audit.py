@@ -804,6 +804,41 @@ def main() -> int:
         summary_of(q89_plan_df),
     ))
 
+    # 44. WARC layout (q90)
+    q90_plan_df = queries.q90_warc_layout(spark, sf_dir)
+    q90_plan = plan_of(q90_plan_df)
+    assert "CartesianProduct" not in q90_plan, "q90 grew a cartesian"
+    assert q90_plan.count("hashpartitioning(warc_file") == 1, (
+        "q90 must shuffle once on the file shard"
+    )
+    sections.append((
+        "WARC archive layout (q90)",
+        "The md5 file shard and the SURT key are computed map-side "
+        "(engine-portable hash, codegen'd string ops); the ONLY exchange "
+        "is the per-file window partition (machine-asserted), and the "
+        "byte offsets are an exclusive prefix sum within each file's "
+        "bounded record set. File count grows with the corpus, so the "
+        "window parallelism does too — no global sort exists anywhere "
+        "in the plan.",
+        summary_of(q90_plan_df),
+    ))
+
+    # 45. robust length outliers (q91)
+    q91_plan_df = queries.q91_length_outliers(spark, sf_dir)
+    q91_plan = plan_of(q91_plan_df)
+    assert "CartesianProduct" not in q91_plan, "q91 grew a cartesian"
+    sections.append((
+        "Robust length outliers (q91)",
+        "Exact lower-median/MAD with NO corpus sort: values collapse to "
+        "per-stratum histograms (counters only), cumulative walks run "
+        "over DISTINCT values, and the per-stratum medians join back as "
+        "scalar relations (one row per language — broadcast). The MAD "
+        "pass repeats the identical shape over deviations. Every "
+        "exchange in the plan carries counter rows; text and html never "
+        "appear.",
+        summary_of(q91_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -120,3 +120,46 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         "old_digest",
         "new_digest",
     )
+
+
+def warc_layout(captures: DataFrame) -> DataFrame:
+    """Archive write plan: assign every capture its WARC file and byte
+    offset — ``(warc_file, surt, url, warc_ts, digest, length, offset)``.
+
+    Captures shard across 16 WARC files by an md5-hex-digit of the url
+    (md5 is the repo's engine-portable hash — DuckDB replays it
+    byte-identically, the same idiom as the q57/q69 sampling keys);
+    within a file, records lay out in CDX order (surt, then capture
+    time) and ``offset`` is the exclusive prefix sum of record lengths —
+    exactly the (filename, offset, length) triple a CDXJ line points at,
+    computed BEFORE any bytes are written so the store pass is one
+    sequential append per file.
+
+    Scale shape: one keyed shuffle on warc_file; the per-file prefix sum
+    is a window WITHIN each file partition. Real archive writers bound
+    file size (CC uses ~1 GiB WARCs), so file count — and with it
+    partition parallelism — grows linearly with the corpus; no global
+    ordering exists or is needed across files.
+    """
+    w = Window.partitionBy("warc_file").orderBy("surt", "warc_ts", "digest")
+    return (
+        captures.select(
+            F.substring(F.md5(F.col("url")), 1, 1).alias("warc_file"),
+            surt_key("url").alias("surt"),
+            "url",
+            "warc_ts",
+            "digest",
+            "length",
+        )
+        .select(
+            "*",
+            F.coalesce(
+                F.sum("length").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("offset"),
+        )
+    )

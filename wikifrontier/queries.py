@@ -1843,6 +1843,30 @@ def q89_circuit_breaker(spark, sf_dir):
     return politeness.host_circuit_breaker(attempts)
 
 
+def q90_warc_layout(spark, sf_dir):
+    """WARC archive write plan (cdx.warc_layout) over the q82 capture
+    fixture: shard captures across 16 files by md5-hex-digit (the
+    engine-portable hash), lay records out in (surt, ts) order within
+    each file, and compute every record's byte offset as an exclusive
+    prefix sum — the (file, offset, length) triple a CDXJ index points
+    at, planned before any byte is written. Oracle: same md5 digit +
+    window frame in DuckDB."""
+    from wikifrontier import cdx
+
+    docs = load(spark, sf_dir, "documents")
+    return cdx.warc_layout(_cdx_captures(docs))
+
+
+def q91_length_outliers(spark, sf_dir):
+    """Per-language robust length screen (textops.robust_outliers):
+    lower-median/MAD over n_chars computed exactly from value histograms
+    (no corpus sort, no interpolating median), |x−med| > 3·MAD flags.
+    Oracle: identical histogram/cumulative CTE chain — NOT the engine
+    median(), whose even-n interpolation differs."""
+    docs = load(spark, sf_dir, "documents")
+    return textops.robust_outliers(docs)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

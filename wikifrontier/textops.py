@@ -1117,3 +1117,78 @@ def perplexity_buckets(scores, lp_col: str = "logprob", id_col: str = "doc_id"):
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# --- robust outlier detection ----------------------------------------------------
+def robust_outliers(
+    df,
+    val_col: str = "n_chars",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    k: float = 3.0,
+):
+    """Median/MAD outlier flags per stratum — the robust length screen a
+    curation pass runs before the quality gates (C4 drops too-short docs
+    by fiat; MAD adapts the cutoff per language, where 'normal' lengths
+    differ by script). ``is_outlier`` = |x − median| > k·MAD, with the
+    MAD=0 degenerate stratum flagging nothing (a constant column has no
+    outliers under this statistic).
+
+    Exactness: medians are LOWER medians (the ceil(n/2)-th order
+    statistic) computed from a value histogram — integer select, no
+    interpolation — so both engines agree bit-for-bit and the oracle is
+    the same CTE chain, not an engine ``median()`` whose even-n
+    interpolation differs.
+
+    Scale shape — exact order statistics WITHOUT sorting the corpus
+    (perplexity_buckets' histogram trick, twice): values collapse to a
+    (stratum, value, count) histogram — counters only; the cumulative
+    walk runs over DISTINCT values per stratum; the median joins back as
+    a per-stratum scalar (broadcastable: one row per stratum). The MAD
+    repeats the same shape over |x − median|. Six counter-sized
+    exchanges total, document text never enters any of them.
+    """
+    from pyspark.sql import Window
+
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(stratum_col).alias("st"),
+        F.col(val_col).cast("long").alias("x"),
+    )
+
+    def lower_median(rows, col):
+        hist = rows.groupBy("st", col).agg(F.count("*").alias("cnt"))
+        w_cum = (
+            Window.partitionBy("st")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = Window.partitionBy("st")
+        cum = hist.select(
+            "st",
+            F.col(col),
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_tot).alias("tot"),
+        )
+        return (
+            cum.where(F.col("cum") >= F.ceil(F.col("tot") / 2))
+            .groupBy("st")
+            .agg(F.min(col).alias("med"))
+        )
+    med = lower_median(s, "x")
+    dev = s.join(med, "st").select(
+        "id", "st", "x", "med", F.abs(F.col("x") - F.col("med")).alias("d")
+    )
+    mad = lower_median(dev.select("st", F.col("d").alias("x")), "x").select(
+        "st", F.col("med").alias("mad")
+    )
+    return dev.join(mad, "st").select(
+        F.col("id").alias(id_col),
+        F.col("st").alias(stratum_col),
+        F.col("x").alias(val_col),
+        F.col("med").alias("median"),
+        "mad",
+        ((F.col("mad") > 0) & (F.col("d") > F.lit(k) * F.col("mad"))).alias(
+            "is_outlier"
+        ),
+    )
