@@ -2350,6 +2350,51 @@ SELECT dev.id AS doc_id, dev.st AS lang, dev.x AS n_chars,
   (mad.mad > 0 AND dev.d > 3.0 * mad.mad) AS is_outlier
 FROM dev JOIN mad USING (st)
 """,
+        # q92: composed archive write plan — q82's index + revisit filter
+        # + q90's layout over stored records + per-file savings rollup.
+        "q92_archive_pipeline": """
+WITH caps AS (
+  SELECT doc_id, text, j,
+    CASE WHEN j = 0 THEN 0
+         WHEN j = 1 THEN doc_id % 2
+         ELSE (doc_id % 2) + (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
+    END AS v
+  FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS JJ(j)
+),
+rows_ AS (
+  SELECT
+    'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+    CAST(doc_id * 3 + j AS BIGINT) AS warc_ts,
+    sha256(text || '#v' || v) AS digest,
+    CAST(length(text) + v AS BIGINT) AS length
+  FROM caps
+),
+idx AS (
+  SELECT url, warc_ts, digest, length,
+    coalesce(lag(digest) OVER (PARTITION BY url ORDER BY warc_ts, digest)
+             = digest, false) AS is_revisit
+  FROM rows_
+),
+stored AS (
+  SELECT substr(md5(url), 1, 1) AS warc_file, length
+  FROM idx WHERE NOT is_revisit
+),
+written AS (
+  SELECT warc_file, count(*) AS n_stored,
+         CAST(sum(length) AS BIGINT) AS bytes_written
+  FROM stored GROUP BY 1
+),
+skipped AS (
+  SELECT substr(md5(url), 1, 1) AS warc_file,
+         count(*) AS n_revisits,
+         CAST(sum(length) AS BIGINT) AS bytes_saved
+  FROM idx WHERE is_revisit GROUP BY 1
+)
+SELECT w.warc_file, w.n_stored, w.bytes_written,
+  coalesce(s.n_revisits, 0) AS n_revisits,
+  coalesce(s.bytes_saved, 0) AS bytes_saved
+FROM written w LEFT JOIN skipped s USING (warc_file)
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

@@ -839,6 +839,23 @@ def main() -> int:
         summary_of(q91_plan_df),
     ))
 
+    # 46. composed archive write plan (q92)
+    q92_plan_df = queries.q92_archive_pipeline(spark, sf_dir)
+    q92_plan = plan_of(q92_plan_df)
+    assert "CartesianProduct" not in q92_plan, "q92 grew a cartesian"
+    sections.append((
+        "Composed archive write plan (q92)",
+        "The full storage pass as one declarative plan: the url-window "
+        "revisit detection, the stored-records file layout (per-file "
+        "window), and both rollups fold to 16 counter rows before the "
+        "final left join. bytes_written is computed as the max "
+        "end-offset of each laid-out file — if the prefix sums ever "
+        "gapped or overlapped, this would diverge from the oracle's "
+        "sum(length) and the hash compare would catch it, so the "
+        "correctness gate doubles as a layout-integrity proof.",
+        summary_of(q92_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -1867,6 +1867,44 @@ def q91_length_outliers(spark, sf_dir):
     return textops.robust_outliers(docs)
 
 
+def q92_archive_pipeline(spark, sf_dir):
+    """The composed archive write plan — what a crawl's storage pass
+    actually executes: capture index (q82) → WARC revisit suppression
+    (unchanged recaptures become index pointers, their bytes are never
+    written) → file/offset layout over the STORED records only (q90) →
+    per-file rollup of records written, bytes written (cross-checked as
+    the max end-offset of the laid-out file, proving the prefix sums are
+    gapless), revisits skipped, and bytes saved. Oracle: the composed
+    q82+q90 SQL with the same revisit filter and rollup."""
+    from wikifrontier import cdx
+
+    docs = load(spark, sf_dir, "documents")
+    idx = cdx.cdx_index(_cdx_captures(docs))
+    stored = idx.where(~F.col("is_revisit")).select(
+        "url", "warc_ts", "digest", "length"
+    )
+    layout = cdx.warc_layout(stored)
+    written = layout.groupBy("warc_file").agg(
+        F.count("*").alias("n_stored"),
+        F.max(F.col("offset") + F.col("length")).alias("bytes_written"),
+    )
+    skipped = (
+        idx.where(F.col("is_revisit"))
+        .groupBy(F.substring(F.md5(F.col("url")), 1, 1).alias("warc_file"))
+        .agg(
+            F.count("*").alias("n_revisits"),
+            F.sum("length").alias("bytes_saved"),
+        )
+    )
+    return written.join(skipped, "warc_file", "left").select(
+        "warc_file",
+        "n_stored",
+        "bytes_written",
+        F.coalesce("n_revisits", F.lit(0)).alias("n_revisits"),
+        F.coalesce("bytes_saved", F.lit(0)).alias("bytes_saved"),
+    )
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
