@@ -2395,6 +2395,69 @@ SELECT w.warc_file, w.n_stored, w.bytes_written,
   coalesce(s.bytes_saved, 0) AS bytes_saved
 FROM written w LEFT JOIN skipped s USING (warc_file)
 """,
+        # q93: distributed robots — same star-group regex, line parse, and
+        # longest-prefix/allow-first argmax.
+        "q93_robots_distributed": """
+WITH hosts AS (
+  SELECT DISTINCT 'h' || (doc_id % 10) AS host,
+         CAST(doc_id % 10 AS INT) AS hn
+  FROM documents
+),
+robots AS (
+  SELECT host,
+    'User-agent: bot-x' || chr(10) || 'Disallow: /' || chr(10)
+    || 'User-agent: *' || chr(10)
+    || 'Disallow: /private' || hn || '/' || chr(10)
+    || 'Allow: /private' || hn || '/ok' || chr(10)
+    || 'Disallow: /tmp # infinite calendar' || chr(10)
+    || 'Crawl-delay: 1' || chr(10) AS txt
+  FROM hosts
+),
+star AS (
+  SELECT host,
+    regexp_extract(txt,
+      '(?s)[Uu]ser-[Aa]gent:[ \t]*\\*[ \t]*\n(.*?)(?:[Uu]ser-[Aa]gent:|$)',
+      1) AS chunk
+  FROM robots
+),
+lines_ AS (
+  SELECT host, unnest(string_split(chunk, chr(10))) AS raw FROM star
+),
+parsed AS (
+  SELECT host,
+    lower(trim(split_part(nc, ':', 1))) AS key,
+    trim(substr(nc, strpos(nc, ':') + 1)) AS prefix,
+    strpos(nc, ':') AS hc
+  FROM (SELECT host, trim(split_part(raw, '#', 1)) AS nc FROM lines_)
+),
+rules AS (
+  SELECT DISTINCT host, prefix, (key = 'allow') AS is_allow
+  FROM parsed
+  WHERE hc > 0 AND key IN ('allow', 'disallow') AND prefix <> ''
+),
+cands AS (
+  SELECT 'https://' || host || path AS url, host, path FROM (
+    SELECT 'h' || (doc_id % 10) AS host,
+      CASE WHEN doc_id % 4 = 0 THEN '/private' || (doc_id % 10) || '/x' || doc_id
+           WHEN doc_id % 4 = 1 THEN '/private' || (doc_id % 10) || '/ok/' || doc_id
+           WHEN doc_id % 4 = 2 THEN '/tmp/cal' || doc_id
+           ELSE '/public/' || doc_id END AS path
+    FROM documents
+  )
+),
+m AS (
+  SELECT c.url, r.prefix, r.is_allow,
+    row_number() OVER (PARTITION BY c.url
+                       ORDER BY length(r.prefix) DESC, r.is_allow DESC) AS rn
+  FROM cands c
+  JOIN rules r ON c.host = r.host AND starts_with(c.path, r.prefix)
+)
+SELECT c.url, c.host, m.prefix AS matched_prefix,
+       coalesce(m.is_allow, true) AS allowed
+FROM cands c
+LEFT JOIN (SELECT url, prefix, is_allow FROM m WHERE rn = 1) m
+  ON c.url = m.url
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

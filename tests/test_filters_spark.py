@@ -98,3 +98,59 @@ def test_salted_repartition_spreads_single_host(spark):
     # deterministic: repartitioning again yields identical placement
     again = salted_repartition(batch, num_partitions=16).rdd.glom().map(len).collect()
     assert sizes == again
+
+
+def test_distributed_robots_matches_driver_parser(spark):
+    """The relational robots operators must agree with the driver-side
+    parse_robots/robots_denied_expr on every path — same star-group
+    tracking (a decoy UA group, a UA reset after the star group), same
+    comment stripping, same longest-prefix/allow-first precedence,
+    same default-allow."""
+    from pyspark.sql import functions as F
+
+    from wikifrontier.filters import (
+        parse_robots,
+        robots_denied_expr,
+        robots_gate_distributed,
+        robots_rules_table,
+    )
+
+    txt = (
+        "User-agent: bot-x\n"
+        "Disallow: /\n"
+        "User-agent: *\n"
+        "Disallow: /a/\n"
+        "Allow: /a/ok\n"
+        "Disallow: /tmp # comment\n"
+        "Allow: /tmp/keep\n"
+        "User-agent: other\n"
+        "Disallow: /after-reset\n"
+    )
+    paths = [
+        "/a/x", "/a/ok", "/a/ok/deeper", "/tmp/cal", "/tmp/keep/y",
+        "/after-reset/z", "/free", "/",
+    ]
+    # driver-side verdicts
+    rules_drv = parse_robots(txt)
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    drv = {
+        r["path"]: not r["denied"]
+        for r in pdf.select(
+            "path", robots_denied_expr(F.col("path"), rules_drv).alias("denied")
+        ).collect()
+    }
+    # distributed verdicts
+    robots = spark.createDataFrame([("h", txt)], "host string, robots_txt string")
+    cands = spark.createDataFrame(
+        [(f"https://h{p}", "h", p) for p in paths], "url string, host string, path string"
+    )
+    dist = {
+        r["url"].removeprefix("https://h"): r["allowed"]
+        for r in robots_gate_distributed(cands, robots_rules_table(robots)).collect()
+    }
+    assert {p: drv[p] for p in paths} == {p: dist[p] for p in paths}
+    # spot-check the semantics themselves, not just parity
+    assert drv["/a/x"] is False and drv["/a/ok/deeper"] is True
+    assert drv["/tmp/cal"] is False and drv["/tmp/keep/y"] is True
+    assert drv["/after-reset/z"] is True  # non-star group ignored
+    assert drv["/free"] is True

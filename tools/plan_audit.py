@@ -856,6 +856,26 @@ def main() -> int:
         summary_of(q92_plan_df),
     ))
 
+    # 47. distributed robots (q93)
+    q93_plan_df = queries.q93_robots_distributed(spark, sf_dir)
+    q93_plan = plan_of(q93_plan_df)
+    assert "CartesianProduct" not in q93_plan, "q93 grew a cartesian"
+    assert "BatchEvalPython" not in q93_plan and "ArrowEvalPython" not in q93_plan, (
+        "robots parsing must stay JVM-side"
+    )
+    sections.append((
+        "Distributed robots.txt (q93)",
+        "Robots blobs parse with codegen'd regexp/split/explode (no "
+        "Python eval — machine-asserted): the 10^8-hosts shape the "
+        "driver-side parse_robots cannot reach. The gate is one "
+        "host-keyed equi-join with the startswith filter inside it and "
+        "a counters-only max_by argmax per url — longest-prefix "
+        "precedence without a window over the candidate set. Parity "
+        "with the driver parser is pinned by "
+        "test_distributed_robots_matches_driver_parser.",
+        summary_of(q93_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -253,3 +253,103 @@ def trap_signals(df, url_col: str = "url") -> "DataFrame":
             & ((avg_depth >= TRAP_AVG_DEPTH) | (param_frac >= TRAP_PARAM_FRAC))
         ).alias("is_trap"),
     )
+
+
+# --- distributed robots.txt ------------------------------------------------------
+# parse_robots/robots_denied_expr above compile ONE robots.txt on the
+# driver — correct for the reference-parity single-host crawl (its
+# scheduler holds one parsed file, components/scheduler/core/
+# link_filters.py robots handling), but a 10^10 frontier spans ~10^8
+# hosts and their robots files are DATA, not config. These two operators
+# are the same semantics as relational algebra over a (host, robots_txt)
+# table: same User-agent:* group tracking (last UA line wins), same
+# comment stripping, same longest-prefix precedence with Allow beating
+# Disallow on equal length, same default-allow.
+
+# the active group: everything after `User-agent: *` up to the next
+# User-agent line (dotall, lazy — Java regex ∩ RE2 so the oracle replays
+# it byte-identically)
+_STAR_GROUP = r"(?s)[Uu]ser-[Aa]gent:[ \t]*\*[ \t]*\n(.*?)(?:[Uu]ser-[Aa]gent:|$)"
+
+
+def robots_rules_table(
+    robots: "DataFrame",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> "DataFrame":
+    """Explode per-host robots.txt blobs into ``(host, prefix, is_allow)``
+    rules — the User-agent:* group only, comments stripped, empty values
+    dropped (matching ``parse_robots`` line semantics).
+
+    Scale shape: pure codegen'd string ops (regexp group extraction +
+    split + explode) — a map over however many partitions hold the robots
+    blobs, then a distinct on rule rows. Robots files are KBs, so the
+    explode fan-out is bounded; no shuffle until the distinct, which
+    carries (host, prefix, flag) counters only.
+    """
+    star = F.regexp_extract(F.col(txt_col), _STAR_GROUP, 1)
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(star, "\n")).alias("raw"),
+    )
+    nc = F.trim(F.substring_index(F.col("raw"), "#", 1))
+    key = F.lower(F.trim(F.substring_index(nc, ":", 1)))
+    value = F.trim(F.substr(nc, F.instr(nc, ":") + 1))
+    return (
+        lines.select(
+            "host",
+            key.alias("key"),
+            value.alias("prefix"),
+            F.instr(nc, ":").alias("has_colon"),
+        )
+        .where(
+            (F.col("has_colon") > 0)
+            & F.col("key").isin("allow", "disallow")
+            & (F.col("prefix") != "")
+        )
+        .select("host", "prefix", (F.col("key") == "allow").alias("is_allow"))
+        .distinct()
+    )
+
+
+def robots_gate_distributed(
+    candidates: "DataFrame",
+    rules: "DataFrame",
+) -> "DataFrame":
+    """Longest-match robots verdict for ``(url, host, path)`` candidates
+    against a ``robots_rules_table`` relation → ``(url, host,
+    matched_prefix, allowed)``; default allow when no rule matches.
+
+    Precedence is ``parse_robots``' exactly: longest prefix wins, Allow
+    beats Disallow on equal length. File order can never matter — two
+    DISTINCT equal-length prefixes cannot both match one path, so the
+    (length, is_allow) argmax is total on every match set.
+
+    Scale shape: one host-keyed equi-join (rules per host are small —
+    AQE broadcasts the rules side when the host set allows), the
+    startswith filter runs inside the join, and the per-url argmax is a
+    counters-only ``max_by`` fold. The verdict rides back on a left join
+    keyed on url.
+    """
+    matched = candidates.join(rules, "host").where(
+        F.col("path").startswith(F.col("prefix"))
+    )
+    best = matched.groupBy("url").agg(
+        F.max_by(
+            F.struct("prefix", "is_allow"),
+            F.struct(
+                F.length("prefix").alias("l"),
+                F.col("is_allow").cast("int").alias("a"),
+            ),
+        ).alias("rule")
+    )
+    return (
+        candidates.select("url", "host", "path")
+        .join(best, "url", "left")
+        .select(
+            "url",
+            "host",
+            F.col("rule.prefix").alias("matched_prefix"),
+            F.coalesce(F.col("rule.is_allow"), F.lit(True)).alias("allowed"),
+        )
+    )

@@ -1905,6 +1905,48 @@ def q92_archive_pipeline(spark, sf_dir):
     )
 
 
+def q93_robots_distributed(spark, sf_dir):
+    """Distributed robots.txt (filters.robots_rules_table +
+    robots_gate_distributed): per-host robots blobs — with a decoy
+    non-* User-agent group, comments, and an Allow carve-out inside a
+    Disallow subtree — parsed relationally, then every candidate url
+    gets its longest-match verdict. The driver-side parse_robots stays
+    for the single-host parity crawl; THIS is the 10^8-hosts shape.
+    Oracle: same (?s) star-group extraction, line split, and
+    length/allow argmax in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h = F.concat(F.lit("h"), (d % 10).cast("string"))
+    robots = (
+        docs.select(h.alias("host"), (d % 10).cast("int").alias("hn"))
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("User-agent: bot-x\nDisallow: /\n"),
+                F.lit("User-agent: *\n"),
+                F.lit("Disallow: /private"), F.col("hn"), F.lit("/\n"),
+                F.lit("Allow: /private"), F.col("hn"), F.lit("/ok\n"),
+                F.lit("Disallow: /tmp # infinite calendar\n"),
+                F.lit("Crawl-delay: 1\n"),
+            ).alias("robots_txt"),
+        )
+    )
+    path = (
+        F.when(d % 4 == 0, F.concat(F.lit("/private"), (d % 10), F.lit("/x"), d))
+        .when(d % 4 == 1, F.concat(F.lit("/private"), (d % 10), F.lit("/ok/"), d))
+        .when(d % 4 == 2, F.concat(F.lit("/tmp/cal"), d))
+        .otherwise(F.concat(F.lit("/public/"), d))
+    )
+    cands = docs.select(
+        F.concat(F.lit("https://"), h, path).alias("url"),
+        h.alias("host"),
+        path.alias("path"),
+    )
+    rules = filters.robots_rules_table(robots)
+    return filters.robots_gate_distributed(cands, rules)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
