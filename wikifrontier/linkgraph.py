@@ -435,9 +435,14 @@ def resolve_redirects(
     ``checkpoint=False`` keeps the full loop body visible to the plan
     audit.
     """
-    edges = redirects.select(
-        F.col(src).alias("src_url"), F.col(dst).alias("cur")
-    ).dropDuplicates(["src_url"])
+    # a url redirects to ONE target; if the input carries conflicting
+    # duplicates (e.g. captures from different rounds), keep min(dst) —
+    # deterministic on any engine, unlike dropDuplicates' arbitrary row
+    edges = (
+        redirects.select(F.col(src).alias("src_url"), F.col(dst).alias("cur"))
+        .groupBy("src_url")
+        .agg(F.min("cur").alias("cur"))
+    )
     # state: src_url resolved forward to `cur` after `n_hops` hops
     state = edges.select("src_url", "cur", F.lit(1).cast("int").alias("n_hops"))
     rounds = doubling_rounds(max_hops)
