@@ -2458,6 +2458,80 @@ FROM cands c
 LEFT JOIN (SELECT url, prefix, is_allow FROM m WHERE rn = 1) m
   ON c.url = m.url
 """,
+        # q94: frontier queue aging — same integer round ages + rounded mean.
+        "q94_frontier_aging": """
+WITH pending AS (
+  SELECT CAST(user_id % 5 AS INT) AS depth,
+         CAST(event_id % 3 AS INT) AS scheduled_round
+  FROM events
+)
+SELECT depth, count(*) AS n_pending,
+  CAST(max(5 - scheduled_round) AS INT) AS oldest_age,
+  round(sum(5 - scheduled_round)::DOUBLE / count(*), 6) AS mean_age,
+  CAST(sum(CASE WHEN 5 - scheduled_round >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_starving
+FROM pending GROUP BY 1
+""",
+        # q95: URL template mining — same digit-collapse + per-host
+        # row_number top-k.
+        "q95_url_templates": """
+WITH parts AS (
+  SELECT 'h' || (user_id % 10) || '.com' AS host,
+    CASE WHEN event_id % 3 = 0
+           THEN '/cal/2024/' || (event_id % 12) || '/' || event_id
+         WHEN event_id % 3 = 1 THEN '/page/' || event_id
+         ELSE '/article/item-' || (event_id % 50) END AS path
+  FROM events
+),
+counts AS (
+  SELECT host, lower(regexp_replace(path, '[0-9]+', 'N', 'g')) AS template,
+         count(*) AS n_urls
+  FROM parts GROUP BY 1, 2
+)
+SELECT host, template, n_urls,
+  CAST(row_number() OVER (PARTITION BY host
+                          ORDER BY n_urls DESC, template) AS INT) AS rank
+FROM counts
+QUALIFY rank <= 5
+""",
+        # q96: crawl-delay extraction — same star-group parse, TRY_CAST
+        # numeric gate, min fold.
+        "q96_crawl_delays": """
+WITH hosts AS (
+  SELECT DISTINCT 'h' || (doc_id % 10) AS host,
+         CAST(doc_id % 10 AS INT) AS hn
+  FROM documents
+),
+robots AS (
+  SELECT host,
+    'User-agent: bot-x' || chr(10) || 'Crawl-delay: 99' || chr(10)
+    || 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+    || (CASE WHEN hn = 0 THEN 'Crawl-delay: oops' || chr(10)
+             WHEN hn = 1 THEN 'Crawl-delay: 7' || chr(10)
+                              || 'Crawl-delay: 2' || chr(10)
+             ELSE 'Crawl-delay: ' || hn || '.5' || chr(10) END) AS txt
+  FROM hosts
+),
+star AS (
+  SELECT host,
+    regexp_extract(txt,
+      '(?s)[Uu]ser-[Aa]gent:[ \t]*\\*[ \t]*\n(.*?)(?:[Uu]ser-[Aa]gent:|$)',
+      1) AS chunk
+  FROM robots
+),
+lines_ AS (
+  SELECT host, unnest(string_split(chunk, chr(10))) AS raw FROM star
+),
+parsed AS (
+  SELECT host,
+    lower(trim(split_part(nc, ':', 1))) AS key,
+    TRY_CAST(trim(substr(nc, strpos(nc, ':') + 1)) AS DOUBLE) AS delay
+  FROM (SELECT host, trim(split_part(raw, '#', 1)) AS nc FROM lines_)
+)
+SELECT host, min(delay) AS crawl_delay
+FROM parsed WHERE key = 'crawl-delay' AND delay IS NOT NULL
+GROUP BY 1
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

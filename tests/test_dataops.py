@@ -1222,3 +1222,52 @@ def test_robust_outliers_hand_math(spark):
     assert out[17]["median"] == 4 and out[17]["mad"] == 2
     assert out[17]["is_outlier"] is True
     assert not any(out[10 + i]["is_outlier"] for i in range(7))
+
+
+def test_frontier_age_profile_hand_math(spark):
+    """now=5, rounds 1/1/4 at depth 0 → ages 4,4,1: oldest 4, mean 3.0,
+    2 starving; single depth-1 row at round 5 → age 0, none starving."""
+    from wikifrontier.frontier import frontier_age_profile
+
+    rows = [(0, 1), (0, 1), (0, 4), (1, 5)]
+    pending = spark.createDataFrame(rows, "depth int, scheduled_round int")
+    out = {r["depth"]: r for r in frontier_age_profile(pending, 5).collect()}
+    assert out[0]["n_pending"] == 3 and out[0]["oldest_age"] == 4
+    assert abs(out[0]["mean_age"] - 3.0) < 1e-9
+    assert out[0]["n_starving"] == 2
+    assert out[1]["oldest_age"] == 0 and out[1]["n_starving"] == 0
+
+
+def test_url_templates_collapse_and_rank(spark):
+    """/cal/2024/5 and /cal/2024/11 collapse to one template with n=2,
+    outranking the singleton /page/7; rank ties break on template."""
+    from wikifrontier.filters import url_templates
+
+    rows = [
+        ("https://a.com/cal/2024/5",),
+        ("https://a.com/cal/2024/11",),
+        ("https://a.com/page/7",),
+        ("https://b.com/x/1",),
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    out = {(r["host"], r["rank"]): r for r in url_templates(df, top_k=2).collect()}
+    assert out[("a.com", 1)]["template"] == "/cal/n/n"
+    assert out[("a.com", 1)]["n_urls"] == 2
+    assert out[("a.com", 2)]["template"] == "/page/n"
+    assert out[("b.com", 1)]["template"] == "/x/n"
+
+
+def test_robots_crawl_delays_parse(spark):
+    """Star group only (the bot-x 99 is ignored), non-numeric dropped,
+    min of multiple lines, comment stripped from the value."""
+    from wikifrontier.filters import robots_crawl_delays
+
+    rows = [
+        ("a", "User-agent: bot-x\nCrawl-delay: 99\nUser-agent: *\nCrawl-delay: 4 # slow\n"),
+        ("b", "User-agent: *\nCrawl-delay: 7\nCrawl-delay: 2\n"),
+        ("c", "User-agent: *\nCrawl-delay: oops\n"),
+        ("d", "User-agent: *\nDisallow: /x\n"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    out = {r["host"]: r["crawl_delay"] for r in robots_crawl_delays(df).collect()}
+    assert out == {"a": 4.0, "b": 2.0}

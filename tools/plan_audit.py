@@ -876,6 +876,52 @@ def main() -> int:
         summary_of(q93_plan_df),
     ))
 
+    # 48. frontier queue aging (q94)
+    q94_plan_df = queries.q94_frontier_aging(spark, sf_dir)
+    q94_plan = plan_of(q94_plan_df)
+    assert "CartesianProduct" not in q94_plan, "q94 grew a cartesian"
+    assert q94_plan.count("hashpartitioning") <= 1, (
+        "q94 must be one counters-only depth fold"
+    )
+    sections.append((
+        "Frontier queue aging (q94)",
+        "Ages are integer round arithmetic computed map-side; the only "
+        "exchange is the depth-keyed counter fold (machine-asserted ≤1 "
+        "hashpartitioning) — url strings never shuffle, output is "
+        "O(max_depth) rows. The starving-tail counter is a conditional "
+        "sum inside the same fold.",
+        summary_of(q94_plan_df),
+    ))
+
+    # 49. URL template mining (q95)
+    q95_plan_df = queries.q95_url_templates(spark, sf_dir)
+    q95_plan = plan_of(q95_plan_df)
+    assert "CartesianProduct" not in q95_plan, "q95 grew a cartesian"
+    sections.append((
+        "URL template mining (q95)",
+        "Digit-collapse templating is a map-side regexp; the count fold "
+        "shuffles (host, template) counters only, and the top-k is a "
+        "row_number window PARTITIONED BY HOST — parallelism equals the "
+        "host count, never a global sort. The trap-diagnosis companion "
+        "to q56.",
+        summary_of(q95_plan_df),
+    ))
+
+    # 50. robots crawl delays (q96)
+    q96_plan_df = queries.q96_crawl_delays(spark, sf_dir)
+    q96_plan = plan_of(q96_plan_df)
+    assert "CartesianProduct" not in q96_plan, "q96 grew a cartesian"
+    assert "BatchEvalPython" not in q96_plan and "ArrowEvalPython" not in q96_plan
+    sections.append((
+        "Robots crawl-delay extraction (q96)",
+        "Same codegen'd star-group parse as q93 (no Python eval — "
+        "machine-asserted), try_cast gating garbage values to NULL "
+        "instead of failing under ANSI mode, one counters-only host "
+        "fold with the conservative min. Feeds the per-host politeness "
+        "clock beside the allow/deny rules.",
+        summary_of(q96_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

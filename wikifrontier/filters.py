@@ -353,3 +353,72 @@ def robots_gate_distributed(
             F.coalesce(F.col("rule.is_allow"), F.lit(True)).alias("allowed"),
         )
     )
+
+
+def url_templates(
+    df: "DataFrame",
+    url_col: str = "url",
+    top_k: int = 5,
+) -> "DataFrame":
+    """Top-k URL path templates per host: digit runs collapse to 'N'
+    (``/wiki/Doc_123?y=2024`` → ``/wiki/doc_n?y=n`` — lowercased, the
+    same canonical casing as the SURT key) and the host's most frequent
+    templates surface with counts — the diagnosis view behind
+    ``trap_signals``' verdicts (WHICH generated URL family is amplifying)
+    and the shape of Common Crawl's published URL-pattern reports.
+
+    Scale shape: template derivation is map-side string ops; the count
+    fold shuffles (host, template) counters only; the top-k is a
+    row_number window PARTITIONED BY HOST (parallelism = host count, the
+    natural key of the report), never a global sort. Ties break on the
+    template string for determinism.
+    """
+    _, host, path = split_url(F.col(url_col))
+    tpl = F.lower(F.regexp_replace(path, "[0-9]+", "N"))
+    counts = (
+        df.select(host.alias("host"), tpl.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count("*").alias("n_urls"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_urls").desc(), F.col("template")
+    )
+    return (
+        counts.select(
+            "*", F.row_number().over(w).cast("int").alias("rank")
+        ).where(F.col("rank") <= top_k)
+    )
+
+
+def robots_crawl_delays(
+    robots: "DataFrame",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> "DataFrame":
+    """Per-host Crawl-delay from the User-agent:* group →
+    ``(host, crawl_delay:double)``; hosts whose robots carry no (numeric)
+    delay are absent — the consumer coalesces to its politeness default.
+    Multiple delay lines fold to the MINIMUM (deterministic; also the
+    conservative-crawler reading). Same star-group extraction and
+    comment stripping as ``robots_rules_table``; same scale shape (pure
+    string ops, one counters-only host fold).
+    """
+    star = F.regexp_extract(F.col(txt_col), _STAR_GROUP, 1)
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(star, "\n")).alias("raw"),
+    )
+    nc = F.trim(F.substring_index(F.col("raw"), "#", 1))
+    key = F.lower(F.trim(F.substring_index(nc, ":", 1)))
+    value = F.trim(F.substr(nc, F.instr(nc, ":") + 1))
+    return (
+        # try_cast: non-numeric delay values become NULL (dropped), they
+        # must not fail the job under ANSI mode — robots in the wild
+        # carry garbage
+        lines.select("host", key.alias("key"), value.try_cast("double").alias("delay"))
+        .where((F.col("key") == "crawl-delay") & F.col("delay").isNotNull())
+        .groupBy("host")
+        .agg(F.min("delay").alias("crawl_delay"))
+    )

@@ -1228,3 +1228,42 @@ def freshness_profile(
             6,
         ).alias("stale_frac"),
     )
+
+
+def frontier_age_profile(
+    pending: DataFrame,
+    now_round: int,
+    starve_after: int = 3,
+    depth_col: str = "depth",
+    round_col: str = "scheduled_round",
+) -> DataFrame:
+    """Queue-aging report over the pending frontier: per depth, how many
+    urls wait, how long the oldest has waited (in rounds), the exact mean
+    wait, and how many are STARVING (waited >= starve_after rounds).
+    freshness_profile reports staleness of the STORED corpus; this is the
+    twin for the un-crawled side — under a politeness-capped pop, deep or
+    unlucky hosts can sit in `pending` for many rounds, and a scheduler
+    that never looks loses them silently (the reference has no such
+    view; its queue depth is a single RabbitMQ gauge).
+
+    Exactness: ages are integer round counts and the mean is one rounded
+    division over exact integer sums — bit-replayable.
+
+    Scale shape: ONE counters-only fold on the (tiny) depth key; url
+    strings never shuffle. O(max_depth) output rows.
+    """
+    age = F.lit(int(now_round)) - F.col(round_col)
+    return (
+        pending.select(F.col(depth_col).alias("depth"), age.alias("age"))
+        .groupBy("depth")
+        .agg(
+            F.count("*").alias("n_pending"),
+            F.max("age").cast("int").alias("oldest_age"),
+            F.round(
+                F.sum("age").cast("double") / F.count("*"), 6
+            ).alias("mean_age"),
+            F.sum(
+                F.when(F.col("age") >= starve_after, 1).otherwise(0)
+            ).alias("n_starving"),
+        )
+    )

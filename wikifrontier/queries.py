@@ -1947,6 +1947,71 @@ def q93_robots_distributed(spark, sf_dir):
     return filters.robots_gate_distributed(cands, rules)
 
 
+def q94_frontier_aging(spark, sf_dir):
+    """Queue-aging report (frontier.frontier_age_profile) over the
+    event-derived pending frontier at now_round=5: per depth, counts,
+    oldest/mean wait in rounds, and the starving tail (waited >= 3
+    rounds) — the un-crawled twin of q81's stored-corpus freshness.
+    Oracle: same integer age arithmetic + rounded mean."""
+    events = load(spark, sf_dir, "events")
+    pending = event_frontier(events)
+    return frontier.frontier_age_profile(pending, now_round=5)
+
+
+def q95_url_templates(spark, sf_dir):
+    """Top-5 URL path templates per host (filters.url_templates): digit
+    runs collapse to 'N' so generated families (calendars, pagination,
+    session ids) surface as one row with a count — the diagnosis behind
+    q56's trap verdicts. Fixture spreads q42's skewed urls over template
+    families. Oracle: same regexp_replace + per-host row_number."""
+    events = load(spark, sf_dir, "events")
+    e = F.col("event_id")
+    path = (
+        F.when(e % 3 == 0, F.concat(F.lit("/cal/2024/"), e % 12, F.lit("/"), e))
+        .when(e % 3 == 1, F.concat(F.lit("/page/"), e))
+        .otherwise(F.concat(F.lit("/article/item-"), e % 50))
+    )
+    urls = events.select(
+        F.concat(
+            F.lit("https://h"), (F.col("user_id") % 10), F.lit(".com"), path
+        ).alias("url")
+    )
+    return filters.url_templates(urls, top_k=5)
+
+
+def q96_crawl_delays(spark, sf_dir):
+    """Per-host Crawl-delay extraction (filters.robots_crawl_delays) from
+    the q93 robots fixture plus a host with a non-numeric delay (dropped)
+    and one with two delay lines (min wins) — the politeness feed beside
+    the allow/deny rules. Oracle: same star-group parse + min fold."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    hn = (d % 10).cast("int")
+    robots = (
+        docs.select(
+            F.concat(F.lit("h"), hn.cast("string")).alias("host"), hn.alias("hn")
+        )
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("User-agent: bot-x\nCrawl-delay: 99\n"),
+                F.lit("User-agent: *\nDisallow: /private\n"),
+                F.when(F.col("hn") == 0, F.lit("Crawl-delay: oops\n"))
+                .when(F.col("hn") == 1, F.lit("Crawl-delay: 7\nCrawl-delay: 2\n"))
+                .otherwise(
+                    F.concat(
+                        F.lit("Crawl-delay: "),
+                        F.col("hn").cast("string"),
+                        F.lit(".5\n"),
+                    )
+                ),
+            ).alias("robots_txt"),
+        )
+    )
+    return filters.robots_crawl_delays(robots)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
