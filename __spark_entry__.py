@@ -2532,6 +2532,79 @@ SELECT host, min(delay) AS crawl_delay
 FROM parsed WHERE key = 'crawl-delay' AND delay IS NOT NULL
 GROUP BY 1
 """,
+        # q97: crawl velocity — same derived series + closed-form
+        # least-squares on exact integer sums.
+        "q97_crawl_velocity": """
+WITH metrics AS (
+  SELECT x, count(*) + x * 7 AS y
+  FROM (SELECT CAST(event_id % 10 AS BIGINT) AS x FROM events)
+  GROUP BY x
+),
+sums AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, max(x) AS xmax
+  FROM metrics
+)
+SELECT n AS n_rounds,
+  CASE WHEN n * sxx - sx * sx <> 0 THEN
+    round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 6) END AS slope,
+  CASE WHEN n * sxx - sx * sx <> 0 THEN
+    round((sy * sxx - sx * sxy)::DOUBLE / (n * sxx - sx * sx), 6)
+  END AS intercept,
+  round(
+    (CASE WHEN n * sxx - sx * sx <> 0 THEN
+       round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx), 6) END)
+    * (xmax + 1)
+    + (CASE WHEN n * sxx - sx * sx <> 0 THEN
+         round((sy * sxx - sx * sxy)::DOUBLE / (n * sxx - sx * sx), 6) END),
+    6) AS next_round_forecast
+FROM sums
+""",
+        # q98: adaptive recrawl — q82's capture chain + rounded change
+        # rate + the 2d/4d/8d ladder.
+        "q98_adaptive_recrawl": """
+WITH caps AS (
+  SELECT doc_id, text, j,
+    CASE WHEN j = 0 THEN 0
+         WHEN j = 1 THEN doc_id % 2
+         ELSE (doc_id % 2) + (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
+    END AS v
+  FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS JJ(j)
+),
+rows_ AS (
+  SELECT
+    'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+    CAST(doc_id * 3 + j AS BIGINT) AS warc_ts,
+    sha256(text || '#v' || v) AS digest
+  FROM caps
+),
+idx AS (
+  SELECT url,
+    row_number() OVER w AS capture_no,
+    coalesce(lag(digest) OVER w = digest, false) AS is_revisit
+  FROM rows_
+  WINDOW w AS (PARTITION BY url ORDER BY warc_ts, digest)
+),
+per_url AS (
+  SELECT url, count(*) AS n_captures,
+    CAST(sum(CASE WHEN capture_no > 1 AND NOT is_revisit THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_changed
+  FROM idx GROUP BY 1
+)
+SELECT url, n_captures, n_changed,
+  CASE WHEN n_captures > 1
+       THEN round(n_changed::DOUBLE / (n_captures - 1), 6)
+       ELSE 0.0 END AS change_rate,
+  CAST(CASE
+    WHEN (CASE WHEN n_captures > 1
+               THEN round(n_changed::DOUBLE / (n_captures - 1), 6)
+               ELSE 0.0 END) >= 0.5 THEN 172800
+    WHEN (CASE WHEN n_captures > 1
+               THEN round(n_changed::DOUBLE / (n_captures - 1), 6)
+               ELSE 0.0 END) > 0 THEN 345600
+    ELSE 691200 END AS BIGINT) AS recrawl_secs
+FROM per_url
+""",
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark
         # decontamination → per-lang mixture sampling, each fragment

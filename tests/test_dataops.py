@@ -1271,3 +1271,47 @@ def test_robots_crawl_delays_parse(spark):
     df = spark.createDataFrame(rows, "host string, robots_txt string")
     out = {r["host"]: r["crawl_delay"] for r in robots_crawl_delays(df).collect()}
     assert out == {"a": 4.0, "b": 2.0}
+
+
+def test_crawl_velocity_hand_math(spark):
+    """y = 10 + 5x over x=0..3 fits exactly: slope 5, intercept 10,
+    forecast at x=4 is 30. A single-round series yields NULL slope
+    (degenerate variance), not a division error."""
+    from wikifrontier.frontier import crawl_velocity
+
+    rows = [(x, 10 + 5 * x) for x in range(4)]
+    m = spark.createDataFrame(rows, "round long, pages_parsed long")
+    r = crawl_velocity(m).collect()[0]
+    assert r["n_rounds"] == 4
+    assert abs(r["slope"] - 5.0) < 1e-9 and abs(r["intercept"] - 10.0) < 1e-9
+    assert abs(r["next_round_forecast"] - 30.0) < 1e-9
+    one = spark.createDataFrame([(0, 7)], "round long, pages_parsed long")
+    r1 = crawl_velocity(one).collect()[0]
+    assert r1["slope"] is None and r1["next_round_forecast"] is None
+
+
+def test_adaptive_recrawl_ladder(spark):
+    """Every recapture changed → 2d rung (rate 1.0; a ½ rate also lands
+    here — the rung is ≥½); 1 change in 3 recaptures (rate ⅓) → 4d;
+    never changed → 8d; a single capture has no evidence and keeps the
+    8d base."""
+    from wikifrontier.cdx import adaptive_recrawl
+
+    rows = []
+    rows += [("u_fast", t, f"d{t}", 1) for t in range(3)]       # changes twice
+    rows += [("u_half", 0, "s", 1), ("u_half", 1, "s", 1), ("u_half", 2, "t", 1)]
+    rows += [("u_med", 0, "a", 1), ("u_med", 1, "a", 1),
+             ("u_med", 2, "b", 1), ("u_med", 3, "b", 1)]        # 1 of 3
+    rows += [("u_slow", t, "same", 1) for t in range(3)]        # never changes
+    rows += [("u_once", 0, "x", 1)]
+    caps = spark.createDataFrame(
+        rows, "url string, warc_ts long, digest string, length long"
+    )
+    out = {r["url"]: r for r in adaptive_recrawl(caps).collect()}
+    assert out["u_fast"]["recrawl_secs"] == 172800
+    assert out["u_half"]["recrawl_secs"] == 172800  # 0.5 is the fast rung
+    assert out["u_med"]["recrawl_secs"] == 345600
+    assert abs(out["u_med"]["change_rate"] - 0.333333) < 1e-9
+    assert out["u_slow"]["recrawl_secs"] == 691200
+    assert out["u_once"]["recrawl_secs"] == 691200
+    assert out["u_once"]["change_rate"] == 0.0

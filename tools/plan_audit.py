@@ -922,6 +922,37 @@ def main() -> int:
         summary_of(q96_plan_df),
     ))
 
+    # 51. crawl velocity (q97)
+    q97_plan_df = queries.q97_crawl_velocity(spark, sf_dir)
+    q97_plan = plan_of(q97_plan_df)
+    assert "CartesianProduct" not in q97_plan, "q97 grew a cartesian"
+    sections.append((
+        "Crawl-velocity forecast (q97)",
+        "Closed-form least squares as ONE single-row aggregate: Σx, Σy, "
+        "Σxy, Σx² fold as exact integer sums over the O(rounds) metrics "
+        "relation; the slope/intercept divisions happen once on the "
+        "folded scalars with the zero-variance degenerate case NULLed, "
+        "not crashed. Nothing here scales with the corpus at all.",
+        summary_of(q97_plan_df),
+    ))
+
+    # 52. adaptive recrawl (q98)
+    q98_plan_df = queries.q98_adaptive_recrawl(spark, sf_dir)
+    q98_plan = plan_of(q98_plan_df)
+    assert "CartesianProduct" not in q98_plan, "q98 grew a cartesian"
+    assert q98_plan.count("hashpartitioning(url") <= 2, (
+        "q98 is the cdx window + one url fold"
+    )
+    sections.append((
+        "Adaptive recrawl intervals (q98)",
+        "Rides cdx_index's url-keyed window for the change detection, "
+        "then ONE counters-only url fold and a rounded-rate CASE ladder "
+        "— the whole upgrade from the reference's fixed 8-day recrawl "
+        "to change-frequency-aware scheduling costs the capture index "
+        "plus one fold. Page bytes never move.",
+        summary_of(q98_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -163,3 +163,52 @@ def warc_layout(captures: DataFrame) -> DataFrame:
             .alias("offset"),
         )
     )
+
+
+# adaptive recrawl ladder: the reference recrawls EVERYTHING at a fixed 8
+# days (crawler_prod.yml recrawl_interval: 691200); capture history lets
+# the scheduler spend that budget where pages actually change
+RECRAWL_BASE_SEC = 691_200  # 8 days — the reference's fixed interval
+RECRAWL_FAST_SEC = RECRAWL_BASE_SEC // 4  # 2 days
+RECRAWL_MED_SEC = RECRAWL_BASE_SEC // 2  # 4 days
+
+
+def adaptive_recrawl(captures: DataFrame) -> DataFrame:
+    """Per-url change-rate estimate and recommended recrawl interval from
+    capture history → ``(url, n_captures, n_changed, change_rate,
+    recrawl_secs)``. A recapture COUNTS AS CHANGED when its digest
+    differs from the previous capture (the inverse of ``cdx_index``'s
+    revisit flag); urls seen once have no evidence and keep the base
+    interval. The ladder: ≥½ of recaptures changed → base/4 (2 d), any
+    change → base/2 (4 d), never changed → base (8 d) — the
+    Cho/Garcia-Molina adaptive-frequency result reduced to a bit-stable
+    three-rung CASE over ROUNDED rates.
+
+    Scale shape: rides ``cdx_index``'s single url-keyed window (the lag
+    comparison), then ONE counters-only url fold; page bytes never move.
+    """
+    idx = cdx_index(captures)
+    per_url = idx.groupBy("url").agg(
+        F.count("*").alias("n_captures"),
+        F.sum(
+            F.when(
+                (F.col("capture_no") > 1) & ~F.col("is_revisit"), 1
+            ).otherwise(0)
+        ).alias("n_changed"),
+    )
+    recaps = F.col("n_captures") - 1
+    rate = F.when(
+        recaps > 0,
+        F.round(F.col("n_changed").cast("double") / recaps, 6),
+    ).otherwise(F.lit(0.0))
+    return per_url.select(
+        "url",
+        "n_captures",
+        "n_changed",
+        rate.alias("change_rate"),
+        F.when(rate >= 0.5, F.lit(RECRAWL_FAST_SEC))
+        .when(rate > 0, F.lit(RECRAWL_MED_SEC))
+        .otherwise(F.lit(RECRAWL_BASE_SEC))
+        .cast("bigint")
+        .alias("recrawl_secs"),
+    )

@@ -1267,3 +1267,66 @@ def frontier_age_profile(
             ).alias("n_starving"),
         )
     )
+
+
+def crawl_velocity(
+    metrics: DataFrame,
+    x_col: str = "round",
+    y_col: str = "pages_parsed",
+) -> DataFrame:
+    """Closed-form least-squares fit of per-round throughput → ONE row
+    ``(n_rounds, slope, intercept, next_round_forecast)`` — the crawl
+    operator's "are we speeding up or saturating, and what does the next
+    round cost" answer, read next to the q80 drain plan. The reference
+    graphs this by eye in Grafana (monitoring/dashboards); here it is a
+    query with an exact algebraic answer.
+
+    Exactness: Σx, Σy, Σxy, Σx² fold as exact integer sums (rounds and
+    page counts are longs); the two divisions happen once, on the folded
+    scalars, rounded to 6 places — bit-replayable at any parallelism.
+    Degenerate single-round input (zero variance in x) yields NULL
+    slope/forecast rather than a division error.
+
+    Scale shape: ONE single-row aggregate over the metrics relation
+    (O(rounds) input — tiny by construction); everything else is scalar
+    arithmetic on that row.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    sums = metrics.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.max(x).alias("xmax"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        denom != 0,
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / denom.cast("double"),
+            6,
+        ),
+    )
+    intercept = F.when(
+        denom != 0,
+        F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(
+                "double"
+            )
+            / denom.cast("double"),
+            6,
+        ),
+    )
+    return sums.select(
+        F.col("n").alias("n_rounds"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        F.round(slope * (F.col("xmax") + 1) + intercept, 6).alias(
+            "next_round_forecast"
+        ),
+    )

@@ -2012,6 +2012,39 @@ def q96_crawl_delays(spark, sf_dir):
     return filters.robots_crawl_delays(robots)
 
 
+def q97_crawl_velocity(spark, sf_dir):
+    """Crawl-velocity forecast (frontier.crawl_velocity): exact
+    least-squares throughput trend over a derived 10-round metrics
+    series (round = event_id%10, pages = per-round event count with a
+    deterministic ramp), one row with slope/intercept and the
+    next-round forecast. All sums fold as exact integers; the two
+    divisions round once on the scalars. Oracle: identical closed-form
+    arithmetic."""
+    events = load(spark, sf_dir, "events")
+    metrics = (
+        events.groupBy((F.col("event_id") % 10).cast("long").alias("round"))
+        .agg(F.count("*").alias("raw"))
+        .select(
+            "round",
+            (F.col("raw") + F.col("round") * 7).alias("pages_parsed"),
+        )
+    )
+    return frontier.crawl_velocity(metrics)
+
+
+def q98_adaptive_recrawl(spark, sf_dir):
+    """Adaptive recrawl intervals (cdx.adaptive_recrawl) from the q82
+    capture history: per url, the fraction of recaptures whose content
+    changed, mapped to the 2d/4d/8d ladder (the reference recrawls
+    EVERYTHING at fixed 8 days — this spends the same budget where
+    pages change). Oracle: q82's lag window + the same rounded-rate
+    CASE."""
+    from wikifrontier import cdx
+
+    docs = load(spark, sf_dir, "documents")
+    return cdx.adaptive_recrawl(_cdx_captures(docs))
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
