@@ -519,6 +519,13 @@ FROM final f LEFT JOIN ind ON ind.dst = f.doc_id
 
 
 def oracle_sql() -> dict[str, str]:
+    # q99's power-of-two bucket ladder — generated so it is structurally
+    # identical to linkgraph.degree_distribution's CASE
+    deg_case = (
+        "CASE "
+        + " ".join(f"WHEN deg < {1 << (b + 1)} THEN {b}" for b in range(20))
+        + " ELSE 20 END"
+    )
     qual = """
 f AS (
   SELECT doc_id,
@@ -2604,6 +2611,93 @@ SELECT url, n_captures, n_changed,
                ELSE 0.0 END) > 0 THEN 345600
     ELSE 691200 END AS BIGINT) AS recrawl_secs
 FROM per_url
+""",
+        # q99: degree distribution — same integer CASE ladder (generated
+        # above so the rungs match the Spark expression exactly).
+        "q99_degree_distribution": f"""
+WITH edges AS (
+  SELECT doc_id AS src,
+    unnest([doc_id % 97, (doc_id * 31 + 7) % 97, (doc_id * 17 + 3) % 97])
+      AS dst
+  FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM edges),
+deg AS (SELECT dst, count(*) AS deg FROM e GROUP BY 1),
+b AS (SELECT CAST({deg_case} AS INT) AS bucket, deg FROM deg)
+SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo,
+  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+FROM b GROUP BY 1
+""",
+        # q100: incremental-crawl planner — q85's diff + q98's intervals +
+        # the per-shard capped window.
+        "q100_incremental_plan": """
+WITH old AS (
+  SELECT 'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+         sha256(text) AS old_digest
+  FROM documents WHERE doc_id % 10 <> 9
+),
+new_ AS (
+  SELECT 'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+         sha256(text || (CASE WHEN doc_id % 3 = 0 THEN '!' ELSE '' END))
+           AS new_digest
+  FROM documents WHERE doc_id % 10 <> 0
+),
+diff AS (
+  SELECT coalesce(o.url, n.url) AS url,
+    CASE WHEN o.url IS NULL THEN 'added'
+         WHEN n.url IS NULL THEN 'removed'
+         WHEN o.old_digest = n.new_digest THEN 'unchanged'
+         ELSE 'changed' END AS change
+  FROM old o FULL OUTER JOIN new_ n ON o.url = n.url
+),
+work AS (SELECT url, change FROM diff WHERE change IN ('added', 'changed')),
+caps AS (
+  SELECT doc_id, text, j,
+    CASE WHEN j = 0 THEN 0
+         WHEN j = 1 THEN doc_id % 2
+         ELSE (doc_id % 2) + (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END)
+    END AS v
+  FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS JJ(j)
+),
+rows_ AS (
+  SELECT
+    'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+    CAST(doc_id * 3 + j AS BIGINT) AS warc_ts,
+    sha256(text || '#v' || v) AS digest
+  FROM caps
+),
+idx AS (
+  SELECT url,
+    row_number() OVER w AS capture_no,
+    coalesce(lag(digest) OVER w = digest, false) AS is_revisit
+  FROM rows_
+  WINDOW w AS (PARTITION BY url ORDER BY warc_ts, digest)
+),
+intervals AS (
+  SELECT url,
+    CAST(CASE
+      WHEN round(sum(CASE WHEN capture_no > 1 AND NOT is_revisit
+                          THEN 1 ELSE 0 END)::DOUBLE
+                 / (count(*) - 1), 6) >= 0.5 THEN 172800
+      WHEN round(sum(CASE WHEN capture_no > 1 AND NOT is_revisit
+                          THEN 1 ELSE 0 END)::DOUBLE
+                 / (count(*) - 1), 6) > 0 THEN 345600
+      ELSE 691200 END AS BIGINT) AS recrawl_secs
+  FROM idx GROUP BY 1
+),
+planned AS (
+  SELECT w.url, w.change,
+    coalesce(CASE WHEN w.change = 'added' THEN 172800 END,
+             i.recrawl_secs) AS recrawl_secs,
+    substr(md5(w.url), 1, 1) AS host_shard,
+    CASE WHEN w.change = 'added' THEN 0 ELSE 1 END AS priority
+  FROM work w LEFT JOIN intervals i USING (url)
+)
+SELECT url, change, recrawl_secs, host_shard, priority,
+  CAST(row_number() OVER (PARTITION BY host_shard
+                          ORDER BY priority, url) AS INT) AS rank
+FROM planned
+QUALIFY rank <= 5
 """,
         # q58: the composed "ship the dataset" pipeline — quality gate →
         # LSH pair gen → hash-min closure survivors → benchmark

@@ -1315,3 +1315,20 @@ def test_adaptive_recrawl_ladder(spark):
     assert out["u_slow"]["recrawl_secs"] == 691200
     assert out["u_once"]["recrawl_secs"] == 691200
     assert out["u_once"]["change_rate"] == 0.0
+
+
+def test_degree_distribution_buckets(spark):
+    """Hand graph: node t1 has in-degree 1 (bucket 0, lo 1), t2 degree 3
+    (bucket 1, lo 2), t3 degree 5 (bucket 2, lo 4); reversed-duplicate
+    edges collapse before counting."""
+    from wikifrontier.linkgraph import degree_distribution
+
+    rows = []
+    rows += [("s0", "t1")] * 2                      # dup edge → collapses
+    rows += [(f"s{i}", "t2") for i in range(3)]
+    rows += [(f"s{i}", "t3") for i in range(5)]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    out = {r["bucket"]: r for r in degree_distribution(df).collect()}
+    assert out[0]["n_nodes"] == 1 and out[0]["lo"] == 1
+    assert out[1]["min_deg"] == 3 and out[1]["max_deg"] == 3 and out[1]["lo"] == 2
+    assert out[2]["min_deg"] == 5 and out[2]["lo"] == 4

@@ -953,6 +953,34 @@ def main() -> int:
         summary_of(q98_plan_df),
     ))
 
+    # 53. degree distribution (q99)
+    q99_plan_df = queries.q99_degree_distribution(spark, sf_dir)
+    q99_plan = plan_of(q99_plan_df)
+    assert "CartesianProduct" not in q99_plan, "q99 grew a cartesian"
+    sections.append((
+        "In-degree distribution (q99)",
+        "Two counters-only folds (edge→degree, degree→bucket) after the "
+        "distinct; the power-of-two bucketing is an exact integer CASE "
+        "ladder, not floor(log2) on doubles — engines disagree in the "
+        "last ulp at exact powers of two. O(buckets) output.",
+        summary_of(q99_plan_df),
+    ))
+
+    # 54. incremental-crawl planner (q100)
+    q100_plan_df = queries.q100_incremental_plan(spark, sf_dir)
+    q100_plan = plan_of(q100_plan_df)
+    assert "CartesianProduct" not in q100_plan, "q100 grew a cartesian"
+    sections.append((
+        "Incremental-crawl planner (q100)",
+        "The archive-driven scheduling composition: the snapshot diff's "
+        "full-outer url join feeds the work set, the capture-history "
+        "intervals join on (url-keyed, counters only), and the politeness "
+        "cap is a row_number window PARTITIONED BY the host shard — "
+        "parallelism scales with host count. Page content appears "
+        "nowhere; the whole plan moves urls, digests, and counters.",
+        summary_of(q100_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -485,3 +485,45 @@ def doubling_rounds(max_hops: int) -> int:
     count: after k composition rounds each source has advanced
     min(2^k, chain length) hops. 16 hops → 4 rounds; 100 → 7."""
     return max(1, (max_hops - 1).bit_length())
+
+
+def degree_distribution(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """In-degree distribution histogram over a directed edge list →
+    ``(bucket, lo, n_nodes, min_deg, max_deg)`` with power-of-two buckets
+    (1, 2-3, 4-7, …, capped at 2^20+) — the first sanity plot on any
+    webgraph (heavy-tail shape, hub count) and the input to choosing the
+    q62 hub cap and skew-salting thresholds. Buckets are an exact
+    integer CASE ladder, NOT floor(log2(x)) on doubles — ln-ratio
+    arithmetic differs across engines in the last ulp at exact powers of
+    two, a bit-stability lesson this repo keeps relearning.
+
+    Scale shape: two counters-only folds (edge→degree on dst, degree→
+    bucket); O(buckets) output. Distinct edges are collapsed first
+    (multi-mentions must not multi-count, same rule as pagerank).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    deg = e.groupBy("dst").agg(F.count("*").alias("deg"))
+    # build the CASE ladder inside-out: deg < 2 → 0, < 4 → 1, … else 20
+    expr = F.lit(20)
+    for b in range(19, -1, -1):
+        expr = F.when(F.col("deg") < F.lit(1 << (b + 1)), F.lit(b)).otherwise(expr)
+    return (
+        deg.select(expr.alias("bucket"), "deg")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .select(
+            "bucket",
+            F.expr("CAST(shiftleft(1, bucket) AS BIGINT)").alias("lo"),
+            "n_nodes",
+            "min_deg",
+            "max_deg",
+        )
+    )

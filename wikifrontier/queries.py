@@ -2045,6 +2045,78 @@ def q98_adaptive_recrawl(spark, sf_dir):
     return cdx.adaptive_recrawl(_cdx_captures(docs))
 
 
+def q99_degree_distribution(spark, sf_dir):
+    """In-degree distribution (linkgraph.degree_distribution) over the
+    q62/q72 derived graph — power-of-two buckets via an exact integer
+    CASE ladder (floor(log2) on doubles differs across engines in the
+    last ulp at exact powers). The first sanity plot on any webgraph,
+    and the data behind the q62 hub cap and salting thresholds.
+    Oracle: same descending CASE + rollup."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    edges = docs.select(
+        d.alias("src"),
+        F.explode(
+            F.array(d % 97, (d * 31 + 7) % 97, (d * 17 + 3) % 97)
+        ).alias("dst"),
+    )
+    return linkgraph.degree_distribution(edges)
+
+
+def q100_incremental_plan(spark, sf_dir):
+    """The composed incremental-crawl planner: q85's snapshot diff
+    (changed ∪ added = the work set) joined with q98's adaptive recrawl
+    intervals (changed urls inherit their change-frequency rung; added
+    urls get the fast rung — never seen, highest value), then a per-host
+    politeness cap of 5 via (priority, url)-ordered row_number. The
+    next round's fetch batch, planned from archive state alone. Oracle:
+    the composed q85+q98 SQL + the same window."""
+    from pyspark.sql import Window
+
+    from wikifrontier import cdx
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://en.wikipedia.org/wiki/Doc_"), d)
+    old = docs.where(d % 10 != 9).select(
+        url.alias("url"), F.sha2(F.col("text"), 256).alias("digest")
+    )
+    new = docs.where(d % 10 != 0).select(
+        url.alias("url"),
+        F.sha2(
+            F.concat(
+                F.col("text"),
+                F.when(d % 3 == 0, F.lit("!")).otherwise(F.lit("")),
+            ),
+            256,
+        ).alias("digest"),
+    )
+    work = cdx.snapshot_diff(old, new).where(
+        F.col("change").isin("added", "changed")
+    )
+    intervals = cdx.adaptive_recrawl(_cdx_captures(docs)).select(
+        "url", "recrawl_secs"
+    )
+    planned = work.join(intervals, "url", "left").select(
+        "url",
+        "change",
+        F.coalesce(
+            F.when(F.col("change") == "added", F.lit(cdx.RECRAWL_FAST_SEC)),
+            F.col("recrawl_secs"),
+        ).alias("recrawl_secs"),
+        # host sharding key: the fixture is single-host, so shard by the
+        # engine-portable md5 digit (the q90 idiom) to exercise the cap
+        F.substring(F.md5(F.col("url")), 1, 1).alias("host_shard"),
+        F.when(F.col("change") == "added", F.lit(0)).otherwise(F.lit(1)).alias(
+            "priority"
+        ),
+    )
+    w = Window.partitionBy("host_shard").orderBy("priority", "url")
+    return planned.select(
+        "*", F.row_number().over(w).cast("int").alias("rank")
+    ).where(F.col("rank") <= 5)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
