@@ -35,7 +35,7 @@ def test_query_names_are_well_formed():
     """The driver sorts and reports by name — enforce the qNN_slug shape
     and unique numbering so the suite stays navigable."""
     names = sorted(entry.queries())
-    nums = [re.match(r"^q(\d{2})_[a-z0-9_]+$", n) for n in names]
+    nums = [re.match(r"^q(\d{2,3})_[a-z0-9_]+$", n) for n in names]
     assert all(nums), [n for n, m in zip(names, nums) if not m]
-    ids = [m.group(1) for m in nums]
+    ids = [int(m.group(1)) for m in nums]
     assert len(ids) == len(set(ids)), "duplicate query numbers"
