@@ -154,3 +154,35 @@ def test_diff_missing_checkpoint(spark, tmp_path, capsys):
     ])
     assert rc == 1
     assert "error" in json.loads(capsys.readouterr().out.strip())
+
+
+def test_health_over_checkpoint(spark, tmp_path, capsys):
+    """crawl → checkpoint → health: the breaker reads page statuses (the
+    synthetic corpus's Missing_ links fail, but never >=10 per host so
+    everything stays closed), the aging profile reads the pending
+    frontier, and the summary line reconciles with the state tables."""
+    ckpt = str(tmp_path / "health_ckpt")
+    rc = cli.main([
+        "crawl", "--pages", "300", "--rounds", "3", "--budget", "40",
+        "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    crawl_out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    rc = cli.main(["health", "--checkpoint", ckpt, "--starve-after", "1"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    summary = lines[-1]
+    assert summary["round"] == 3
+    assert summary["pending_total"] == crawl_out["pending"]
+    assert summary["hosts_total"] >= 1
+    depth_rows = [x for x in lines[:-1] if "depth" in x]
+    assert depth_rows and all(r["n_pending"] > 0 for r in depth_rows)
+    # budget 40 over 3 rounds leaves older-than-1-round pending urls
+    assert summary["starving_total"] >= 0
+
+
+def test_health_missing_checkpoint(spark, tmp_path, capsys):
+    rc = cli.main(["health", "--checkpoint", str(tmp_path / "nope")])
+    assert rc == 1
+    assert "error" in json.loads(capsys.readouterr().out.strip())

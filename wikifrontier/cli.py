@@ -17,6 +17,8 @@ Subcommands:
             frontier (rounds-to-drain, critical host)
   diff      classify urls across two checkpoints' crawled page sets as
             added/removed/changed/unchanged by content hash
+  health    per-host circuit-breaker verdicts + pending-frontier aging
+            over a checkpoint (the between-rounds governance read)
 """
 
 from __future__ import annotations
@@ -105,6 +107,18 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--sample", type=int, default=0,
                    help="also print up to N changed/added urls")
     d.add_argument("--master", type=str, default=None)
+
+    h = sub.add_parser(
+        "health",
+        help="crawl-health view over a checkpoint: per-host fetch "
+             "circuit-breaker verdicts (from crawled page statuses) and "
+             "the pending frontier's per-depth aging/starvation profile",
+    )
+    h.add_argument("--checkpoint", type=str, required=True)
+    h.add_argument("--starve-after", type=int, default=3,
+                   help="rounds waited before a pending url counts as "
+                        "starving")
+    h.add_argument("--master", type=str, default=None)
 
     r = sub.add_parser("report", help="summarize a checkpoint")
     r.add_argument("--checkpoint", type=str, required=True)
@@ -359,6 +373,56 @@ def cmd_diff(args) -> int:
     return 0
 
 
+def cmd_health(args) -> int:
+    """Crawl-health view: the q89 circuit breaker over the checkpoint's
+    crawled page statuses (host from url, ok = SUCCESS) and the q94
+    aging profile over its pending frontier — the two between-rounds
+    governance reads, as one command. Prints one JSON line per
+    non-closed host, one per depth, then a summary line."""
+    from pyspark.sql import functions as F
+
+    from wikifrontier import frontier as frontier_mod
+    from wikifrontier import politeness
+    from wikifrontier import state as state_io
+    from wikifrontier.filters import split_url
+    from wikifrontier.session import get_spark
+
+    spark = get_spark(master=args.master)
+    st = state_io.load_checkpoint(spark, args.checkpoint)
+    if st is None:
+        print(json.dumps({"error": "no complete checkpoint found"}))
+        return 1
+    _, host, _ = split_url(F.col("url"))
+    attempts = st.pages.where(F.col("last_crawl_status").isNotNull()).select(
+        host.alias("host"),
+        (F.col("last_crawl_status") == "SUCCESS").alias("ok"),
+    )
+    breaker = politeness.host_circuit_breaker(attempts)
+    tripped = breaker.where(F.col("state") != "closed").orderBy("host").collect()
+    for r in tripped:
+        print(json.dumps({
+            "host": r["host"], "state": r["state"],
+            "n_attempts": r["n_attempts"], "failure_rate": r["failure_rate"],
+        }))
+    ages = frontier_mod.frontier_age_profile(
+        st.pending, st.round, starve_after=args.starve_after
+    )
+    age_rows = ages.orderBy("depth").collect()
+    for r in age_rows:
+        print(json.dumps({
+            "depth": r["depth"], "n_pending": r["n_pending"],
+            "oldest_age": r["oldest_age"], "n_starving": r["n_starving"],
+        }))
+    print(json.dumps({
+        "round": st.round,
+        "hosts_total": breaker.count(),
+        "hosts_tripped": len(tripped),
+        "pending_total": int(sum(r["n_pending"] for r in age_rows)),
+        "starving_total": int(sum(r["n_starving"] for r in age_rows)),
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     return {
@@ -367,6 +431,7 @@ def main(argv: list[str] | None = None) -> int:
         "linkrank": cmd_linkrank,
         "plan": cmd_plan,
         "diff": cmd_diff,
+        "health": cmd_health,
     }[args.cmd](args)
 
 
