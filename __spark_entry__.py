@@ -2628,6 +2628,94 @@ SELECT bucket, CAST(1 << bucket AS BIGINT) AS lo,
   count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
 FROM b GROUP BY 1
 """,
+        # q101: Common-Crawl-style host graph — page edges (with a planted
+        # duplicate mention) collapsed to distinct, host-extracted with
+        # split_part (the substring_index twin), rolled up per host pair,
+        # reciprocity via self-join of the host-level rollup.
+        "q101_host_graph": """
+WITH pg AS (
+  SELECT
+    'https://m' || (doc_id % 5) || '.example.org/p/' || (doc_id % 200) AS src,
+    t AS dst
+  FROM documents, UNNEST([
+    'https://m' || ((doc_id * 31 + 7) % 5) || '.example.org/p/'
+        || ((doc_id * 31 + 7) % 200),
+    'https://m' || ((doc_id * 17 + 3) % 5) || '.example.org/p/'
+        || ((doc_id * 17 + 3) % 200),
+    'https://m' || (doc_id % 5) || '.example.org/p/' || ((doc_id + 1) % 200),
+    'https://m' || ((doc_id * 31 + 7) % 5) || '.example.org/p/'
+        || ((doc_id * 31 + 7) % 200)
+  ]) AS u(t)
+),
+e AS (
+  SELECT DISTINCT src, dst FROM pg
+),
+he AS (
+  SELECT split_part(split_part(src, '://', 2), '/', 1) AS src_host,
+         split_part(split_part(dst, '://', 2), '/', 1) AS dst_host,
+         src AS src_page
+  FROM e
+),
+hg AS (
+  SELECT src_host, dst_host,
+         count(*) AS n_edges,
+         count(DISTINCT src_page) AS n_src_pages
+  FROM he GROUP BY 1, 2
+)
+SELECT a.src_host, a.dst_host, a.n_edges, a.n_src_pages,
+       (a.src_host = a.dst_host) AS is_internal,
+       (b.src_host IS NOT NULL) AS reciprocal
+FROM hg a
+LEFT JOIN (SELECT DISTINCT src_host, dst_host FROM hg) b
+  ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+""",
+        # q102: soft-404 detection — planted error bodies (%13==0), a
+        # title-only decoy (%13==5), host-mean token calibration as an
+        # exact integer-sum mean, verdict = body phrase AND brevity.
+        "q102_soft404": f"""
+WITH pages AS (
+  SELECT
+    'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+    'h' || (doc_id % 7) || '.example.org' AS host,
+    CASE WHEN doc_id % 13 = 0
+         THEN 'Error 404 - page not found. The requested page does not exist.'
+         ELSE text END AS text,
+    CASE WHEN doc_id % 13 = 0 THEN '404 Not Found'
+         WHEN doc_id % 13 = 5 THEN 'Why ''page not found'' happens'
+         ELSE 'Doc ' || doc_id END AS title
+  FROM documents
+),
+sig AS (
+  SELECT url, host,
+    CAST(len({TOKS}) AS INT) AS n_tokens,
+    (lower(text) LIKE '%page not found%'
+     OR lower(text) LIKE '%404 not found%'
+     OR lower(text) LIKE '%error 404%'
+     OR lower(text) LIKE '%does not exist%'
+     OR lower(text) LIKE '%no longer available%'
+     OR lower(text) LIKE '%page cannot be found%') AS has_error_phrase,
+    (lower(title) LIKE '%page not found%'
+     OR lower(title) LIKE '%404 not found%'
+     OR lower(title) LIKE '%error 404%'
+     OR lower(title) LIKE '%does not exist%'
+     OR lower(title) LIKE '%no longer available%'
+     OR lower(title) LIKE '%page cannot be found%') AS title_hit
+  FROM pages
+),
+hm AS (
+  SELECT host,
+         CAST(sum(n_tokens) AS DOUBLE) / count(*) AS host_mean_tokens
+  FROM sig GROUP BY 1
+)
+SELECT s.url, s.host, s.n_tokens, s.has_error_phrase, s.title_hit,
+  (s.n_tokens < 20) AS is_short,
+  (CAST(s.n_tokens AS DOUBLE) < 0.25 * h.host_mean_tokens) AS short_vs_host,
+  (s.has_error_phrase
+   AND (s.n_tokens < 20
+        OR CAST(s.n_tokens AS DOUBLE) < 0.25 * h.host_mean_tokens))
+    AS is_soft404
+FROM sig s JOIN hm h USING (host)
+""",
         # q100: incremental-crawl planner — q85's diff + q98's intervals +
         # the per-shard capped window.
         "q100_incremental_plan": """

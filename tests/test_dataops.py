@@ -1332,3 +1332,61 @@ def test_degree_distribution_buckets(spark):
     assert out[0]["n_nodes"] == 1 and out[0]["lo"] == 1
     assert out[1]["min_deg"] == 3 and out[1]["max_deg"] == 3 and out[1]["lo"] == 2
     assert out[2]["min_deg"] == 5 and out[2]["lo"] == 4
+
+
+def test_host_graph_rollup(spark):
+    """Hand graph over 3 hosts: duplicate page-edge mentions collapse,
+    n_src_pages counts distinct source pages per host pair, internal
+    edges flag, and reciprocity holds exactly for the a<->b pair."""
+    from wikifrontier.linkgraph import host_graph
+
+    rows = [
+        ("https://a.org/p/1", "https://b.org/p/1"),
+        ("https://a.org/p/1", "https://b.org/p/1"),  # dup mention
+        ("https://a.org/p/2", "https://b.org/p/9"),
+        ("https://b.org/p/1", "https://a.org/p/1"),  # reciprocal
+        ("https://a.org/p/1", "https://a.org/p/2"),  # internal
+        ("https://a.org/p/3", "https://c.org/p/1"),  # one-way
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    out = {(r["src_host"], r["dst_host"]): r for r in host_graph(df).collect()}
+    ab = out[("a.org", "b.org")]
+    assert ab["n_edges"] == 2 and ab["n_src_pages"] == 2
+    assert ab["reciprocal"] is True and ab["is_internal"] is False
+    assert out[("b.org", "a.org")]["reciprocal"] is True
+    aa = out[("a.org", "a.org")]
+    assert aa["is_internal"] is True and aa["reciprocal"] is True
+    ac = out[("a.org", "c.org")]
+    assert ac["reciprocal"] is False and ac["n_edges"] == 1
+
+
+def test_soft404_signals_verdicts(spark):
+    """Hand corpus on one host: the planted error page (phrase + short)
+    is condemned; a title-only decoy over a long organic body is not; a
+    long page that merely QUOTES an error phrase survives via the length
+    calibration; organic pages are clean."""
+    from wikifrontier.textops import soft404_signals
+
+    long_body = " ".join(f"word{i}" for i in range(120))
+    rows = [
+        ("https://h.org/err", "h.org",
+         "Error 404 - page not found. The requested page does not exist.",
+         "404 Not Found"),
+        ("https://h.org/decoy", "h.org", long_body,
+         "Why page not found happens"),
+        ("https://h.org/quote", "h.org",
+         long_body + " the phrase page not found appears in many articles "
+         + " ".join(f"more{i}" for i in range(60)),
+         "Doc quote"),
+        ("https://h.org/plain", "h.org", long_body, "Doc plain"),
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, text string, title string")
+    out = {r["url"]: r for r in soft404_signals(df).collect()}
+    err = out["https://h.org/err"]
+    assert err["is_soft404"] is True and err["has_error_phrase"] is True
+    assert err["is_short"] is True and err["title_hit"] is True
+    decoy = out["https://h.org/decoy"]
+    assert decoy["title_hit"] is True and decoy["is_soft404"] is False
+    quote = out["https://h.org/quote"]
+    assert quote["has_error_phrase"] is True and quote["is_soft404"] is False
+    assert out["https://h.org/plain"]["is_soft404"] is False

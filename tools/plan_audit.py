@@ -981,6 +981,34 @@ def main() -> int:
         summary_of(q100_plan_df),
     ))
 
+    # 55. host-level link graph (q101)
+    q101_plan_df = queries.q101_host_graph(spark, sf_dir)
+    q101_plan = plan_of(q101_plan_df)
+    assert "CartesianProduct" not in q101_plan, "q101 grew a cartesian"
+    sections.append((
+        "Host-level link graph (q101)",
+        "Page edges collapse (distinct) before the host rollup; hosts are "
+        "substring_index string ops (no parse_url regex). The reciprocity "
+        "self-join runs on the HOST-level rollup — ~10^8 rows where page "
+        "edges are ~10^12 — so the second join never touches page-scale "
+        "data. One page-edge shuffle total.",
+        summary_of(q101_plan_df),
+    ))
+
+    # 56. soft-404 detection (q102)
+    q102_plan_df = queries.q102_soft404(spark, sf_dir)
+    q102_plan = plan_of(q102_plan_df)
+    assert "CartesianProduct" not in q102_plan, "q102 grew a cartesian"
+    sections.append((
+        "Soft-404 detection (q102)",
+        "Phrase/length signals are one codegen pass over pages; the host "
+        "calibration is a keyed groupBy producing an integer-sum mean "
+        "(deterministic under any partitioning) joined back on host — "
+        "O(hosts) small side, AQE broadcasts it below threshold. No "
+        "windows, no text motion beyond the initial scan.",
+        summary_of(q102_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

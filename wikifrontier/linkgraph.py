@@ -527,3 +527,64 @@ def degree_distribution(
             "max_deg",
         )
     )
+
+
+def host_graph(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Host-level web graph rollup over a page-level edge list →
+    ``(src_host, dst_host, n_edges, n_src_pages, is_internal,
+    reciprocal)`` — the Common-Crawl-style host graph artifact
+    (commoncrawl.org publishes exactly this rollup per crawl). The
+    reference stores page-level links only (database/db_models/
+    models.py:203-236); the host rollup is the standard derived view a
+    crawl operator uses for budget allocation, spam/link-farm triage
+    (high out-degree + low reciprocity hosts), and seed selection.
+
+    Inputs are page URLs; hosts are extracted with the same
+    substring_index string ops the filter chain uses (no parse_url regex
+    machinery in the hot path). Page-level duplicate edges collapse
+    first (same rule as pagerank/degree_distribution: a link mentioned
+    twice is one edge).
+
+    Scale shape: one distinct on page edges, one keyed groupBy on
+    (src_host, dst_host) with map-side partial aggs, then a self-join
+    for reciprocity on the HOST-level table — orders of magnitude
+    smaller than the page edge list (the web has ~10^8 hosts vs ~10^12
+    page edges), so the reciprocity join is never the bottleneck. No
+    windows, no driver actions, output O(host pairs).
+    """
+    host = lambda c: F.substring_index(  # noqa: E731
+        F.substring_index(F.col(c), "://", -1), "/", 1
+    )
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .distinct()
+        .select(
+            host("_s").alias("src_host"),
+            host("_d").alias("dst_host"),
+            F.col("_s").alias("src_page"),
+        )
+    )
+    hg = e.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("src_page").alias("n_src_pages"),
+    )
+    rev = hg.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+        F.lit(True).alias("reciprocal"),
+    ).distinct()
+    return (
+        hg.join(rev, ["src_host", "dst_host"], "left")
+        .select(
+            "src_host",
+            "dst_host",
+            "n_edges",
+            "n_src_pages",
+            (F.col("src_host") == F.col("dst_host")).alias("is_internal"),
+            F.coalesce(F.col("reciprocal"), F.lit(False)).alias("reciprocal"),
+        )
+    )

@@ -2117,6 +2117,70 @@ def q100_incremental_plan(spark, sf_dir):
     ).where(F.col("rank") <= 5)
 
 
+def q101_host_graph(spark, sf_dir):
+    """Host-level web graph rollup (linkgraph.host_graph) — the
+    Common-Crawl-style host graph: page edges collapsed to (src_host,
+    dst_host) with edge counts, distinct source pages, internal-edge
+    flag, and reciprocity. Fixture: 5-host layout m0..m4 with three
+    deterministic outlinks per page (two cross-host by doc_id
+    arithmetic, one intra-host) plus a deliberately duplicated first
+    mention that must collapse. Host extraction is the filter chain's
+    substring_index idiom; oracle mirrors it with split_part. One
+    distinct + one keyed groupBy + a host-level (tiny) reciprocity
+    self-join."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def page(host_mod, page_mod):
+        return F.concat(
+            F.lit("https://m"),
+            (host_mod % 5).cast("string"),
+            F.lit(".example.org/p/"),
+            (page_mod % 200).cast("string"),
+        )
+
+    src = page(d, d)
+    t1 = page(d * 31 + 7, d * 31 + 7)
+    t2 = page(d * 17 + 3, d * 17 + 3)
+    t3 = page(d, d + 1)  # intra-host
+    edges = docs.select(
+        src.alias("src"),
+        F.explode(F.array(t1, t2, t3, t1)).alias("dst"),  # t1 twice: dup mention
+    )
+    return linkgraph.host_graph(edges)
+
+
+def q102_soft404(spark, sf_dir):
+    """Soft-404 detection (textops.soft404_signals): pages served as 200
+    whose body is an error template — phrase hit AND (absolutely short
+    OR far below the host's mean token count). Fixture: 7-host layout;
+    doc_id%13==0 pages get a planted error body + '404 Not Found'
+    title; doc_id%13==5 pages get an error-phrase TITLE over organic
+    text (the decoy an article about error pages presents — must NOT be
+    condemned unless its body also trips). Host calibration is an
+    integer-sum mean (deterministic across partitionings). Oracle: same
+    CASE derivation + grouped mean + join in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".example.org"))
+    err_body = F.lit(
+        "Error 404 - page not found. The requested page does not exist."
+    )
+    text = F.when(d % 13 == 0, err_body).otherwise(F.col("text"))
+    title = (
+        F.when(d % 13 == 0, F.lit("404 Not Found"))
+        .when(d % 13 == 5, F.lit("Why 'page not found' happens"))
+        .otherwise(F.concat(F.lit("Doc "), d.cast("string")))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), d).alias("url"),
+        host.alias("host"),
+        text.alias("text"),
+        title.alias("title"),
+    )
+    return textops.soft404_signals(pages)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -1192,3 +1192,84 @@ def robust_outliers(
             "is_outlier"
         ),
     )
+
+
+# --- soft-404 detection ------------------------------------------------------
+# A soft 404 is a page served with HTTP 200 whose content is actually an
+# error page ("page not found", "no longer available", ...). The reference
+# trusts status codes alone (components/crawler/core/page_fetcher.py success
+# path), so soft 404s enter its corpus as real pages — a well-known crawl
+# pollution source. Detection is per-page phrase + length signals calibrated
+# against the HOST's average page length: error templates are near-constant
+# and far shorter than the host's organic pages.
+SOFT404_PHRASES = (
+    "page not found",
+    "404 not found",
+    "error 404",
+    "does not exist",
+    "no longer available",
+    "page cannot be found",
+)
+SOFT404_SHORT_TOKENS = 20       # absolute floor: error templates are tiny
+SOFT404_HOST_LEN_FRAC = 0.25    # … or far below the host's mean length
+
+
+def soft404_signals(
+    df,
+    url: str = "url",
+    host: str = "host",
+    text: str = "text",
+    title: str = "title",
+):
+    """Per-page soft-404 classification → ``(url, host, n_tokens,
+    has_error_phrase, title_hit, is_short, short_vs_host, is_soft404)``.
+
+    is_soft404 = error phrase in body AND (absolutely short OR shorter
+    than SOFT404_HOST_LEN_FRAC × the host's mean token count). Title
+    hits alone never condemn a page (an article ABOUT error pages
+    mentions 404 in its title); body phrase + brevity must co-occur.
+
+    Scale shape: phrase/length signals are pure column expressions
+    (one pass, codegen); the host calibration is one keyed groupBy on
+    host producing an integer-sum mean (exact arithmetic — no
+    distributed-float ordering hazard) joined back broadcast-or-keyed by
+    AQE. At 10^10 pages the host-mean table is O(hosts) ≈ 10^8 rows,
+    comfortably shuffle-joinable; nothing all-pairs, no windows.
+    """
+    toks = tokens(F.col(text))
+    n = F.size(toks)
+    phrase_hit = F.lit(False)
+    for p in SOFT404_PHRASES:
+        phrase_hit = phrase_hit | F.lower(F.col(text)).contains(p)
+    title_hit = F.lit(False)
+    for p in SOFT404_PHRASES:
+        title_hit = title_hit | F.lower(F.col(title)).contains(p)
+    page = df.select(
+        F.col(url).alias("url"),
+        F.col(host).alias("host"),
+        n.alias("n_tokens"),
+        phrase_hit.alias("has_error_phrase"),
+        title_hit.alias("title_hit"),
+    )
+    host_mean = page.groupBy("host").agg(
+        # integer sum / integer count: deterministic across partitionings
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias("host_mean_tokens")
+    )
+    out = page.join(host_mean, "host")
+    is_short = F.col("n_tokens") < F.lit(SOFT404_SHORT_TOKENS)
+    short_vs_host = (
+        F.col("n_tokens").cast("double")
+        < F.lit(SOFT404_HOST_LEN_FRAC) * F.col("host_mean_tokens")
+    )
+    return out.select(
+        "url",
+        "host",
+        "n_tokens",
+        "has_error_phrase",
+        "title_hit",
+        is_short.alias("is_short"),
+        short_vs_host.alias("short_vs_host"),
+        (
+            F.col("has_error_phrase") & (is_short | short_vs_host)
+        ).alias("is_soft404"),
+    )
