@@ -2716,6 +2716,81 @@ SELECT s.url, s.host, s.n_tokens, s.has_error_phrase, s.title_hit,
     AS is_soft404
 FROM sig s JOIN hm h USING (host)
 """,
+        # q103: host-scoped boilerplate — q52's segmentation idiom, counts
+        # per (host, segment hash) against the host's page count.
+        "q103_host_boilerplate": f"""
+WITH pages AS (
+  SELECT doc_id,
+    'h' || (doc_id % 5) || '.example.org' AS host,
+    repeat('nav ', 19) || 'host' || (doc_id % 5) || ' ' || text AS text
+  FROM documents
+),
+tok AS (SELECT doc_id, host, {TOKS} AS t FROM pages),
+segs AS (
+  SELECT doc_id, host,
+         array_to_string(t[(i*{SEGMENT_LEN}+1):(i*{SEGMENT_LEN}+{SEGMENT_LEN})], ' ') AS seg
+  FROM tok, unnest(CASE WHEN len(t) > 0
+                        THEN range(CAST(ceil(len(t) / {SEGMENT_LEN}.0) AS BIGINT))
+                        ELSE [] END) AS u(i)
+),
+host_pages AS (SELECT host, count(DISTINCT doc_id) AS n_pages FROM pages GROUP BY 1),
+freq AS (
+  SELECT host, sha256(seg) AS h, count(DISTINCT doc_id) AS nh
+  FROM segs GROUP BY 1, 2
+),
+boiler AS (
+  SELECT f.host, f.h
+  FROM freq f JOIN host_pages p USING (host)
+  WHERE p.n_pages >= 3 AND CAST(f.nh AS DOUBLE) >= 0.6 * p.n_pages
+),
+per_page AS (
+  SELECT s.doc_id, count(*) AS n_boiler
+  FROM segs s JOIN boiler b ON b.host = s.host AND b.h = sha256(s.seg)
+  GROUP BY 1
+),
+nsg AS (
+  SELECT doc_id, host, CAST(ceil(len(t) / {SEGMENT_LEN}.0) AS INT) AS n_segs
+  FROM tok
+)
+SELECT nsg.doc_id AS id, nsg.host, n_segs,
+       CAST(coalesce(n_boiler, 0) AS INT) AS n_boiler,
+       round(coalesce(n_boiler, 0)
+             / CAST(greatest(n_segs, 1) AS DOUBLE), 6) AS boiler_frac
+FROM nsg LEFT JOIN per_page USING (doc_id)
+""",
+        # q104: skew planner — md5-digit portable bucketing, salt factor
+        # ceil(n/50) capped at 16, before/after shard loads full-outer.
+        "q104_skew_plan": """
+WITH urls AS (
+  SELECT
+    'https://' || h || '/wiki/Doc_' || doc_id AS url, h AS host
+  FROM (
+    SELECT doc_id,
+      CASE WHEN doc_id % 10 < 7 THEN 'en.wikipedia.org'
+           ELSE 'h' || (doc_id % 10) || '.example.org' END AS h
+    FROM documents
+  )
+),
+plan AS (
+  SELECT host, count(*) AS n_pending,
+    CAST(least(greatest(ceil(count(*) / 50.0), 1), 16) AS INT) AS salt_factor
+  FROM urls GROUP BY 1
+),
+assigned AS (
+  SELECT
+    substr(md5(u.host), 1, 1) AS shard_before,
+    substr(md5(u.host || '#' || CAST(
+      (instr('0123456789abcdef', substr(md5(u.url), 1, 1)) - 1)
+        % p.salt_factor AS VARCHAR)), 1, 1) AS shard_after
+  FROM urls u JOIN plan p USING (host)
+),
+b AS (SELECT shard_before AS shard, count(*) AS n_before FROM assigned GROUP BY 1),
+a AS (SELECT shard_after AS shard, count(*) AS n_after FROM assigned GROUP BY 1)
+SELECT coalesce(b.shard, a.shard) AS shard,
+       coalesce(n_before, 0) AS n_before,
+       coalesce(n_after, 0) AS n_after
+FROM b FULL OUTER JOIN a ON a.shard = b.shard
+""",
         # q100: incremental-crawl planner — q85's diff + q98's intervals +
         # the per-shard capped window.
         "q100_incremental_plan": """

@@ -1390,3 +1390,47 @@ def test_soft404_signals_verdicts(spark):
     quote = out["https://h.org/quote"]
     assert quote["has_error_phrase"] is True and quote["is_soft404"] is False
     assert out["https://h.org/plain"]["is_soft404"] is False
+
+
+def test_host_boilerplate_thresholds(spark):
+    """Hand corpus: a 10-token nav segment planted on 3 of 4 pages of
+    host A (75% >= 60% → boilerplate) is counted; the same segment on 1
+    of 4 pages is not; a 2-page host stays below min_pages and nothing
+    is condemned there even at 100% frequency."""
+    from wikifrontier.dedup import host_boilerplate
+
+    nav = " ".join(f"nav{i}" for i in range(10))
+    body = lambda j: " ".join(f"w{j}x{i}" for i in range(10))  # noqa: E731
+    rows = [
+        (1, "a.org", nav + " " + body(1)),
+        (2, "a.org", nav + " " + body(2)),
+        (3, "a.org", nav + " " + body(3)),
+        (4, "a.org", body(4)),          # no nav on this one
+        (5, "b.org", nav + " " + body(5)),
+        (6, "b.org", nav + " " + body(6)),  # 2-page host: no evidence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {r["id"]: r for r in host_boilerplate(df).collect()}
+    for i in (1, 2, 3):
+        assert out[i]["n_segs"] == 2 and out[i]["n_boiler"] == 1
+        assert abs(out[i]["boiler_frac"] - 0.5) < 1e-9
+    assert out[4]["n_boiler"] == 0
+    assert out[5]["n_boiler"] == 0 and out[6]["n_boiler"] == 0
+
+
+def test_skew_plan_flattens_dominant_host(spark):
+    """A 200-URL single-host frontier plus two 10-URL hosts: before
+    salting the dominant host's URLs all land on one shard; after, its
+    salt factor ceil(200/50)=4 spreads them so no shard exceeds the
+    dominant host's before-load; totals are conserved."""
+    from wikifrontier.politeness import skew_plan
+
+    rows = [(f"https://big.org/p/{i}", "big.org") for i in range(200)]
+    rows += [(f"https://s1.org/p/{i}", "s1.org") for i in range(10)]
+    rows += [(f"https://s2.org/p/{i}", "s2.org") for i in range(10)]
+    df = spark.createDataFrame(rows, "url string, host string")
+    out = skew_plan(df, cap=50).collect()
+    assert sum(r["n_before"] for r in out) == 220
+    assert sum(r["n_after"] for r in out) == 220
+    assert max(r["n_before"] for r in out) >= 200   # collapsed dominant host
+    assert max(r["n_after"] for r in out) < 200     # spread by salting

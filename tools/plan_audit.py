@@ -1009,6 +1009,34 @@ def main() -> int:
         summary_of(q102_plan_df),
     ))
 
+    # 57. host boilerplate (q103)
+    q103_plan_df = queries.q103_host_boilerplate(spark, sf_dir)
+    q103_plan = plan_of(q103_plan_df)
+    assert "CartesianProduct" not in q103_plan, "q103 grew a cartesian"
+    sections.append((
+        "Host-scoped boilerplate (q103)",
+        "Segment text is projected to its sha256 BEFORE any join — the "
+        "(host, hash) frequency fold, the host page-count fold, and the "
+        "boilerplate membership semi-join all move 32-char hashes and "
+        "counters only. Per-host work is independent; parallelism scales "
+        "with host count.",
+        summary_of(q103_plan_df),
+    ))
+
+    # 58. skew/salting planner (q104)
+    q104_plan_df = queries.q104_skew_plan(spark, sf_dir)
+    q104_plan = plan_of(q104_plan_df)
+    assert "CartesianProduct" not in q104_plan, "q104 grew a cartesian"
+    sections.append((
+        "Partition-skew planner (q104)",
+        "One host-keyed count fold chooses salt factors; the per-URL "
+        "assignment joins against the O(hosts) plan (AQE broadcasts it); "
+        "the before/after profiles are two O(16)-row folds joined "
+        "full-outer. URLs never self-join, text never appears — the "
+        "auditable twin of salted_repartition's runtime behavior.",
+        summary_of(q104_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -536,6 +536,19 @@ def embedding_dup_pairs(
 SEGMENT_LEN = 10  # tokens per non-overlapping segment
 
 
+def segment_array(text_col: "F.Column", seg_len: int = SEGMENT_LEN) -> "F.Column":
+    """Non-overlapping seg_len-token segments of a text column as an
+    array<string> — the shared splitter under segment_dedup and
+    host_boilerplate (one definition so the two passes and their oracles
+    can never drift)."""
+    toks = tokens(text_col)
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
+    return F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
 def segment_dedup(
     df: DataFrame,
     text: str = "text",
@@ -574,13 +587,9 @@ def segment_dedup(
     kept_text); a fully-duplicated document survives as an empty string
     with kept_frac 0 (the caller's length filter then drops it).
     """
-    toks = tokens(F.col(text))
-    n_segs = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
-    seg_array = F.when(F.size(toks) > 0, F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_len + 1, seg_len)),
-    )).otherwise(F.array().cast("array<string>"))
-    base = df.select(F.col(id_col).alias("id"), seg_array.alias("segs"))
+    base = df.select(
+        F.col(id_col).alias("id"), segment_array(F.col(text), seg_len).alias("segs")
+    )
     seg_rows = base.select(
         "id", F.posexplode("segs").alias("pos", "seg")
     ).withColumn("h", F.sha2(F.col("seg"), 256))
@@ -943,5 +952,82 @@ def mirror_hosts(pages: DataFrame, min_hosts: int = 2) -> DataFrame:
             "n_urls",
             F.size("host_set").cast("bigint").alias("n_hosts"),
             F.array_join("host_set", ",").alias("hosts"),
+        )
+    )
+
+
+# --- host-scoped boilerplate detection -----------------------------------------
+BOILER_MIN_FRAC = 0.6   # segment on >= this fraction of the host's pages
+BOILER_MIN_PAGES = 3    # hosts with fewer pages carry no evidence
+
+
+def host_boilerplate(
+    df: DataFrame,
+    host: str = "host",
+    text: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = SEGMENT_LEN,
+    min_frac: float = BOILER_MIN_FRAC,
+    min_pages: int = BOILER_MIN_PAGES,
+) -> DataFrame:
+    """Host-scoped boilerplate profiling → one row per page ``(id, host,
+    n_segs, n_boiler, boiler_frac)``.
+
+    segment_dedup (above) removes segments duplicated CORPUS-wide; the
+    dominant remaining noise at web scale is per-SITE template text —
+    nav bars, footers, cookie banners — which repeats on most pages of
+    one host but may be globally rare (small hosts never cross a global
+    ndocs threshold). CCNet-style pipelines profile boilerplate within
+    the site for exactly this reason. A segment is boilerplate when it
+    appears on >= ``min_frac`` of its host's pages and the host has >=
+    ``min_pages`` pages (below that there is no evidence either way).
+
+    Scale shape: per-(host, segment-hash) distinct-page counts and the
+    per-host page counts are two keyed folds; the boilerplate
+    membership join runs on (host, hash) — segment TEXT is projected
+    away before any join (only 32-char hashes move). Nothing all-pairs,
+    no windows; per-host work is independent so parallelism scales with
+    host count.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(host).alias("host"),
+        segment_array(F.col(text), seg_len).alias("segs"),
+    )
+    seg_rows = base.select(
+        "id", "host", F.posexplode("segs").alias("pos", "seg")
+    ).select("id", "host", F.sha2(F.col("seg"), 256).alias("h"))
+    host_pages = base.groupBy("host").agg(
+        F.count_distinct(F.col("id")).alias("n_pages")
+    )
+    seg_freq = seg_rows.groupBy("host", "h").agg(
+        F.count_distinct(F.col("id")).alias("nh")
+    )
+    boiler = (
+        seg_freq.join(host_pages, "host")
+        .filter(
+            (F.col("n_pages") >= F.lit(min_pages))
+            & (F.col("nh").cast("double") >= F.lit(min_frac) * F.col("n_pages"))
+        )
+        .select("host", "h")
+    )
+    n_boiler = (
+        seg_rows.join(boiler, ["host", "h"], "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        base.select("id", "host", F.size("segs").alias("n_segs"))
+        .join(n_boiler, "id", "left")
+        .select(
+            "id",
+            "host",
+            "n_segs",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).cast("int").alias("n_boiler"),
+            F.round(
+                F.coalesce(F.col("n_boiler"), F.lit(0))
+                / F.greatest(F.col("n_segs"), F.lit(1)).cast("double"),
+                6,
+            ).alias("boiler_frac"),
         )
     )

@@ -230,3 +230,82 @@ def host_circuit_breaker(
         .otherwise(F.lit("closed"))
         .alias("state"),
     )
+
+
+# --- partition-skew planner ------------------------------------------------
+SKEW_SALT_CAP = 50  # target max URLs per (host, salt) cell
+
+
+def _hex1int(col: "F.Column") -> "F.Column":
+    """First md5 hex digit of a string column as 0..15 — the
+    engine-portable hash this repo uses wherever an oracle must replay a
+    bucketing decision (xxhash64 has no DuckDB twin; md5 does)."""
+    return F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(col), 1, 1)) - 1
+
+
+def skew_plan(
+    pending: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    cap: int = SKEW_SALT_CAP,
+) -> DataFrame:
+    """Shard-load planner for the salted repartition (north rule: "domain
+    skew handled with salted repartitioning") → one row per shard
+    ``(shard, n_before, n_hosts_before, n_after, n_hosts_after)``.
+
+    ``salted_repartition`` (above) APPLIES salting at runtime with
+    xxhash64; this planner makes the decision auditable and
+    oracle-replayable: per-host pending counts choose a salt factor
+    ``greatest(1, ceil(n/cap))`` (capped at the 16 md5 buckets), then
+    every URL is assigned a before-shard (hash of host alone — all of a
+    dominant host's URLs collapse onto ONE shard) and an after-shard
+    (hash of host#salt — the same URLs spread across salt_factor
+    shards). The output's max(n_before) vs max(n_after) IS the skew
+    story: en.wikipedia-style dominance flattens to ~cap-sized cells.
+
+    Scale shape: one host-keyed count fold, one join of the per-URL set
+    against the tiny per-host plan (O(hosts) rows — AQE broadcasts it),
+    two O(16)-row shard folds joined full-outer. URLs never self-join;
+    text never appears.
+    """
+    urls = pending.select(
+        F.col(url_col).alias("url"), F.col(host_col).alias("host")
+    )
+    plan = urls.groupBy("host").agg(F.count("*").alias("n_pending")).select(
+        "host",
+        "n_pending",
+        F.least(
+            F.greatest(F.ceil(F.col("n_pending") / F.lit(cap)), F.lit(1)),
+            F.lit(16),
+        ).cast("int").alias("salt_factor"),
+    )
+    assigned = urls.join(plan, "host").select(
+        F.substring(F.md5(F.col("host")), 1, 1).alias("shard_before"),
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#",
+                    F.col("host"),
+                    F.pmod(_hex1int(F.col("url")), F.col("salt_factor")).cast(
+                        "string"
+                    ),
+                )
+            ),
+            1,
+            1,
+        ).alias("shard_after"),
+    )
+    before = assigned.groupBy(F.col("shard_before").alias("shard")).agg(
+        F.count("*").alias("n_before"),
+    )
+    after = assigned.groupBy(F.col("shard_after").alias("shard")).agg(
+        F.count("*").alias("n_after"),
+    )
+    return (
+        before.join(after, "shard", "full_outer")
+        .select(
+            "shard",
+            F.coalesce(F.col("n_before"), F.lit(0)).alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
+        )
+    )

@@ -2181,6 +2181,48 @@ def q102_soft404(spark, sf_dir):
     return textops.soft404_signals(pages)
 
 
+def q103_host_boilerplate(spark, sf_dir):
+    """Host-scoped boilerplate profiling (dedup.host_boilerplate): segments
+    on >= 60% of a host's pages (host >= 3 pages) are template text — the
+    per-SITE noise that corpus-global segment dedup (q52) misses on small
+    hosts. Fixture: 5-host layout with a planted 20-token nav prefix
+    (exactly 2 segments: one global 'nav'x10, one host-branded) on every
+    page, organic text after it. Oracle: same segmentation (the q52
+    splitter), per-(host, hash) distinct-page counts, same thresholds."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example.org"))
+    text = F.concat(
+        F.lit("nav " * 19),
+        F.lit("host"),
+        (d % 5).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    pages = docs.select(d.alias("doc_id"), host.alias("host"), text.alias("text"))
+    return dedup.host_boilerplate(pages)
+
+
+def q104_skew_plan(spark, sf_dir):
+    """Partition-skew planner (politeness.skew_plan) — the auditable twin
+    of salted_repartition: per-host salt factors (ceil(n/cap), md5-bucket
+    portable hashing) turn the before-shard load profile (a dominant
+    host collapses onto ONE shard) into the after profile (~cap-sized
+    cells). Fixture: 70% of pending URLs on en.wikipedia.org (the north
+    rule's skew scenario), the rest across 3 small hosts. Oracle: same
+    md5-digit arithmetic in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.when(d % 10 < 7, F.lit("en.wikipedia.org")).otherwise(
+        F.concat(F.lit("h"), (d % 10).cast("string"), F.lit(".example.org"))
+    )
+    pending = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/wiki/Doc_"), d).alias("url"),
+        host.alias("host"),
+    )
+    return politeness.skew_plan(pending)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
