@@ -2791,6 +2791,62 @@ SELECT coalesce(b.shard, a.shard) AS shard,
        coalesce(n_after, 0) AS n_after
 FROM b FULL OUTER JOIN a ON a.shard = b.shard
 """,
+        # q105: rel=canonical clustering — same two attribute-order
+        # regexps, coalesce to own url, one rollup on the target.
+        "q105_canonical_clusters": """
+WITH pages AS (
+  SELECT
+    'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+    CASE WHEN doc_id % 3 = 0 THEN
+      '<html><head><link rel="canonical" href="https://c.org/d'
+        || (doc_id % 50) || '"/></head><body>x</body></html>'
+    WHEN doc_id % 3 = 1 THEN
+      '<html><head><link href="https://c.org/d' || (doc_id % 50)
+        || '" rel="canonical"/></head><body>x</body></html>'
+    ELSE '<html><head></head><body>x</body></html>' END AS html
+  FROM documents
+),
+ext AS (
+  SELECT url,
+    coalesce(
+      nullif(regexp_extract(html,
+        '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1), ''),
+      nullif(regexp_extract(html,
+        '<link[^>]*href="([^"]*)"[^>]*rel="canonical"', 1), ''),
+      url) AS canonical_url
+  FROM pages
+)
+SELECT canonical_url, count(*) AS n_variants,
+       CAST(sum(CASE WHEN url = canonical_url THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_self,
+       min(url) AS keep_url
+FROM ext GROUP BY 1
+""",
+        # q106: politeness audit — lag window per host on integer-second
+        # timestamps, violation fold; single-fetch hosts rate 1.0.
+        "q106_politeness_audit": """
+WITH log AS (
+  SELECT
+    'h' || (doc_id % 5) || '.example.org' AS host,
+    CAST(1700000000 + doc_id * 3
+         - CASE WHEN doc_id % 10 >= 8 THEN 14 ELSE 0 END AS BIGINT) AS ts,
+    'https://h' || (doc_id % 5) || '.example.org/p/' || doc_id AS url
+  FROM documents
+),
+gaps AS (
+  SELECT host,
+         ts - lag(ts) OVER (PARTITION BY host ORDER BY ts, url) AS gap_s
+  FROM log
+)
+SELECT host, count(*) AS n_fetches,
+       min(gap_s) AS min_gap_s,
+       CAST(sum(CASE WHEN gap_s < 10 THEN 1 ELSE 0 END) AS INT)
+         AS n_violations,
+       round(1.0 - sum(CASE WHEN gap_s < 10 THEN 1 ELSE 0 END)
+             / CAST(greatest(count(gap_s), 1) AS DOUBLE), 6)
+         AS compliance_rate
+FROM gaps GROUP BY 1
+""",
         # q100: incremental-crawl planner — q85's diff + q98's intervals +
         # the per-shard capped window.
         "q100_incremental_plan": """

@@ -1434,3 +1434,49 @@ def test_skew_plan_flattens_dominant_host(spark):
     assert sum(r["n_after"] for r in out) == 220
     assert max(r["n_before"] for r in out) >= 200   # collapsed dominant host
     assert max(r["n_after"] for r in out) < 200     # spread by salting
+
+
+def test_rel_canonical_extraction_and_clusters(spark):
+    """Both attribute orders extract; canonical-less pages are their own
+    target; the cluster keeps the min-url representative and counts the
+    self-declared row."""
+    from wikifrontier.extract import canonical_clusters
+
+    rows = [
+        ("https://a.org/p1",
+         '<html><head><link rel="canonical" href="https://a.org/c"/></head></html>'),
+        ("https://a.org/p2",
+         '<html><head><link href="https://a.org/c" rel="canonical"/></head></html>'),
+        ("https://a.org/c",
+         '<html><head><link rel="canonical" href="https://a.org/c"/></head></html>'),
+        ("https://a.org/solo", "<html><head></head></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = {r["canonical_url"]: r for r in canonical_clusters(df).collect()}
+    c = out["https://a.org/c"]
+    assert c["n_variants"] == 3 and c["n_self"] == 1
+    assert c["keep_url"] == "https://a.org/c"
+    solo = out["https://a.org/solo"]
+    assert solo["n_variants"] == 1 and solo["n_self"] == 1
+
+
+def test_politeness_audit_gaps(spark):
+    """Hand log: host A fetches at 0/15/16/40 → gaps 15,1,24 → one
+    violation at required_gap 10, min gap 1, rate 1-1/3; single-fetch
+    host B has no gaps and rate 1.0."""
+    from wikifrontier.politeness import politeness_audit
+
+    rows = [
+        ("a.org", 1000, "u1"), ("a.org", 1015, "u2"),
+        ("a.org", 1016, "u3"), ("a.org", 1040, "u4"),
+        ("b.org", 1000, "u5"),
+    ]
+    df = spark.createDataFrame(rows, "host string, ts long, url string")
+    out = {r["host"]: r for r in politeness_audit(df).collect()}
+    a = out["a.org"]
+    assert a["n_fetches"] == 4 and a["min_gap_s"] == 1
+    assert a["n_violations"] == 1
+    assert abs(a["compliance_rate"] - (1 - 1 / 3)) < 1e-6
+    b = out["b.org"]
+    assert b["n_fetches"] == 1 and b["n_violations"] == 0
+    assert b["compliance_rate"] == 1.0

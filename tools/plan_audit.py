@@ -1037,6 +1037,35 @@ def main() -> int:
         summary_of(q104_plan_df),
     ))
 
+    # 59. canonical clusters (q105)
+    q105_plan_df = queries.q105_canonical_clusters(spark, sf_dir)
+    q105_plan = plan_of(q105_plan_df)
+    assert "CartesianProduct" not in q105_plan, "q105 grew a cartesian"
+    assert "BatchEvalPython" not in q105_plan and "ArrowEvalPython" not in q105_plan, (
+        "q105 canonical extraction must stay JVM-side"
+    )
+    sections.append((
+        "rel=canonical clustering (q105)",
+        "Canonical extraction is a JVM regexp column expression (both "
+        "attribute orders, coalesce to own url) — never Python; the "
+        "cluster is ONE keyed groupBy on the target with counters + min "
+        "url. Page HTML never shuffles (projected away map-side).",
+        summary_of(q105_plan_df),
+    ))
+
+    # 60. politeness audit (q106)
+    q106_plan_df = queries.q106_politeness_audit(spark, sf_dir)
+    q106_plan = plan_of(q106_plan_df)
+    assert "CartesianProduct" not in q106_plan, "q106 grew a cartesian"
+    sections.append((
+        "Politeness compliance audit (q106)",
+        "One lag window PARTITIONED BY host (per-host independence — "
+        "parallelism scales with host count) over integer-second "
+        "timestamps, then one counters-only host fold. Exact integer gap "
+        "arithmetic in every engine.",
+        summary_of(q106_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -415,3 +415,58 @@ def parse_page(url: str, html: str, depth: int) -> dict:
     content = extract_content(url, html)
     content["links"] = extract_links(url, html, depth)
     return content
+
+
+# --- rel=canonical extraction (column-level) ---------------------------------
+# The reference's parser ignores <link rel="canonical"> entirely
+# (components/parser/core/wiki_content_extractor.py walks the content div
+# only), so syntactically-distinct URLs serving the same canonical page
+# enter its corpus as independent pages. At web scale canonical tags are
+# the publisher's OWN dedup signal — honoring them collapses print/mobile/
+# tracking variants before any content hashing runs.
+#
+# Unlike the DOM walk above (a per-page Arrow UDF by necessity), canonical
+# extraction is a single anchored pattern — it stays a JVM-side regexp
+# column expression, never entering Python. Both attribute orders are
+# handled (rel-then-href and href-then-rel).
+_CANON_REL_HREF = '<link[^>]*rel="canonical"[^>]*href="([^"]*)"'
+_CANON_HREF_REL = '<link[^>]*href="([^"]*)"[^>]*rel="canonical"'
+
+
+def rel_canonical(html_col):
+    """Canonical URL declared by the page, or NULL — regexp column
+    expression (rel/href in either order), identical in DuckDB."""
+    from pyspark.sql import functions as F
+
+    a = F.regexp_extract(html_col, _CANON_REL_HREF, 1)
+    b = F.regexp_extract(html_col, _CANON_HREF_REL, 1)
+    out = F.when(a != "", a).when(b != "", b)
+    return out
+
+
+def canonical_clusters(df, url_col: str = "url", html_col: str = "html"):
+    """Cluster crawled URLs by their effective canonical target →
+    ``(canonical_url, n_variants, n_self, keep_url)``. Pages without a
+    canonical tag are their own target; keep_url is the deterministic
+    min() representative (the same first-wins rule as claim/exact-dedup).
+
+    Scale shape: the regexp runs map-side; ONE keyed groupBy on the
+    canonical target (counters + min url — page HTML never shuffles).
+    """
+    from pyspark.sql import functions as F
+
+    target = F.coalesce(rel_canonical(F.col(html_col)), F.col(url_col))
+    return (
+        df.select(
+            F.col(url_col).alias("url"),
+            target.alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_variants"),
+            F.sum(
+                (F.col("url") == F.col("canonical_url")).cast("int")
+            ).alias("n_self"),
+            F.min("url").alias("keep_url"),
+        )
+    )

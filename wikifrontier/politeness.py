@@ -309,3 +309,50 @@ def skew_plan(
             F.coalesce(F.col("n_after"), F.lit(0)).alias("n_after"),
         )
     )
+
+
+# --- politeness compliance audit ---------------------------------------------
+REQUIRED_GAP_S = 10  # default minimum inter-fetch gap per host (seconds)
+
+
+def politeness_audit(
+    fetch_log: DataFrame,
+    required_gap_s: int = REQUIRED_GAP_S,
+    host_col: str = "host",
+    ts_col: str = "ts",
+    url_col: str = "url",
+) -> DataFrame:
+    """Post-hoc per-host politeness compliance over a fetch log →
+    ``(host, n_fetches, min_gap_s, n_violations, compliance_rate)``.
+
+    The runtime side enforces the budget (cap_per_host + the q43
+    stateful host-rate clock); this is the AUDIT a crawl operator runs
+    over the recorded fetch timestamps afterwards — the evidence that
+    the politeness contract actually held, per host, including across
+    executor boundaries the runtime caps cannot see.
+
+    Scale shape: one lag window PARTITIONED BY host ordered by
+    (ts, url) — per-host work is independent, parallelism scales with
+    host count; a host's own fetch history is politeness-capped so no
+    single partition can be unbounded within an audit window. Then one
+    counters-only host fold. Timestamps are integer seconds (bigint),
+    so gap arithmetic is exact in every engine.
+    """
+    w = Window.partitionBy(host_col).orderBy(ts_col, url_col)
+    gaps = fetch_log.select(
+        F.col(host_col).alias("host"),
+        (F.col(ts_col) - F.lag(F.col(ts_col)).over(w)).alias("gap_s"),
+    )
+    return gaps.groupBy("host").agg(
+        F.count("*").alias("n_fetches"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.sum(
+            F.when(F.col("gap_s") < required_gap_s, 1).otherwise(0)
+        ).cast("int").alias("n_violations"),
+        F.round(
+            1.0
+            - F.sum(F.when(F.col("gap_s") < required_gap_s, 1).otherwise(0))
+            / F.greatest(F.count("gap_s"), F.lit(1)).cast("double"),
+            6,
+        ).alias("compliance_rate"),
+    )

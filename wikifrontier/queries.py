@@ -2223,6 +2223,67 @@ def q104_skew_plan(spark, sf_dir):
     return politeness.skew_plan(pending)
 
 
+def q105_canonical_clusters(spark, sf_dir):
+    """rel=canonical clustering (extract.canonical_clusters): URLs grouped
+    by the canonical target their OWN page declares — the publisher's
+    dedup signal the reference's parser ignores. Extraction is a JVM-side
+    regexp (never Python); fixture plants both attribute orders
+    (rel-then-href %3==0, href-then-rel %3==1) pointing at c.org/d{d%50},
+    and leaves %3==2 pages canonical-less (their own target). Oracle:
+    same alternation regexps + rollup in DuckDB."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://en.wikipedia.org/wiki/Doc_"), d)
+    target = F.concat(F.lit("https://c.org/d"), (d % 50).cast("string"))
+    html = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<html><head><link rel="canonical" href="'),
+                target,
+                F.lit('"/></head><body>x</body></html>'),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit('<html><head><link href="'),
+                target,
+                F.lit('" rel="canonical"/></head><body>x</body></html>'),
+            ),
+        )
+        .otherwise(F.lit("<html><head></head><body>x</body></html>"))
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    from wikifrontier import extract
+
+    return extract.canonical_clusters(pages)
+
+
+def q106_politeness_audit(spark, sf_dir):
+    """Per-host politeness compliance audit (politeness.politeness_audit):
+    min inter-fetch gap, violation count, and compliance rate per host
+    over a recorded fetch log — the post-hoc proof the politeness
+    contract held. Fixture: 5-host interleave with 15 s nominal gaps and
+    planted 1 s violations (doc_id%10>=8). Integer-second timestamps so
+    gap arithmetic is exact in both engines. Oracle: same lag window +
+    rollup."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example.org"))
+    ts = (
+        F.lit(1700000000).cast("long")
+        + d * 3
+        - F.when(d % 10 >= 8, F.lit(14)).otherwise(F.lit(0))
+    )
+    log = docs.select(
+        host.alias("host"),
+        ts.alias("ts"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"), d).alias("url"),
+    )
+    return politeness.politeness_audit(log)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
