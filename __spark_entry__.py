@@ -2847,6 +2847,124 @@ SELECT host, count(*) AS n_fetches,
          AS compliance_rate
 FROM gaps GROUP BY 1
 """,
+        # q107: q106's lag-window audit with per-host requirements from
+        # q96's robots Crawl-delay parse, coalesced to the 10 s default.
+        "q107_delay_aware_audit": """
+WITH log AS (
+  SELECT
+    'h' || (doc_id % 5) || '.example.org' AS host,
+    CAST(1700000000 + doc_id * 3
+         - CASE WHEN doc_id % 10 >= 8 THEN 14 ELSE 0 END AS BIGINT) AS ts,
+    'https://h' || (doc_id % 5) || '.example.org/p/' || doc_id AS url
+  FROM documents
+),
+hosts AS (
+  SELECT DISTINCT 'h' || (doc_id % 5) || '.example.org' AS host,
+         CAST(doc_id % 5 AS INT) AS hn
+  FROM documents
+),
+robots AS (
+  SELECT host,
+    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+    || (CASE WHEN hn = 1 THEN 'Crawl-delay: 2' || chr(10)
+             WHEN hn = 3 THEN 'Crawl-delay: 20' || chr(10)
+             ELSE '' END) AS txt
+  FROM hosts
+),
+star AS (
+  SELECT host,
+    regexp_extract(txt,
+      '(?s)[Uu]ser-[Aa]gent:[ \t]*\\*[ \t]*\n(.*?)(?:[Uu]ser-[Aa]gent:|$)',
+      1) AS chunk
+  FROM robots
+),
+lines_ AS (
+  SELECT host, unnest(string_split(chunk, chr(10))) AS raw FROM star
+),
+delays AS (
+  SELECT host, min(delay) AS crawl_delay
+  FROM (
+    SELECT host,
+      lower(trim(split_part(nc, ':', 1))) AS key,
+      TRY_CAST(trim(substr(nc, strpos(nc, ':') + 1)) AS DOUBLE) AS delay
+    FROM (SELECT host, trim(split_part(raw, '#', 1)) AS nc FROM lines_)
+  )
+  WHERE key = 'crawl-delay' AND delay IS NOT NULL
+  GROUP BY 1
+),
+gaps AS (
+  SELECT host,
+         ts - lag(ts) OVER (PARTITION BY host ORDER BY ts, url) AS gap_s
+  FROM log
+),
+req AS (
+  SELECT g.host, g.gap_s, coalesce(d.crawl_delay, 10.0) AS required
+  FROM gaps g LEFT JOIN delays d USING (host)
+)
+SELECT host, count(*) AS n_fetches,
+       min(gap_s) AS min_gap_s,
+       CAST(sum(CASE WHEN gap_s < required THEN 1 ELSE 0 END) AS INT)
+         AS n_violations,
+       round(1.0 - sum(CASE WHEN gap_s < required THEN 1 ELSE 0 END)
+             / CAST(greatest(count(gap_s), 1) AS DOUBLE), 6)
+         AS compliance_rate
+FROM req GROUP BY 1
+""",
+        # q108: quality-weighted budget — q80's drain plan × (1 − q102's
+        # per-host soft-404 rate).
+        "q108_quality_budget": f"""
+WITH pages AS (
+  SELECT
+    'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+    'h' || (doc_id % 7) || '.example.org' AS host,
+    CASE WHEN doc_id % 13 = 0
+         THEN 'Error 404 - page not found. The requested page does not exist.'
+         ELSE text END AS text
+  FROM documents
+),
+sig AS (
+  SELECT url, host,
+    CAST(len({TOKS}) AS INT) AS n_tokens,
+    (lower(text) LIKE '%page not found%'
+     OR lower(text) LIKE '%404 not found%'
+     OR lower(text) LIKE '%error 404%'
+     OR lower(text) LIKE '%does not exist%'
+     OR lower(text) LIKE '%no longer available%'
+     OR lower(text) LIKE '%page cannot be found%') AS has_error_phrase
+  FROM pages
+),
+hm AS (
+  SELECT host,
+         CAST(sum(n_tokens) AS DOUBLE) / count(*) AS host_mean_tokens
+  FROM sig GROUP BY 1
+),
+verdicts AS (
+  SELECT s.host,
+    (s.has_error_phrase
+     AND (s.n_tokens < 20
+          OR CAST(s.n_tokens AS DOUBLE) < 0.25 * h.host_mean_tokens))
+      AS is_soft404
+  FROM sig s JOIN hm h USING (host)
+),
+rates AS (
+  SELECT host,
+         round(sum(CASE WHEN is_soft404 THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS soft404_rate
+  FROM verdicts GROUP BY 1
+),
+plan AS (
+  SELECT split_part(split_part(url, '://', 2), '/', 1) AS host,
+         count(*) AS n_pending,
+         CAST(least(count(*), 25) AS BIGINT) AS next_round_alloc
+  FROM pages GROUP BY 1
+)
+SELECT p.host, p.n_pending, p.next_round_alloc,
+       coalesce(r.soft404_rate, 0.0) AS soft404_rate,
+       CAST(floor(p.next_round_alloc
+                  * (1.0 - coalesce(r.soft404_rate, 0.0))) AS BIGINT)
+         AS effective_alloc
+FROM plan p LEFT JOIN rates r USING (host)
+""",
         # q100: incremental-crawl planner — q85's diff + q98's intervals +
         # the per-shard capped window.
         "q100_incremental_plan": """

@@ -1480,3 +1480,28 @@ def test_politeness_audit_gaps(spark):
     b = out["b.org"]
     assert b["n_fetches"] == 1 and b["n_violations"] == 0
     assert b["compliance_rate"] == 1.0
+
+
+def test_politeness_audit_per_host_requirements(spark):
+    """Per-host required gaps override the flat default: host A's 15 s
+    gaps violate its 20 s declared delay; host B's identical gaps comply
+    with its 2 s delay; host C (absent from the delay table) uses the
+    10 s default."""
+    from wikifrontier.politeness import politeness_audit
+
+    rows = []
+    for h in ("a.org", "b.org", "c.org"):
+        rows += [(h, 1000, f"{h}/1"), (h, 1015, f"{h}/2"), (h, 1030, f"{h}/3")]
+    log = spark.createDataFrame(rows, "host string, ts long, url string")
+    delays = spark.createDataFrame(
+        [("a.org", 20.0), ("b.org", 2.0)], "host string, crawl_delay double"
+    )
+    out = {
+        r["host"]: r
+        for r in politeness_audit(log, required_gaps=delays).collect()
+    }
+    assert out["a.org"]["n_violations"] == 2      # 15 < 20 twice
+    assert out["b.org"]["n_violations"] == 0      # 15 >= 2
+    assert out["c.org"]["n_violations"] == 0      # 15 >= 10 default
+    assert out["a.org"]["compliance_rate"] == 0.0
+    assert out["b.org"]["compliance_rate"] == 1.0

@@ -1066,6 +1066,34 @@ def main() -> int:
         summary_of(q106_plan_df),
     ))
 
+    # 61. delay-aware audit (q107)
+    q107_plan_df = queries.q107_delay_aware_audit(spark, sf_dir)
+    q107_plan = plan_of(q107_plan_df)
+    assert "CartesianProduct" not in q107_plan, "q107 grew a cartesian"
+    sections.append((
+        "Crawl-delay-aware politeness audit (q107)",
+        "The q106 lag window composed with q96's robots Crawl-delay "
+        "parse: the per-host requirement join is against the O(hosts) "
+        "delay table (AQE broadcasts it); everything else is the q106 "
+        "shape — per-host windows, one counters fold.",
+        summary_of(q107_plan_df),
+    ))
+
+    # 62. quality-weighted budget (q108)
+    q108_plan_df = queries.q108_quality_budget(spark, sf_dir)
+    q108_plan = plan_of(q108_plan_df)
+    assert "CartesianProduct" not in q108_plan or "broadcast" in q108_plan.lower(), (
+        "q108 grew a non-broadcast cartesian"
+    )
+    sections.append((
+        "Quality-weighted crawl budget (q108)",
+        "q80's drain plan joined with q102's per-host soft-404 rates — "
+        "two independent host-keyed folds meeting in an O(hosts) join; "
+        "the only crossJoin is budget_plan's 1-row drain-bound "
+        "broadcast. Text is consumed map-side in the rate fold.",
+        summary_of(q108_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -321,6 +321,7 @@ def politeness_audit(
     host_col: str = "host",
     ts_col: str = "ts",
     url_col: str = "url",
+    required_gaps: DataFrame | None = None,
 ) -> DataFrame:
     """Post-hoc per-host politeness compliance over a fetch log →
     ``(host, n_fetches, min_gap_s, n_violations, compliance_rate)``.
@@ -331,28 +332,42 @@ def politeness_audit(
     the politeness contract actually held, per host, including across
     executor boundaries the runtime caps cannot see.
 
+    ``required_gaps`` (optional): a (host, crawl_delay) table — e.g.
+    ``filters.robots_crawl_delays`` output — overriding the flat
+    ``required_gap_s`` default per host; hosts absent from it keep the
+    default (a host's robots may declare no delay).
+
     Scale shape: one lag window PARTITIONED BY host ordered by
     (ts, url) — per-host work is independent, parallelism scales with
     host count; a host's own fetch history is politeness-capped so no
     single partition can be unbounded within an audit window. Then one
-    counters-only host fold. Timestamps are integer seconds (bigint),
-    so gap arithmetic is exact in every engine.
+    counters-only host fold; the per-host requirement join is against
+    the O(hosts) delay table (AQE broadcasts it). Timestamps are
+    integer seconds (bigint), so gap arithmetic is exact in every
+    engine.
     """
     w = Window.partitionBy(host_col).orderBy(ts_col, url_col)
     gaps = fetch_log.select(
         F.col(host_col).alias("host"),
         (F.col(ts_col) - F.lag(F.col(ts_col)).over(w)).alias("gap_s"),
     )
+    if required_gaps is not None:
+        delay_col = [c for c in required_gaps.columns if c != "host"][0]
+        req = required_gaps.select(
+            "host", F.col(delay_col).cast("double").alias("_req")
+        )
+        gaps = gaps.join(req, "host", "left")
+        required = F.coalesce(F.col("_req"), F.lit(float(required_gap_s)))
+    else:
+        required = F.lit(float(required_gap_s))
+    viol = F.when(F.col("gap_s") < required, 1).otherwise(0)
     return gaps.groupBy("host").agg(
         F.count("*").alias("n_fetches"),
         F.min("gap_s").alias("min_gap_s"),
-        F.sum(
-            F.when(F.col("gap_s") < required_gap_s, 1).otherwise(0)
-        ).cast("int").alias("n_violations"),
+        F.sum(viol).cast("int").alias("n_violations"),
         F.round(
             1.0
-            - F.sum(F.when(F.col("gap_s") < required_gap_s, 1).otherwise(0))
-            / F.greatest(F.count("gap_s"), F.lit(1)).cast("double"),
+            - F.sum(viol) / F.greatest(F.count("gap_s"), F.lit(1)).cast("double"),
             6,
         ).alias("compliance_rate"),
     )

@@ -2284,6 +2284,99 @@ def q106_politeness_audit(spark, sf_dir):
     return politeness.politeness_audit(log)
 
 
+def q107_delay_aware_audit(spark, sf_dir):
+    """The q106 audit with per-host requirements from robots Crawl-delay
+    (q96's parse) instead of a flat default — the composed politeness
+    verdict a real operator needs: host h3 declares Crawl-delay 20 so
+    its 15 s gaps VIOLATE; h1 declares 2 so its planted 1 s gaps still
+    violate but 15 s gaps comply; hosts without a numeric delay keep the
+    10 s default. Oracle: q96's star-group parse + the q106 lag window
+    with coalesce(delay, 10)."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".example.org"))
+    ts = (
+        F.lit(1700000000).cast("long")
+        + d * 3
+        - F.when(d % 10 >= 8, F.lit(14)).otherwise(F.lit(0))
+    )
+    log = docs.select(
+        host.alias("host"),
+        ts.alias("ts"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"), d).alias("url"),
+    )
+    hn = (d % 5).cast("int")
+    robots = (
+        docs.select(
+            F.concat(F.lit("h"), hn.cast("string"), F.lit(".example.org")).alias(
+                "host"
+            ),
+            hn.alias("hn"),
+        )
+        .distinct()
+        .select(
+            "host",
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /private\n"),
+                F.when(F.col("hn") == 1, F.lit("Crawl-delay: 2\n"))
+                .when(F.col("hn") == 3, F.lit("Crawl-delay: 20\n"))
+                .otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+    )
+    delays = filters.robots_crawl_delays(robots)
+    return politeness.politeness_audit(log, required_gaps=delays)
+
+
+def q108_quality_budget(spark, sf_dir):
+    """Quality-weighted crawl budget: q80's per-host drain plan with the
+    next-round allocation scaled down by the host's soft-404 rate
+    (q102's signals) — polluted hosts yield fewer fetch slots, the
+    governance loop a production crawl closes between its quality and
+    scheduling tiers. effective_alloc = floor(alloc × (1 − rate)).
+    Oracle: the composed q80 + q102 SQL."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 7).cast("string"), F.lit(".example.org"))
+    err_body = F.lit(
+        "Error 404 - page not found. The requested page does not exist."
+    )
+    text = F.when(d % 13 == 0, err_body).otherwise(F.col("text"))
+    title = (
+        F.when(d % 13 == 0, F.lit("404 Not Found"))
+        .when(d % 13 == 5, F.lit("Why 'page not found' happens"))
+        .otherwise(F.concat(F.lit("Doc "), d.cast("string")))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), d).alias("url"),
+        host.alias("host"),
+        text.alias("text"),
+        title.alias("title"),
+    )
+    rates = (
+        textops.soft404_signals(pages)
+        .groupBy("host")
+        .agg(
+            F.round(
+                F.sum(F.col("is_soft404").cast("int"))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("soft404_rate")
+        )
+    )
+    plan = politeness.budget_plan(pages.select("url"))
+    return plan.join(rates, "host", "left").select(
+        "host",
+        "n_pending",
+        "next_round_alloc",
+        F.coalesce(F.col("soft404_rate"), F.lit(0.0)).alias("soft404_rate"),
+        F.floor(
+            F.col("next_round_alloc")
+            * (F.lit(1.0) - F.coalesce(F.col("soft404_rate"), F.lit(0.0)))
+        ).cast("long").alias("effective_alloc"),
+    )
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
