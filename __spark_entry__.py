@@ -300,6 +300,77 @@ _MARKER_LIST = {
 _STOP_LIST = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
+# shared q101 fixture body: page edges (dup mention planted) → distinct →
+# host extraction → (src_host, dst_host, n_edges, n_src_pages) rollup
+_HOST_HG = """
+pg AS (
+  SELECT
+    'https://m' || (doc_id % 5) || '.example.org/p/' || (doc_id % 200) AS src,
+    t AS dst
+  FROM documents, UNNEST([
+    'https://m' || ((doc_id * 31 + 7) % 5) || '.example.org/p/'
+        || ((doc_id * 31 + 7) % 200),
+    'https://m' || ((doc_id * 17 + 3) % 5) || '.example.org/p/'
+        || ((doc_id * 17 + 3) % 200),
+    'https://m' || (doc_id % 5) || '.example.org/p/' || ((doc_id + 1) % 200),
+    'https://m' || ((doc_id * 31 + 7) % 5) || '.example.org/p/'
+        || ((doc_id * 31 + 7) % 200)
+  ]) AS u(t)
+),
+e0 AS (SELECT DISTINCT src, dst FROM pg),
+he AS (
+  SELECT split_part(split_part(src, '://', 2), '/', 1) AS src_host,
+         split_part(split_part(dst, '://', 2), '/', 1) AS dst_host,
+         src AS src_page
+  FROM e0
+),
+hg AS (
+  SELECT src_host, dst_host,
+         count(*) AS n_edges,
+         count(DISTINCT src_page) AS n_src_pages
+  FROM he GROUP BY 1, 2
+)"""
+
+
+def _host_pagerank_sql() -> str:
+    """q109 oracle: chained-CTE replay of linkgraph.pagerank_weighted over
+    the q101 host rollup — contributions are pr × w / Σw_out with integer
+    weights (exact normalizer); the dangling term is structurally present
+    but zero here (every host links out)."""
+    d = f"CAST({PAGERANK_DAMPING} AS DOUBLE)"
+    iters = []
+    prev = "it0"
+    for k in range(1, PAGERANK_ITERATIONS + 1):
+        iters.append(f"""
+it{k} AS (
+  SELECT nodes.id,
+         (CAST(1 AS DOUBLE) - {d}) / nn.n
+         + {d} * (coalesce(inf.w, CAST(0 AS DOUBLE))
+                  + (SELECT coalesce(sum(pr), CAST(0 AS DOUBLE)) FROM {prev}
+                     WHERE id NOT IN (SELECT src FROM edges)) / nn.n) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT dst AS id, sum(pr * w / ow) AS w
+    FROM edges JOIN {prev} pv ON pv.id = edges.src
+               JOIN outw USING (src)
+    GROUP BY dst
+  ) inf ON inf.id = nodes.id
+)""")
+        prev = f"it{k}"
+    its = ",".join(iters)
+    return f"""
+WITH {_HOST_HG},
+edges AS (
+  SELECT src_host AS src, dst_host AS dst, n_edges AS w FROM hg
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM edges GROUP BY src),
+it0 AS (SELECT nodes.id, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),{its}
+SELECT id AS host, round(pr, 8) AS host_rank FROM {prev}
+"""
+
+
 def _pagerank_sql() -> str:
     """q51 oracle: chained-CTE replay of linkgraph.pagerank over the
     derived doc_id graph. Every float op mirrors the Spark side's IEEE
@@ -1225,6 +1296,42 @@ SELECT media_id, kind,
 FROM m
 """,
         "q51_pagerank": _pagerank_sql(),
+        "q109_host_pagerank": _host_pagerank_sql(),
+        # q110: one-row webgraph summary over the q101 rollup (the full
+        # reciprocity select replayed, then single-row folds).
+        "q110_webgraph_stats": f"""
+WITH {_HOST_HG},
+hgr AS (
+  SELECT a.src_host, a.dst_host, a.n_edges,
+         (a.src_host = a.dst_host) AS is_internal,
+         (b.src_host IS NOT NULL) AS reciprocal
+  FROM hg a
+  LEFT JOIN (SELECT DISTINCT src_host, dst_host FROM hg) b
+    ON a.src_host = b.dst_host AND a.dst_host = b.src_host
+),
+nodes AS (
+  SELECT count(*) AS n_hosts FROM (
+    SELECT src_host AS h FROM hgr UNION SELECT dst_host FROM hgr
+  )
+),
+od AS (
+  SELECT max(np) AS max_out_pairs FROM (
+    SELECT src_host, count(*) AS np FROM hgr GROUP BY 1
+  )
+)
+SELECT n.n_hosts,
+       count(*) AS n_host_pairs,
+       CAST(sum(n_edges) AS BIGINT) AS n_page_edges,
+       CAST(sum(CASE WHEN is_internal THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_self_pairs,
+       CAST(sum(CASE WHEN reciprocal THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reciprocal_pairs,
+       round(sum(CASE WHEN reciprocal THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS reciprocity_rate,
+       o.max_out_pairs
+FROM hgr CROSS JOIN nodes n CROSS JOIN od o
+GROUP BY n.n_hosts, o.max_out_pairs
+""",
         "q54_scored_frontier": _scored_frontier_sql(),
         "q59_hits": _hits_sql(),
         # q60: per-target anchor-text profile — identical edge fixture

@@ -1505,3 +1505,66 @@ def test_politeness_audit_per_host_requirements(spark):
     assert out["c.org"]["n_violations"] == 0      # 15 >= 10 default
     assert out["a.org"]["compliance_rate"] == 0.0
     assert out["b.org"]["compliance_rate"] == 1.0
+
+
+def test_pagerank_weighted_hand_math(spark):
+    """2-node hand graph: a splits 3:1 between b and c; with damping d
+    and n=3, after one iteration pr(b) = (1-d)/3 + d*( (1/3)*(3/4) ) and
+    pr(c) = (1-d)/3 + d*( (1/3)*(1/4) ) + dangling shares from b,c
+    (which have no out-edges, so their mass redistributes uniformly)."""
+    from wikifrontier.linkgraph import pagerank_weighted
+
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "src string, dst string, weight long"
+    )
+    out = {
+        r["id"]: r["pr"]
+        for r in pagerank_weighted(edges, iterations=1, damping=0.85).collect()
+    }
+    n, d = 3, 0.85
+    dangling = 2 / 3  # b and c hold 1/3 each, no out-edges
+    base = (1 - d) / n + d * (dangling / n)
+    assert abs(out["b"] - (base + d * (1 / 3) * (3 / 4))) < 1e-12
+    assert abs(out["c"] - (base + d * (1 / 3) * (1 / 4))) < 1e-12
+    assert abs(out["a"] - base) < 1e-12
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_weighted_duplicate_edges_sum(spark):
+    """Duplicate (src, dst) rows fold by SUMMING weights — two (a,b,1)
+    rows behave exactly like one (a,b,2) row."""
+    from wikifrontier.linkgraph import pagerank_weighted
+
+    dup = spark.createDataFrame(
+        [("a", "b", 1), ("a", "b", 1), ("a", "c", 2)],
+        "src string, dst string, weight long",
+    )
+    merged = spark.createDataFrame(
+        [("a", "b", 2), ("a", "c", 2)], "src string, dst string, weight long"
+    )
+    r1 = {r["id"]: r["pr"] for r in pagerank_weighted(dup, iterations=2).collect()}
+    r2 = {r["id"]: r["pr"] for r in pagerank_weighted(merged, iterations=2).collect()}
+    assert r1 == r2
+
+
+def test_webgraph_stats_hand_counts(spark):
+    """Hand host graph: 3 hosts, 4 pairs (one self, one reciprocal
+    two-way), page edges summed, max out-degree per src."""
+    from wikifrontier.linkgraph import webgraph_stats
+
+    rows = [
+        ("a.org", "b.org", 5, False, True),
+        ("b.org", "a.org", 2, False, True),
+        ("a.org", "a.org", 1, True, True),
+        ("a.org", "c.org", 3, False, False),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "src_host string, dst_host string, n_edges long, "
+        "is_internal boolean, reciprocal boolean",
+    )
+    r = webgraph_stats(df).collect()[0]
+    assert r["n_hosts"] == 3 and r["n_host_pairs"] == 4
+    assert r["n_page_edges"] == 11 and r["n_self_pairs"] == 1
+    assert r["n_reciprocal_pairs"] == 3
+    assert r["max_out_pairs"] == 3  # a.org has 3 outgoing pairs

@@ -1094,6 +1094,40 @@ def main() -> int:
         summary_of(q108_plan_df),
     ))
 
+    # 63. weighted host PageRank (q109) — audit the UNcheckpointed loop
+    # body (a checkpointed frame explains as Scan ExistingRDD)
+    from wikifrontier import linkgraph as _lg
+    q109_edges = queries._q101_host_edges(spark, sf_dir)
+    q109_plan_df = _lg.pagerank_weighted(
+        q109_edges, src="src_host", dst="dst_host", weight="n_edges",
+        checkpoint=False,
+    )
+    q109_plan = plan_of(q109_plan_df)
+    assert "CartesianProduct" not in q109_plan, "q109 grew a cartesian"
+    sections.append((
+        "Weighted host PageRank (q109)",
+        "Same loop shape as q51's pagerank — per iteration one edge⋈rank "
+        "join keyed on src, one keyed dst fold, dangling mass as a 1-row "
+        "broadcast — with contributions pr × w / Σw_out (integer weights, "
+        "exact normalizer). Audited with checkpoint=False so the loop "
+        "body is visible.",
+        summary_of(q109_plan_df),
+    ))
+
+    # 64. webgraph stats (q110)
+    q110_plan_df = queries.q110_webgraph_stats(spark, sf_dir)
+    q110_plan = plan_of(q110_plan_df)
+    assert "CartesianProduct" not in q110_plan or "Broadcast" in q110_plan, (
+        "q110 grew a non-broadcast cartesian"
+    )
+    sections.append((
+        "Webgraph snapshot summary (q110)",
+        "Runs entirely on the already-rolled-up host graph (O(host "
+        "pairs)); the only crossJoins are two 1-row broadcasts (node "
+        "count, max out-degree) meeting the single-row body fold.",
+        summary_of(q110_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -588,3 +588,137 @@ def host_graph(
             F.coalesce(F.col("reciprocal"), F.lit(False)).alias("reciprocal"),
         )
     )
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    iterations: int = PAGERANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Weighted fixed-iteration PageRank → (id, pr): each node's rank
+    flows along its out-edges in proportion to INTEGER edge weights
+    (pr × w / Σw_out) instead of uniformly. The natural input is the
+    host graph (host_graph above), where weight = n_edges — host
+    authority then reflects how *strongly* hosts link, not merely that
+    they do, and feeds the scored frontier at host granularity the way
+    q51's page PageRank does at page granularity.
+
+    Kept as a sibling of ``pagerank`` rather than a flag on it: the
+    unweighted loop's (pr / out_deg) and this loop's (pr × w / out_w)
+    differ in every join column, and q51's oracle replays the unweighted
+    form exactly — sharing the body would couple both oracles to one
+    code path for no shuffle saved. Duplicate (src, dst) rows fold by
+    SUMMING weights (a multi-mention IS more weight, unlike the
+    unweighted collapse). Weights are integers so the per-source
+    normalizer Σw is an exact integer sum — no distributed-float
+    ordering hazard in the denominator; the rank sums themselves round
+    to 8 dp at the consumer boundary exactly like q51.
+
+    Scale shape: identical to pagerank — per iteration one edge⋈rank
+    join keyed on src, one keyed dst fold, dangling mass as a 1-row
+    broadcast, lineage cut per round, zero in-loop actions.
+    """
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("long").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("pr"))
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ranks = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        inflow = (
+            e.join(ranks, e.src == ranks.id)
+            .join(out_w, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") * F.col("w") / F.col("out_w")).alias("contrib"),
+            )
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        dangling = ranks.join(
+            out_w, ranks.id == out_w.src, "left_anti"
+        ).agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dangling"))
+        ranks = (
+            nodes.join(inflow, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
+                ).alias("pr"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def webgraph_stats(host_edges: DataFrame) -> DataFrame:
+    """One-row webgraph summary over a host_graph rollup →
+    ``(n_hosts, n_host_pairs, n_page_edges, n_self_pairs,
+    n_reciprocal_pairs, reciprocity_rate, max_out_pairs)`` — the
+    first-glance numbers a crawl operator reads off a new snapshot
+    (Common Crawl publishes the same rollup beside its host graph).
+
+    Scale shape: input is the ALREADY-rolled-up host graph (O(host
+    pairs)); one distinct-union for the node count, one src fold for
+    the out-degree max, one single-row aggregate. Nothing page-scale.
+    """
+    nodes = (
+        host_edges.select(F.col("src_host").alias("h"))
+        .union(host_edges.select(F.col("dst_host")))
+        .distinct()
+        .agg(F.count("*").alias("n_hosts"))
+    )
+    outdeg = (
+        host_edges.groupBy("src_host")
+        .agg(F.count("*").alias("np"))
+        .agg(F.max("np").alias("max_out_pairs"))
+    )
+    body = host_edges.agg(
+        F.count("*").alias("n_host_pairs"),
+        F.sum("n_edges").alias("n_page_edges"),
+        F.sum(F.col("is_internal").cast("int")).alias("n_self_pairs"),
+        F.sum(F.col("reciprocal").cast("int")).alias("n_reciprocal_pairs"),
+        F.round(
+            F.sum(F.col("reciprocal").cast("int"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("reciprocity_rate"),
+    )
+    return body.crossJoin(F.broadcast(nodes)).crossJoin(F.broadcast(outdeg)).select(
+        "n_hosts",
+        "n_host_pairs",
+        "n_page_edges",
+        "n_self_pairs",
+        "n_reciprocal_pairs",
+        "reciprocity_rate",
+        "max_out_pairs",
+    )

@@ -2377,6 +2377,38 @@ def q108_quality_budget(spark, sf_dir):
     )
 
 
+def _q101_host_edges(spark, sf_dir):
+    """Shared fixture: the q101 host-graph rollup as a weighted edge list."""
+    hg = q101_host_graph(spark, sf_dir)
+    return hg.select("src_host", "dst_host", "n_edges", "is_internal", "reciprocal")
+
+
+def q109_host_pagerank(spark, sf_dir):
+    """Weighted PageRank over the host graph (linkgraph.pagerank_weighted):
+    rank flows in proportion to page-edge counts (pr × w / Σw_out), so
+    host authority reflects how STRONGLY hosts link — the host-level
+    twin of q51's page PageRank, feeding budget allocation the way q51
+    feeds the scored frontier. Integer weights keep the normalizer an
+    exact integer sum. Oracle: chained-CTE replay over the q101 rollup
+    with the same weighted redistribution."""
+    edges = _q101_host_edges(spark, sf_dir)
+    pr = linkgraph.pagerank_weighted(
+        edges, src="src_host", dst="dst_host", weight="n_edges"
+    )
+    return pr.select(
+        F.col("id").alias("host"), F.round("pr", 8).alias("host_rank")
+    )
+
+
+def q110_webgraph_stats(spark, sf_dir):
+    """One-row webgraph snapshot summary (linkgraph.webgraph_stats) over
+    the q101 host rollup — node/pair/page-edge counts, self-loop and
+    reciprocal pair counts, reciprocity rate, max out-degree: the
+    first-glance numbers beside a published host graph. Oracle: same
+    folds in DuckDB."""
+    return linkgraph.webgraph_stats(q101_host_graph(spark, sf_dir))
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
