@@ -186,3 +186,33 @@ def test_health_missing_checkpoint(spark, tmp_path, capsys):
     rc = cli.main(["health", "--checkpoint", str(tmp_path / "nope")])
     assert rc == 1
     assert "error" in json.loads(capsys.readouterr().out.strip())
+
+
+def test_graph_over_checkpoint(spark, tmp_path, capsys):
+    """crawl → checkpoint → graph: the host rollup reads the discovered
+    link graph, the stats line reconciles (single-host synthetic corpus
+    → 1 host, all pairs internal), and the rank list sums to ~1."""
+    ckpt = str(tmp_path / "graph_ckpt")
+    rc = cli.main([
+        "crawl", "--pages", "300", "--rounds", "3", "--budget", "40",
+        "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = cli.main(["graph", "--checkpoint", ckpt, "--top", "5"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    stats, ranks = lines[0], lines[1:]
+    assert stats["round"] == 3
+    assert stats["n_hosts"] >= 1
+    assert stats["n_page_edges"] >= stats["n_host_pairs"]
+    # synthetic corpus is single-host → every pair internal, reciprocal
+    assert stats["n_self_pairs"] == stats["n_host_pairs"]
+    assert ranks and abs(sum(r["host_rank"] for r in ranks) - 1.0) < 1e-6
+
+
+def test_graph_missing_checkpoint(spark, tmp_path, capsys):
+    rc = cli.main(["graph", "--checkpoint", str(tmp_path / "nope")])
+    assert rc == 1
+    assert "error" in json.loads(capsys.readouterr().out.strip())

@@ -120,6 +120,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "starving")
     h.add_argument("--master", type=str, default=None)
 
+    g = sub.add_parser(
+        "graph",
+        help="host-graph view over a checkpoint's discovered link "
+             "edges: one webgraph-stats summary line plus the top "
+             "hosts by weighted PageRank (authority over page-edge "
+             "counts)",
+    )
+    g.add_argument("--checkpoint", type=str, required=True)
+    g.add_argument("--top", type=int, default=10)
+    g.add_argument("--master", type=str, default=None)
+
     r = sub.add_parser("report", help="summarize a checkpoint")
     r.add_argument("--checkpoint", type=str, required=True)
     r.add_argument("--master", type=str, default=None)
@@ -423,6 +434,42 @@ def cmd_health(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Host-graph view (q101/q109/q110 over real crawl state): roll the
+    checkpoint's discovered link graph up to host level, print ONE
+    webgraph-stats summary line, then the top hosts by weighted
+    PageRank. The between-crawls read for budget allocation and seed
+    review."""
+    from pyspark.sql import functions as F
+
+    from wikifrontier import state as state_io
+    from wikifrontier.linkgraph import host_graph, pagerank_weighted, webgraph_stats
+    from wikifrontier.session import get_spark
+
+    spark = get_spark(master=args.master)
+    st = state_io.load_checkpoint(spark, args.checkpoint)
+    if st is None:
+        print(json.dumps({"error": "no complete checkpoint found"}))
+        return 1
+    edge_src = st.link_graph if not st.link_graph.isEmpty() else st.links
+    if edge_src.isEmpty():
+        print(json.dumps({"error": "checkpoint has no link edges"}))
+        return 1
+    hg = host_graph(
+        edge_src.select("source_page_url", "url"),
+        src="source_page_url",
+        dst="url",
+    ).localCheckpoint(eager=False)
+    stats = webgraph_stats(hg).collect()[0]
+    print(json.dumps({"round": st.round, **{k: stats[k] for k in stats.asDict()}}))
+    ranks = pagerank_weighted(
+        hg, src="src_host", dst="dst_host", weight="n_edges"
+    )
+    for r in ranks.orderBy(F.col("pr").desc(), "id").limit(args.top).collect():
+        print(json.dumps({"host": r["id"], "host_rank": round(r["pr"], 8)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     return {
@@ -432,6 +479,7 @@ def main(argv: list[str] | None = None) -> int:
         "plan": cmd_plan,
         "diff": cmd_diff,
         "health": cmd_health,
+        "graph": cmd_graph,
     }[args.cmd](args)
 
 
