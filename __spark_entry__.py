@@ -371,6 +371,58 @@ SELECT id AS host, round(pr, 8) AS host_rank FROM {prev}
 """
 
 
+# q111 oracle body: replay attach_images_formula's closed-form pixels +
+# dhash_from_bmp's grid/gray/bit arithmetic — all exact integer math.
+# pix(off) = (base*7 + off²*11 + off) % 256, +64 (mod 256) on every 97th
+# byte of the perturbed member; gray = (b+g+r)//3 at storage offset
+# stride*sy + 3*sx; the cells CTE materializes the offset once per
+# sampled pixel so the formula appears once per channel.
+def _dhash_pix(off_expr: str) -> str:
+    body = f"(base*7 + ({off_expr})*({off_expr})*11 + ({off_expr})) % 256"
+    return (
+        f"(CASE WHEN perturb AND ({off_expr}) % 97 = 0 "
+        f"THEN ({body} + 64) % 256 ELSE {body} END)"
+    )
+
+
+_DHASH_HASHES = f"""
+imgs AS (
+  SELECT doc_id AS media_id,
+         (doc_id - doc_id % 5) AS base,
+         CAST(((doc_id - doc_id % 5) % 13) + 9 AS INT) AS w,
+         CAST(((doc_id - doc_id % 5) % 7) + 8 AS INT) AS h,
+         (doc_id % 5 = 1) AS perturb
+  FROM documents
+),
+cells AS (
+  SELECT media_id, w, h, base, perturb, r, c,
+         (((3*w+3)//4)*4) * ((r*h)//8) + 3*((c*w)//9) AS o
+  FROM imgs, unnest(range(8)) AS gr(r), unnest(range(9)) AS gc(c)
+),
+gray AS (
+  SELECT media_id, w, h, r, c,
+    ({_dhash_pix("o")} + {_dhash_pix("o + 1")} + {_dhash_pix("o + 2")}) // 3
+      AS g
+  FROM cells
+),
+bits AS (
+  SELECT a.media_id, a.r, a.c,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM gray a JOIN gray b
+    ON b.media_id = a.media_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+),
+hashes AS (
+  SELECT b.media_id, i.w AS width, i.h AS height,
+    CAST(sum(CASE WHEN r*8+c >= 32 THEN bit * (1::BIGINT << (r*8+c-32))
+                  ELSE 0 END) AS BIGINT) AS dhash_hi,
+    CAST(sum(CASE WHEN r*8+c < 32 THEN bit * (1::BIGINT << (r*8+c))
+                  ELSE 0 END) AS BIGINT) AS dhash_lo
+  FROM bits b JOIN imgs i USING (media_id)
+  GROUP BY 1, 2, 3
+)"""
+
+
 def _pagerank_sql() -> str:
     """q51 oracle: chained-CTE replay of linkgraph.pagerank over the
     derived doc_id graph. Every float op mirrors the Spark side's IEEE
@@ -1297,6 +1349,28 @@ FROM m
 """,
         "q51_pagerank": _pagerank_sql(),
         "q109_host_pagerank": _host_pagerank_sql(),
+        "q111_image_dhash": f"""
+WITH {_DHASH_HASHES}
+SELECT media_id, width, height, dhash_hi, dhash_lo FROM hashes
+""",
+        # q112: banded Hamming pairing over the replayed hashes — four
+        # 16-bit bands (//65536 and %65536 halves), xor + bit_count.
+        "q112_image_neardup": f"""
+WITH {_DHASH_HASHES},
+bands AS (
+  SELECT media_id AS id, dhash_hi, dhash_lo,
+         0 AS b, dhash_hi // 65536 AS v FROM hashes
+  UNION ALL SELECT media_id, dhash_hi, dhash_lo, 1, dhash_hi % 65536 FROM hashes
+  UNION ALL SELECT media_id, dhash_hi, dhash_lo, 2, dhash_lo // 65536 FROM hashes
+  UNION ALL SELECT media_id, dhash_hi, dhash_lo, 3, dhash_lo % 65536 FROM hashes
+)
+SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+  CAST(bit_count(xor(a.dhash_hi, b2.dhash_hi))
+       + bit_count(xor(a.dhash_lo, b2.dhash_lo)) AS INT) AS hamming
+FROM bands a JOIN bands b2 ON a.b = b2.b AND a.v = b2.v AND a.id < b2.id
+WHERE bit_count(xor(a.dhash_hi, b2.dhash_hi))
+      + bit_count(xor(a.dhash_lo, b2.dhash_lo)) <= 10
+""",
         # q110: one-row webgraph summary over the q101 rollup (the full
         # reciprocity select replayed, then single-row folds).
         "q110_webgraph_stats": f"""

@@ -1568,3 +1568,49 @@ def test_webgraph_stats_hand_counts(spark):
     assert r["n_page_edges"] == 11 and r["n_self_pairs"] == 1
     assert r["n_reciprocal_pairs"] == 3
     assert r["max_out_pairs"] == 3  # a.org has 3 outgoing pairs
+
+
+def test_dhash_from_bmp_properties():
+    """Pure-Python dHash: a flat image has zero bits; a horizontal
+    gradient sets every comparison bit (all 64); identical pixels →
+    identical hash; the halves stay within 32 bits."""
+    from wikifrontier.multimodal import dhash_from_bmp, make_bmp
+
+    w, h = 9, 8
+    stride = (3 * w + 3) & ~3
+    flat = make_bmp(w, h, bytes(stride * h))
+    assert dhash_from_bmp(flat)[2:] == (0, 0)
+    grad = bytearray(stride * h)
+    for y in range(h):
+        for x in range(w):
+            for ch in range(3):
+                grad[stride * y + 3 * x + ch] = x * 20
+    gw, gh, hi, lo = dhash_from_bmp(make_bmp(w, h, bytes(grad)))
+    assert (gw, gh) == (9, 8)
+    assert hi == lo == 0xFFFFFFFF  # strictly increasing rows: all bits set
+    assert 0 <= hi < (1 << 32) and 0 <= lo < (1 << 32)
+
+
+def test_image_dhash_and_neardups(spark):
+    """attach_images_formula groups of 5 (4 exact + 1 perturbed) all
+    surface as near-dups within Hamming 10, with no cross-group pairs;
+    undecodable payloads are dropped."""
+    from wikifrontier.multimodal import (
+        attach_images_formula, dhash_near_dups, image_dhash,
+    )
+
+    base = spark.range(0, 20).selectExpr("id AS doc_id")
+    imgs = attach_images_formula(base)
+    junk = spark.createDataFrame(
+        [(999, bytearray(b"not a bmp at all"))], "media_id long, payload binary"
+    )
+    hashes = image_dhash(imgs.unionByName(junk))
+    rows = hashes.collect()
+    assert len(rows) == 20  # junk dropped, every real BMP decoded
+    pairs = dhash_near_dups(hashes).collect()
+    assert len(pairs) == 4 * 10  # 4 groups x C(5,2)
+    for p in pairs:
+        assert p["id_a"] // 5 == p["id_b"] // 5  # never cross-group
+        assert p["hamming"] <= 10
+    exact = [p for p in pairs if p["hamming"] == 0]
+    assert len(exact) >= 4 * 6  # the 4 unperturbed members pair exactly

@@ -1128,6 +1128,22 @@ def main() -> int:
         summary_of(q110_plan_df),
     ))
 
+    # 65. image dhash + near-dup pairing (q111/q112)
+    q112_plan_df = queries.q112_image_neardup(spark, sf_dir)
+    q112_plan = plan_of(q112_plan_df)
+    assert "CartesianProduct" not in q112_plan, "q112 grew a cartesian"
+    assert "ArrowEvalPython" in q112_plan or "MapInPandas" in q112_plan or (
+        "PythonMapInArrow" in q112_plan
+    ), "q111/q112 decode should run as an Arrow-batched Python stage"
+    sections.append((
+        "Perceptual image near-dup (q111/q112)",
+        "BMP decode + dHash runs ONCE per image in an Arrow-batched "
+        "mapInPandas (5 scalars out per image); pairing is the SimHash "
+        "pigeonhole shape — four 16-bit bands bucket candidates (never "
+        "n²), exact Hamming via JVM bit_count(xor) on both halves.",
+        summary_of(q112_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

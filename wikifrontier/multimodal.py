@@ -299,3 +299,174 @@ def extract_features(
 
     schema = FEATURE_DDL + (", codec string" if include_codec else "")
     return media.mapInPandas(run, schema=schema)
+
+
+# --- perceptual image hashing (dHash) ----------------------------------------
+# Near-duplicate IMAGE detection for a multimodal training corpus: the
+# text tiers dedup on shingles/minhash; images need a perceptual hash —
+# byte-identical dedup misses re-encodes and small edits. dHash (difference
+# hash) is the standard cheap one: grayscale, sample a 9x8 grid, emit one
+# bit per horizontal neighbor comparison (64 bits), then near-dups are
+# pairs within a small Hamming distance. Decode runs in an Arrow-batched
+# mapInPandas over the REAL stdlib BMP parser; pairing is JVM-side banded
+# Hamming (xor + bit_count) — the SimHash machinery's shape, reused for
+# pixels.
+DHASH_GRID_W = 9   # samples per row → 8 comparisons
+DHASH_GRID_H = 8   # rows → 64 bits total
+DHASH_MAX_HAMMING = 10
+DHASH_DDL = "media_id long, width int, height int, dhash_hi long, dhash_lo long"
+
+
+def dhash_from_bmp(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, dhash_hi, dhash_lo) from a real BMP payload.
+
+    Grid position (r, c) samples storage-order pixel
+    (sx, sy) = ((c·w)//9, (r·h)//8); gray is the exact integer mean
+    (b+g+r)//3; bit (r·8+c) set iff gray(c+1) > gray(c). The hash is
+    returned as two 32-bit halves in longs — no sign-bit games in
+    either engine. All arithmetic is integer, so an oracle can replay
+    it closed-form when the pixel bytes are themselves closed-form.
+    """
+    meta = decode_bmp(data)
+    w, h = meta["width"], meta["height"]
+    stride = (3 * w + 3) & ~3
+    px = data[54:]
+
+    def gray(sx: int, sy: int) -> int:
+        off = stride * sy + 3 * sx
+        return (px[off] + px[off + 1] + px[off + 2]) // 3
+
+    hi = lo = 0
+    for r in range(DHASH_GRID_H):
+        sy = (r * h) // DHASH_GRID_H
+        gs = [gray((c * w) // DHASH_GRID_W, sy) for c in range(DHASH_GRID_W)]
+        for c in range(DHASH_GRID_W - 1):
+            if gs[c + 1] > gs[c]:
+                idx = r * 8 + c
+                if idx < 32:
+                    lo |= 1 << idx
+                else:
+                    hi |= 1 << (idx - 32)
+    return w, h, hi, lo
+
+
+def image_dhash(media: DataFrame, id_col: str = "media_id",
+                payload: str = "payload") -> DataFrame:
+    """Per-image perceptual hash over real BMP payloads →
+    ``(media_id, width, height, dhash_hi, dhash_lo)``; undecodable
+    payloads are dropped (they carry no pixels to hash).
+
+    Scale shape: one Arrow-batched mapInPandas pass (decode is per-row
+    Python by nature — exactly the slot the guide reserves for Pandas
+    UDFs); output is 5 scalars per image, so everything downstream is
+    counters-width. No shuffle here at all.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [],
+                   "dhash_hi": [], "dhash_lo": []}
+            for mid, raw in zip(pdf[id_col], pdf[payload]):
+                try:
+                    w, h, hi, lo = dhash_from_bmp(bytes(raw))
+                except (ValueError, IndexError):
+                    continue
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dhash_hi"].append(hi)
+                out["dhash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, payload).mapInPandas(run, schema=DHASH_DDL)
+
+
+def dhash_near_dups(
+    hashes: DataFrame, max_hamming: int = DHASH_MAX_HAMMING
+) -> DataFrame:
+    """Near-duplicate image pairs from dhash rows →
+    ``(id_a, id_b, hamming)`` — the SimHash pigeonhole play on pixels:
+    the 64-bit hash splits into four 16-bit bands; any pair within
+    Hamming ≤ 3·bands must agree exactly on ≥1 band, so candidates
+    only ever meet inside a band bucket (never n²), then the exact
+    Hamming verify is JVM bit_count(xor) on both halves.
+
+    Scale shape: explode to 4 (band, value) rows per image, self-join
+    keyed on the 2-int band key, distinct after the verify filter.
+    Identical to the q16/q34 SimHash plan, so the same plan-shape
+    guarantees apply.
+    """
+    bands = hashes.select(
+        F.col("media_id").alias("id"),
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("b"),
+                         (F.shiftright("dhash_hi", 16) % 65536).alias("v")),
+                F.struct(F.lit(1).alias("b"),
+                         (F.col("dhash_hi") % 65536).alias("v")),
+                F.struct(F.lit(2).alias("b"),
+                         (F.shiftright("dhash_lo", 16) % 65536).alias("v")),
+                F.struct(F.lit(3).alias("b"),
+                         (F.col("dhash_lo") % 65536).alias("v")),
+            )
+        ).alias("band"),
+    ).select("id", "dhash_hi", "dhash_lo", "band.b", "band.v")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi"))
+    ) + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
+    return (
+        a.join(b, ["b", "v"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+def attach_images_formula(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Oracle-replayable REAL-BMP fixture: every row becomes a BMP whose
+    dimensions and pixel bytes are closed-form in a GROUP id — rows
+    sharing base = id − id%5 share pixels (w = base%13+9, h = base%7+8,
+    byte(off) = (base·7 + off²·11 + off) % 256 — the quadratic term
+    disperses hashes ACROSS groups: the linear form left median
+    cross-group Hamming at 3/64, this one at 32/64), and the id%5==1
+    member perturbs every 97th byte by +64 (mod 256): one near-duplicate
+    per group (measured Hamming ≤ 5), the rest exact. The payloads are
+    genuine containers (make_bmp), so the Spark-side decode is the real
+    parser while the oracle replays the pixel formula without ever
+    touching bytes.
+    """
+    import pandas as pd
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                base = i - (i % 5)
+                w = (base % 13) + 9
+                h = (base % 7) + 8
+                stride = (3 * w + 3) & ~3
+                n = stride * h
+                perturb = i % 5 == 1
+                px = bytearray(n)
+                for off in range(n):
+                    v = (base * 7 + off * off * 11 + off) % 256
+                    if perturb and off % 97 == 0:
+                        v = (v + 64) % 256
+                    px[off] = v
+                out["media_id"].append(i)
+                out["payload"].append(make_bmp(w, h, bytes(px)))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        build, schema="media_id long, payload binary"
+    )

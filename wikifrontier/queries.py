@@ -2409,6 +2409,28 @@ def q110_webgraph_stats(spark, sf_dir):
     return linkgraph.webgraph_stats(q101_host_graph(spark, sf_dir))
 
 
+def q111_image_dhash(spark, sf_dir):
+    """Perceptual image hashing (multimodal.image_dhash): 64-bit dHash
+    (9x8 grid, horizontal neighbor comparisons, two 32-bit halves) over
+    REAL BMP payloads decoded by the stdlib parser in an Arrow-batched
+    mapInPandas. Fixture: attach_images_formula — genuine containers
+    whose pixels are closed-form in the group id, so the oracle replays
+    the exact grid/gray/bit arithmetic without decoding a byte."""
+    docs = load(spark, sf_dir, "documents")
+    imgs = multimodal.attach_images_formula(docs)
+    return multimodal.image_dhash(imgs)
+
+
+def q112_image_neardup(spark, sf_dir):
+    """Near-duplicate image pairs (multimodal.dhash_near_dups): the
+    SimHash pigeonhole play on pixels — four 16-bit bands bucket the
+    candidates, exact Hamming via JVM bit_count(xor) on both halves.
+    The fixture's groups of 5 (4 exact + 1 perturbed member) must all
+    surface within Hamming 10. Oracle: same band join + xor arithmetic
+    over the replayed hashes."""
+    return multimodal.dhash_near_dups(q111_image_dhash(spark, sf_dir))
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
