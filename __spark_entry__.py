@@ -423,6 +423,61 @@ hashes AS (
 )"""
 
 
+# q113 oracle body: replay attach_audio_formula's closed-form samples +
+# wav_fingerprint's window/mean/bit arithmetic — exact integer math.
+# byte(j) = (base*11 + j²·qa + j·qb) % 256 (+32 mod 256 on every 53rd
+# byte of the perturbed member); sample i = signed16le(byte(2i),
+# byte(2i+1)); window w = (i·64)//n; e_w = Σ|amp| // count.
+def _afp_pix(off_expr: str) -> str:
+    body = (
+        f"(base*11 + ({off_expr})*({off_expr})*qa + ({off_expr})*qb) % 256"
+    )
+    return (
+        f"(CASE WHEN perturb AND ({off_expr}) % 53 = 0 "
+        f"THEN ({body} + 32) % 256 ELSE {body} END)"
+    )
+
+
+_AFP_HASHES = f"""
+clips AS (
+  SELECT doc_id AS media_id,
+         (doc_id - doc_id % 5) AS base,
+         CAST(((doc_id - doc_id % 5) % 97) + 64 AS INT) AS n,
+         ((doc_id - doc_id % 5) % 7) + 3 AS qa,
+         ((doc_id - doc_id % 5) % 11) + 1 AS qb,
+         (doc_id % 5 = 1) AS perturb
+  FROM documents
+),
+samples AS (
+  SELECT media_id, n, i,
+         {_afp_pix("2*i")} + 256 * {_afp_pix("2*i + 1")} AS s
+  FROM clips, unnest(range(n)) AS gi(i)
+),
+amps AS (
+  SELECT media_id, (i*64)//n AS w,
+         abs(s - CASE WHEN s >= 32768 THEN 65536 ELSE 0 END) AS amp
+  FROM samples
+),
+es AS (
+  SELECT media_id, w, CAST(sum(amp) // count(*) AS BIGINT) AS e
+  FROM amps GROUP BY 1, 2
+),
+abits AS (
+  SELECT a.media_id, a.w, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM es a JOIN es b ON b.media_id = a.media_id AND b.w = a.w + 1
+  WHERE a.w < 63
+),
+fps AS (
+  SELECT c.media_id, c.n AS n_samples,
+    CAST(sum(CASE WHEN w >= 32 THEN bit * (1::BIGINT << (w-32))
+                  ELSE 0 END) AS BIGINT) AS afp_hi,
+    CAST(sum(CASE WHEN w < 32 THEN bit * (1::BIGINT << w)
+                  ELSE 0 END) AS BIGINT) AS afp_lo
+  FROM abits JOIN clips c USING (media_id)
+  GROUP BY 1, 2
+)"""
+
+
 def _pagerank_sql() -> str:
     """q51 oracle: chained-CTE replay of linkgraph.pagerank over the
     derived doc_id graph. Every float op mirrors the Spark side's IEEE
@@ -1349,6 +1404,28 @@ FROM m
 """,
         "q51_pagerank": _pagerank_sql(),
         "q109_host_pagerank": _host_pagerank_sql(),
+        "q113_audio_afp": f"""
+WITH {_AFP_HASHES}
+SELECT media_id, n_samples, afp_hi, afp_lo FROM fps
+""",
+        # q114: banded Hamming pairing over the replayed fingerprints —
+        # same machinery as q112.
+        "q114_audio_neardup": f"""
+WITH {_AFP_HASHES},
+bands AS (
+  SELECT media_id AS id, afp_hi, afp_lo,
+         0 AS b, afp_hi // 65536 AS v FROM fps
+  UNION ALL SELECT media_id, afp_hi, afp_lo, 1, afp_hi % 65536 FROM fps
+  UNION ALL SELECT media_id, afp_hi, afp_lo, 2, afp_lo // 65536 FROM fps
+  UNION ALL SELECT media_id, afp_hi, afp_lo, 3, afp_lo % 65536 FROM fps
+)
+SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+  CAST(bit_count(xor(a.afp_hi, b2.afp_hi))
+       + bit_count(xor(a.afp_lo, b2.afp_lo)) AS INT) AS hamming
+FROM bands a JOIN bands b2 ON a.b = b2.b AND a.v = b2.v AND a.id < b2.id
+WHERE bit_count(xor(a.afp_hi, b2.afp_hi))
+      + bit_count(xor(a.afp_lo, b2.afp_lo)) <= 10
+""",
         "q111_image_dhash": f"""
 WITH {_DHASH_HASHES}
 SELECT media_id, width, height, dhash_hi, dhash_lo FROM hashes

@@ -1614,3 +1614,49 @@ def test_image_dhash_and_neardups(spark):
         assert p["hamming"] <= 10
     exact = [p for p in pairs if p["hamming"] == 0]
     assert len(exact) >= 4 * 6  # the 4 unperturbed members pair exactly
+
+
+def test_wav_fingerprint_properties():
+    """Pure-Python afp: constant samples → zero bits; a rising-amplitude
+    ramp sets every comparison bit; stereo and too-short clips are
+    rejected."""
+    import struct
+
+    import pytest
+
+    from wikifrontier.multimodal import make_wav, wav_fingerprint
+
+    n = 64
+    flat = make_wav(n, channels=1, sample_bytes=struct.pack("<64h", *([100] * n)))
+    nn, hi, lo = wav_fingerprint(flat)
+    assert (nn, hi, lo) == (64, 0, 0)
+    ramp = make_wav(n, channels=1,
+                    sample_bytes=struct.pack("<64h", *[i * 100 for i in range(n)]))
+    _, hi, lo = wav_fingerprint(ramp)
+    assert lo == 0xFFFFFFFF and hi == 0x7FFFFFFF  # 63 bits set
+    with pytest.raises(ValueError):
+        wav_fingerprint(make_wav(64, channels=2, sample_bytes=bytes(256)))
+    with pytest.raises(ValueError):
+        wav_fingerprint(make_wav(10, channels=1, sample_bytes=bytes(20)))
+
+
+def test_audio_afp_and_neardups(spark):
+    """attach_audio_formula groups of 5 surface as near-dups within
+    Hamming 10, no cross-group pairs at this scale; junk payloads
+    dropped."""
+    from wikifrontier.multimodal import (
+        afp_near_dups, attach_audio_formula, audio_afp,
+    )
+
+    base = spark.range(0, 20).selectExpr("id AS doc_id")
+    clips = attach_audio_formula(base)
+    junk = spark.createDataFrame(
+        [(999, bytearray(b"RIFFnope"))], "media_id long, payload binary"
+    )
+    hashes = audio_afp(clips.unionByName(junk))
+    assert hashes.count() == 20
+    pairs = afp_near_dups(hashes).collect()
+    assert len(pairs) == 4 * 10
+    for p in pairs:
+        assert p["id_a"] // 5 == p["id_b"] // 5
+        assert p["hamming"] <= 10

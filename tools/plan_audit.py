@@ -1144,6 +1144,19 @@ def main() -> int:
         summary_of(q112_plan_df),
     ))
 
+    # 66. audio fingerprint + near-dup pairing (q113/q114)
+    q114_plan_df = queries.q114_audio_neardup(spark, sf_dir)
+    q114_plan = plan_of(q114_plan_df)
+    assert "CartesianProduct" not in q114_plan, "q114 grew a cartesian"
+    sections.append((
+        "Perceptual audio near-dup (q113/q114)",
+        "WAV decode + 63-bit energy-envelope hash runs ONCE per clip in "
+        "an Arrow-batched mapInPandas (4 scalars out); pairing is the "
+        "SAME banded-Hamming helper as q112 (banded_hamming_pairs) — "
+        "one shared plan shape for image and audio near-dup.",
+        summary_of(q114_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

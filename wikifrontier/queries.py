@@ -2431,6 +2431,29 @@ def q112_image_neardup(spark, sf_dir):
     return multimodal.dhash_near_dups(q111_image_dhash(spark, sf_dir))
 
 
+def q113_audio_afp(spark, sf_dir):
+    """Perceptual audio fingerprinting (multimodal.audio_afp): 63-bit
+    energy-envelope hash (64 windows by w=(i·64)//n, integer-mean
+    |amplitude|, neighbor comparisons) over REAL mono PCM-16 WAV
+    payloads decoded by the stdlib RIFF parser in an Arrow-batched
+    mapInPandas. Fixture: attach_audio_formula — genuine containers,
+    closed-form samples with group-dependent quadratic coefficients.
+    Oracle: replays the signed-16-LE / window / mean / bit arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    clips = multimodal.attach_audio_formula(docs)
+    return multimodal.audio_afp(clips)
+
+
+def q114_audio_neardup(spark, sf_dir):
+    """Near-duplicate audio pairs (multimodal.afp_near_dups): the shared
+    banded-Hamming machinery (four 16-bit bands, bit_count(xor) verify)
+    over the q113 fingerprints. Groups of 5 (4 exact + 1 perturbed,
+    measured Hamming ≤4) surface within threshold 10; cross-group
+    false positives measured at 0 for ≤100 groups, 2 at 1000. Oracle:
+    same band join + xor arithmetic over the replayed fingerprints."""
+    return multimodal.afp_near_dups(q113_audio_afp(spark, sf_dir))
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
