@@ -478,6 +478,66 @@ fps AS (
 )"""
 
 
+# q115 oracle body: replay attach_videos_formula's closed-form luma +
+# dhash_from_luma's grid/compare/bit arithmetic over the SAMPLED frames
+# (every 3rd). luma(f, o) = ((o+f)²·qa + o·qb + base·13) % 256, +48
+# (mod 256) where the CONCATENATED-stream index f·w·h+o hits every 89th
+# byte of the perturbed member; grid gray is the luma byte at
+# o = w·((r·h)//8) + (c·w)//9 directly (no channel mean).
+def _vid_pix(off_expr: str) -> str:
+    body = (
+        f"((({off_expr})+f)*(({off_expr})+f)*qa + ({off_expr})*qb"
+        f" + base*13) % 256"
+    )
+    return (
+        f"(CASE WHEN perturb AND (f*w*h + ({off_expr})) % 89 = 0 "
+        f"THEN ({body} + 48) % 256 ELSE {body} END)"
+    )
+
+
+_VFRAME_HASHES = f"""
+vids AS (
+  SELECT doc_id AS media_id,
+         (doc_id - doc_id % 5) AS base,
+         CAST(((doc_id - doc_id % 5) % 11) + 8 AS INT) AS w,
+         CAST(((doc_id - doc_id % 5) % 5) + 8 AS INT) AS h,
+         ((doc_id - doc_id % 5) % 13) + 10 AS nf,
+         ((doc_id - doc_id % 5) % 7) + 5 AS qa,
+         ((doc_id - doc_id % 5) % 11) + 3 AS qb,
+         (doc_id % 5 = 1) AS perturb
+  FROM documents
+),
+sframes AS (
+  SELECT media_id, base, w, h, qa, qb, perturb, f
+  FROM vids, unnest(range(0, nf, 3)) AS gf(f)
+),
+vcells AS (
+  SELECT media_id, w, h, base, qa, qb, perturb, f, r, c,
+         w * ((r*h)//8) + (c*w)//9 AS o
+  FROM sframes, unnest(range(8)) AS gr(r), unnest(range(9)) AS gc(c)
+),
+vgray AS (
+  SELECT media_id, f, r, c, {_vid_pix("o")} AS g FROM vcells
+),
+vbits AS (
+  SELECT a.media_id, a.f, a.r, a.c,
+         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+  FROM vgray a JOIN vgray b
+    ON b.media_id = a.media_id AND b.f = a.f
+   AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+),
+vhashes AS (
+  SELECT media_id, CAST(f AS INT) AS frame_idx,
+    CAST(sum(CASE WHEN r*8+c >= 32 THEN bit * (1::BIGINT << (r*8+c-32))
+                  ELSE 0 END) AS BIGINT) AS dhash_hi,
+    CAST(sum(CASE WHEN r*8+c < 32 THEN bit * (1::BIGINT << (r*8+c))
+                  ELSE 0 END) AS BIGINT) AS dhash_lo
+  FROM vbits
+  GROUP BY 1, 2
+)"""
+
+
 def _pagerank_sql() -> str:
     """q51 oracle: chained-CTE replay of linkgraph.pagerank over the
     derived doc_id graph. Every float op mirrors the Spark side's IEEE
@@ -1425,6 +1485,23 @@ SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
 FROM bands a JOIN bands b2 ON a.b = b2.b AND a.v = b2.v AND a.id < b2.id
 WHERE bit_count(xor(a.afp_hi, b2.afp_hi))
       + bit_count(xor(a.afp_lo, b2.afp_lo)) <= 10
+""",
+        "q115_video_framehash": f"""
+WITH {_VFRAME_HASHES}
+SELECT media_id, frame_idx, dhash_hi, dhash_lo FROM vhashes
+""",
+        # q116: shot-level pairing — videos sharing >= 2 DISTINCT sampled
+        # frame hashes meet via an equi-join on the exact 64-bit hash.
+        "q116_video_neardup": f"""
+WITH {_VFRAME_HASHES},
+fh AS (SELECT DISTINCT media_id, dhash_hi, dhash_lo FROM vhashes)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_frames
+FROM fh a JOIN fh b
+  ON a.dhash_hi = b.dhash_hi AND a.dhash_lo = b.dhash_lo
+ AND a.media_id < b.media_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
 """,
         "q111_image_dhash": f"""
 WITH {_DHASH_HASHES}

@@ -1660,3 +1660,55 @@ def test_audio_afp_and_neardups(spark):
     for p in pairs:
         assert p["id_a"] // 5 == p["id_b"] // 5
         assert p["hamming"] <= 10
+
+
+def test_y4m_codec_roundtrip_and_dhash():
+    """Pure-Python Y4M: make/decode round-trips frames; flat luma →
+    zero-bit hash; a horizontal gradient sets all 64 bits; malformed
+    headers and non-mono color spaces are rejected."""
+    import pytest
+
+    from wikifrontier.multimodal import decode_y4m, dhash_from_luma, make_y4m
+
+    w, h = 9, 8
+    frames = [bytes(w * h), bytes(range(w)) * h]
+    meta = decode_y4m(make_y4m(w, h, frames))
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["frames"] == frames
+    assert dhash_from_luma(frames[0], w, h) == (0, 0)
+    grad = bytes(x * 20 % 256 for _ in range(h) for x in range(w))
+    assert dhash_from_luma(grad, w, h) == (0xFFFFFFFF, 0xFFFFFFFF)
+    with pytest.raises(ValueError):
+        decode_y4m(b"not a video")
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n" + b"FRAME\n" + bytes(24))
+
+
+def test_video_framehash_and_neardups(spark):
+    """attach_videos_formula groups of 5 (4 exact + 1 perturbed member)
+    pair up via >= 2 shared sampled-frame hashes; no cross-group pairs;
+    undecodable payloads dropped; frame sampling keeps every 3rd index."""
+    from wikifrontier.multimodal import (
+        attach_videos_formula, video_frame_dhash, video_near_dups,
+    )
+
+    base = spark.range(0, 20).selectExpr("id AS doc_id")
+    vids = attach_videos_formula(base)
+    junk = spark.createDataFrame(
+        [(999, bytearray(b"RIFF not video"))], "media_id long, payload binary"
+    )
+    hashes = video_frame_dhash(vids.unionByName(junk))
+    rows = hashes.collect()
+    assert {r["media_id"] for r in rows} == set(range(20))  # junk dropped
+    assert all(r["frame_idx"] % 3 == 0 for r in rows)
+    pairs = video_near_dups(hashes).collect()
+    got = {(p["id_a"], p["id_b"]) for p in pairs}
+    # the 4 unperturbed members of each group share every frame hash
+    for g in range(4):
+        ids = [g * 5 + k for k in range(5) if k != 1]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                assert (a, b) in got
+    for p in pairs:
+        assert p["id_a"] // 5 == p["id_b"] // 5  # never cross-group
+        assert p["shared_frames"] >= 2

@@ -618,3 +618,192 @@ def attach_audio_formula(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(
         build, schema="media_id long, payload binary"
     )
+
+
+# --- video: Y4M container, frame sampling, temporal fingerprint ---------------
+# The video leg of the multimodal tier. The container is YUV4MPEG2 (Y4M) —
+# a real, public, uncompressed video format with a plain-text header
+# (`YUV4MPEG2 W.. H.. F25:1 Ip A1:1 Cmono\n` + per-frame `FRAME\n` + luma
+# plane), so the Spark-side decode is a genuine stdlib parser just like BMP
+# and WAV above; codec-compressed video (mp4/h264) still hits the
+# NotImplementedError guard in decode_media. The operator pair is the
+# standard shot-level play: sample every k-th frame, perceptual-hash each
+# sampled frame (same 9x8 dHash grid as images, on the luma plane), then
+# near-duplicate VIDEOS are pairs sharing >= m exact frame hashes — an
+# equi-join on the 64-bit hash, never n² over videos.
+VIDEO_SAMPLE_EVERY = 3
+VIDEO_MIN_SHARED = 2
+VFRAME_DDL = "media_id long, frame_idx int, dhash_hi long, dhash_lo long"
+
+
+def make_y4m(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Genuine YUV4MPEG2 container, Cmono (luma plane only)."""
+    head = f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 Cmono\n".encode()
+    body = b"".join(b"FRAME\n" + f for f in frames)
+    return head + body
+
+
+def decode_y4m(data: bytes) -> dict:
+    """Parse a Cmono Y4M payload → {width, height, frames: [luma bytes]}.
+
+    Stdlib-only, mirrors decode_bmp/decode_wav: header params are the
+    space-separated `W`/`H` tags; each frame is `FRAME\\n` + w*h luma
+    bytes. Raises ValueError on anything that is not mono Y4M.
+    """
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M payload")
+    w = h = None
+    mono = False
+    for tag in data[:nl].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            mono = tag[1:] == b"mono"
+    if not (w and h and mono):
+        raise ValueError("unsupported Y4M variant")
+    frames, pos, size = [], nl + 1, w * h
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or data[pos:pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        frames.append(data[fnl + 1:fnl + 1 + size])
+        pos = fnl + 1 + size
+    return {"width": w, "height": h, "frames": frames}
+
+
+def dhash_from_luma(luma: bytes, w: int, h: int) -> tuple[int, int]:
+    """(dhash_hi, dhash_lo) over a single luma plane — the BMP dHash's
+    grid/compare arithmetic with gray = luma byte directly (no channel
+    mean). Same 9x8 grid, same bit layout, all integer."""
+    hi = lo = 0
+    for r in range(DHASH_GRID_H):
+        row = w * ((r * h) // DHASH_GRID_H)
+        gs = [luma[row + (c * w) // DHASH_GRID_W]
+              for c in range(DHASH_GRID_W)]
+        for c in range(DHASH_GRID_W - 1):
+            if gs[c + 1] > gs[c]:
+                idx = r * 8 + c
+                if idx < 32:
+                    lo |= 1 << idx
+                else:
+                    hi |= 1 << (idx - 32)
+    return hi, lo
+
+
+def video_frame_dhash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload: str = "payload",
+    sample_every: int = VIDEO_SAMPLE_EVERY,
+) -> DataFrame:
+    """Frame-sampled perceptual hashes over real Y4M payloads →
+    ``(media_id, frame_idx, dhash_hi, dhash_lo)`` for frames
+    0, k, 2k, … — decode cost is O(n_frames/k) per video and the output
+    is 4 scalars per SAMPLED frame, so a 2-hour video contributes ~2400
+    rows, not 180k. Undecodable payloads are dropped.
+
+    Scale shape: one Arrow-batched mapInPandas pass (real container
+    parsing is per-row Python by nature), no shuffle here at all; the
+    pairing below is the only exchange in the tier.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [],
+                   "dhash_hi": [], "dhash_lo": []}
+            for mid, raw in zip(pdf[id_col], pdf[payload]):
+                try:
+                    meta = decode_y4m(bytes(raw))
+                except (ValueError, IndexError):
+                    continue
+                w, h = meta["width"], meta["height"]
+                for f in range(0, len(meta["frames"]), sample_every):
+                    hi, lo = dhash_from_luma(meta["frames"][f], w, h)
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(f)
+                    out["dhash_hi"].append(hi)
+                    out["dhash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, payload).mapInPandas(run, schema=VFRAME_DDL)
+
+
+def video_near_dups(
+    frame_hashes: DataFrame, min_shared: int = VIDEO_MIN_SHARED
+) -> DataFrame:
+    """Near-duplicate video pairs → ``(id_a, id_b, shared_frames)``:
+    videos sharing >= min_shared distinct sampled-frame hashes. The join
+    key is the exact 64-bit frame hash, so candidates only ever meet
+    inside identical-frame buckets (shot matching) — one shuffle on the
+    hash, one on the pair, never n² over videos. distinct() first keeps
+    a video that repeats a still frame from inflating its own bucket.
+    """
+    fh = frame_hashes.select("media_id", "dhash_hi", "dhash_lo").distinct()
+    a, b = fh.alias("a"), fh.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.dhash_hi") == F.col("b.dhash_hi"),
+                F.col("a.dhash_lo") == F.col("b.dhash_lo"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+        )
+        .agg(F.count("*").cast("long").alias("shared_frames"))
+        .filter(F.col("shared_frames") >= min_shared)
+    )
+
+
+def attach_videos_formula(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Oracle-replayable REAL-Y4M fixture, the video twin of
+    attach_images_formula: groups of 5 share base = id − id%5; frame
+    dimensions w = base%11+8, h = base%5+8, n_frames = base%13+10; luma
+    byte at (frame f, offset o) is ((o+f)²·qa + o·qb + base·13) % 256
+    with GROUP-DEPENDENT qa = base%7+5, qb = base%11+3 — the frame index
+    shifts the quadratic's PHASE so consecutive frames have different
+    gradients (a uniform per-frame brightness shift would leave every
+    frame's dHash identical), and the group-dependent coefficients keep
+    hashes dispersed ACROSS groups. The id%5==1 member perturbs every
+    89th byte of the concatenated luma stream (global index f·w·h+o) by
+    +48 (mod 256). Payloads are genuine Y4M containers, so the Spark
+    side runs the real parser while the oracle replays the formula.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "payload": []}
+            for i in pdf[id_col]:
+                i = int(i)
+                base = i - (i % 5)
+                w = (base % 11) + 8
+                h = (base % 5) + 8
+                nf = (base % 13) + 10
+                qa = (base % 7) + 5
+                qb = (base % 11) + 3
+                perturb = i % 5 == 1
+                size = w * h
+                o = np.arange(size, dtype=np.int64)
+                frames = []
+                for f in range(nf):
+                    v = ((o + f) * (o + f) * qa + o * qb + base * 13) % 256
+                    if perturb:
+                        hit = (f * size + o) % 89 == 0
+                        v = np.where(hit, (v + 48) % 256, v)
+                    frames.append(v.astype(np.uint8).tobytes())
+                out["media_id"].append(i)
+                out["payload"].append(make_y4m(w, h, frames))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(
+        build, schema="media_id long, payload binary"
+    )

@@ -2454,6 +2454,32 @@ def q114_audio_neardup(spark, sf_dir):
     return multimodal.afp_near_dups(q113_audio_afp(spark, sf_dir))
 
 
+def q115_video_framehash(spark, sf_dir):
+    """Frame-sampled video fingerprinting (multimodal.video_frame_dhash):
+    every 3rd frame of REAL Y4M (YUV4MPEG2, Cmono) payloads — a genuine
+    public container parsed by a stdlib reader, like BMP/WAV before it —
+    gets the 9x8 luma dHash, so a video contributes O(n_frames/3) rows
+    of 4 scalars. Fixture: attach_videos_formula — closed-form luma with
+    a frame-shifted quadratic phase (group-dependent coefficients), so
+    the oracle replays grid/compare/bit arithmetic without a container.
+    Reference scope: the crawler stores opaque page payloads
+    (components/crawler/core/downloader.py:8-44); this extends the same
+    bytes-in-a-column design to the video modality."""
+    docs = load(spark, sf_dir, "documents")
+    vids = multimodal.attach_videos_formula(docs)
+    return multimodal.video_frame_dhash(vids)
+
+
+def q116_video_neardup(spark, sf_dir):
+    """Near-duplicate video pairs (multimodal.video_near_dups): shot-level
+    matching — videos sharing >= 2 distinct sampled-frame hashes pair up
+    via an equi-join on the exact 64-bit frame hash (candidates only meet
+    inside identical-frame buckets; one hash shuffle + one pair groupBy,
+    never n² over videos). The fixture's groups of 5 (4 exact + 1
+    perturbed member) must pair on their shared frames."""
+    return multimodal.video_near_dups(q115_video_framehash(spark, sf_dir))
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
