@@ -538,6 +538,48 @@ vhashes AS (
 )"""
 
 
+# q117/q118 oracle scaffold: the 40-host planted-community fixture +
+# chained-CTE replay of label_propagation's synchronous rounds. Winner
+# pick replays min(struct(-c, label)) as row_number ORDER BY c DESC,
+# label ASC; symmetrization is the UNION (deduping) of both directions.
+def _lpa_rounds_sql(iterations: int = 4) -> str:
+    parts = ["""
+hostidx AS (SELECT doc_id, doc_id % 40 AS hs FROM documents),
+rawe AS (
+  SELECT hs AS si, ((hs - hs % 5) + (hs % 5 + 1) % 5) AS di FROM hostidx
+  UNION ALL
+  SELECT hs, ((hs - hs % 5) + (hs % 5 + 2) % 5) FROM hostidx
+  UNION ALL
+  SELECT hs, (hs + 5) % 40 FROM hostidx WHERE doc_id % 23 = 0
+),
+ledges AS (
+  SELECT DISTINCT
+    'c' || (si // 5) || 'h' || (si % 5) || '.example.org' AS a,
+    'c' || (di // 5) || 'h' || (di % 5) || '.example.org' AS b
+  FROM rawe WHERE si <> di
+),
+und AS (SELECT a, b FROM ledges UNION SELECT b, a FROM ledges),
+lnodes AS (SELECT DISTINCT a AS id FROM und),
+l0 AS (SELECT id, id AS label FROM lnodes)"""]
+    prev = "l0"
+    for k in range(1, iterations + 1):
+        parts.append(f"""
+v{k} AS (
+  SELECT u.a AS v, l.label, count(*) AS c
+  FROM und u JOIN {prev} l ON l.id = u.b GROUP BY 1, 2
+),
+l{k} AS (
+  SELECT v AS id, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC)
+             AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{k}"
+    return ",".join(parts)
+
+
 def _pagerank_sql() -> str:
     """q51 oracle: chained-CTE replay of linkgraph.pagerank over the
     derived doc_id graph. Every float op mirrors the Spark side's IEEE
@@ -1502,6 +1544,47 @@ FROM fh a JOIN fh b
  AND a.media_id < b.media_id
 GROUP BY 1, 2
 HAVING count(*) >= 2
+""",
+        "q117_lpa_communities": f"""
+WITH {_lpa_rounds_sql(4)}
+SELECT id AS host, label AS community FROM l4
+""",
+        # q118: cut quality over the SAME replayed assignment — pairs
+        # canonicalize to (least, greatest); internal counts once, a
+        # crossing pair counts as boundary for both communities.
+        "q118_community_quality": f"""
+WITH {_lpa_rounds_sql(4)},
+lpairs AS (
+  SELECT DISTINCT least(a, b) AS x, greatest(a, b) AS y FROM ledges
+),
+tagged AS (
+  SELECT lx.label AS cx, ly.label AS cy
+  FROM lpairs p JOIN l4 lx ON lx.id = p.x JOIN l4 ly ON ly.id = p.y
+),
+per_side AS (
+  SELECT cx AS community, (cx = cy) AS internal FROM tagged
+  UNION ALL
+  SELECT cy, FALSE FROM tagged WHERE cx <> cy
+),
+ccounts AS (
+  SELECT community,
+         CAST(sum(CASE WHEN internal THEN 1 ELSE 0 END) AS BIGINT)
+           AS internal_pairs,
+         CAST(sum(CASE WHEN internal THEN 0 ELSE 1 END) AS BIGINT)
+           AS boundary_pairs
+  FROM per_side GROUP BY 1
+),
+members AS (
+  SELECT label AS community, count(*) AS n_members FROM l4 GROUP BY 1
+)
+SELECT m.community, m.n_members,
+       coalesce(c.internal_pairs, 0) AS internal_pairs,
+       coalesce(c.boundary_pairs, 0) AS boundary_pairs,
+       round(coalesce(c.boundary_pairs, 0) / greatest(
+         CAST(2 * coalesce(c.internal_pairs, 0)
+              + coalesce(c.boundary_pairs, 0) AS DOUBLE), 1.0), 8)
+         AS conductance
+FROM members m LEFT JOIN ccounts c USING (community)
 """,
         "q111_image_dhash": f"""
 WITH {_DHASH_HASHES}

@@ -1712,3 +1712,47 @@ def test_video_framehash_and_neardups(spark):
     for p in pairs:
         assert p["id_a"] // 5 == p["id_b"] // 5  # never cross-group
         assert p["shared_frames"] >= 2
+
+
+def test_label_propagation_hand_math(spark):
+    """Two K4 cliques joined by one bridge: sync LPA with the min-label
+    tie-break converges to one community per clique by round 3 (hand
+    trace: r1 all-distinct ties pick min neighbor; r2 the clique minimum
+    dominates by count; the single bridge vote never beats the 3 intra
+    votes). The directed/dup input must symmetrize + dedup first."""
+    from wikifrontier.linkgraph import label_propagation
+
+    k4 = lambda v: [(v[i], v[j]) for i in range(4) for j in range(i + 1, 4)]
+    edges = spark.createDataFrame(
+        # clique 1 + clique 2 + bridge, one duplicate reversed edge and
+        # a self-loop that must drop
+        k4("abcd") + k4("wxyz") + [("d", "w"), ("b", "a"), ("a", "a")],
+        "src string, dst string",
+    )
+    got = {r["id"]: r["community"] for r in label_propagation(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a",
+                   "w": "w", "x": "w", "y": "w", "z": "w"}
+
+
+def test_community_stats_hand_counts(spark):
+    """Hand-counted cut quality: triangle {a,b,c} + bridge c-x to pair
+    {x,y}: community A has 3 internal + 1 boundary pair → conductance
+    1/7; singleton-edge community X has 1 internal + 1 boundary → 1/3."""
+    from wikifrontier.linkgraph import community_stats
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "x"), ("x", "y")],
+        "src string, dst string",
+    )
+    labels = spark.createDataFrame(
+        [("a", "A"), ("b", "A"), ("c", "A"), ("x", "X"), ("y", "X")],
+        "id string, community string",
+    )
+    rows = {r["community"]: r for r in community_stats(edges, labels).collect()}
+    assert rows["A"]["n_members"] == 3
+    assert rows["A"]["internal_pairs"] == 3
+    assert rows["A"]["boundary_pairs"] == 1
+    assert rows["A"]["conductance"] == round(1 / 7, 8)
+    assert rows["X"]["internal_pairs"] == 1
+    assert rows["X"]["boundary_pairs"] == 1
+    assert rows["X"]["conductance"] == round(1 / 3, 8)

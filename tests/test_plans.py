@@ -351,3 +351,35 @@ def test_snapshot_diff_is_single_equijoin(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan))
     assert n_joins == 1, plan
+
+
+def test_video_neardup_equijoin_shape(spark):
+    """q115/q116: Y4M decode is one Arrow-batched Python stage; the
+    pairing is an equi-join on the exact frame hash — never a cartesian
+    or nested-loop over videos."""
+    plan = plan_of(queries.q116_video_neardup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        "ArrowEvalPython" in plan or "MapInPandas" in plan
+        or "PythonMapInArrow" in plan
+    )
+
+
+def test_lpa_loop_is_fold_not_window(spark):
+    """q117: each LPA round is one edge⋈label equi-join + two keyed
+    aggregates; the winner pick is min(struct(-c, label)) — a
+    partial-aggregatable FOLD, never a per-node Window sort (a window
+    would serialize each node's votes through one task at scale).
+    checkpoint=False exposes both unrolled rounds to explain."""
+    from wikifrontier.linkgraph import label_propagation
+
+    edges = spark.range(200).select(
+        F.concat(F.lit("h"), F.col("id") % 40).alias("src"),
+        F.concat(F.lit("h"), (F.col("id") * 7 + 3) % 40).alias("dst"),
+    )
+    plan = plan_of(label_propagation(edges, iterations=2, checkpoint=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2 or plan.count("Aggregate") >= 2

@@ -1157,6 +1157,49 @@ def main() -> int:
         summary_of(q114_plan_df),
     ))
 
+    # 67. video frame hashing + shot-level pairing (q115/q116)
+    q116_plan_df = queries.q116_video_neardup(spark, sf_dir)
+    q116_plan = plan_of(q116_plan_df)
+    assert "CartesianProduct" not in q116_plan, "q116 grew a cartesian"
+    assert "ArrowEvalPython" in q116_plan or "MapInPandas" in q116_plan or (
+        "PythonMapInArrow" in q116_plan
+    ), "q115/q116 decode should run as an Arrow-batched Python stage"
+    sections.append((
+        "Video frame-hash near-dup (q115/q116)",
+        "Y4M decode + per-sampled-frame luma dHash runs ONCE per video "
+        "in an Arrow-batched mapInPandas (4 scalars per sampled frame, "
+        "frames/3 rows per video); pairing is an EQUI-join on the exact "
+        "64-bit frame hash — candidates only meet inside identical-frame "
+        "buckets (shot matching), one hash shuffle + one pair groupBy, "
+        "never n² over videos.",
+        summary_of(q116_plan_df),
+    ))
+
+    # 68. label-propagation communities + cut quality (q117/q118)
+    from wikifrontier.linkgraph import label_propagation
+    lpa_edges = queries._q117_host_edges(spark, sf_dir)
+    lpa_body_plan = plan_of(
+        label_propagation(lpa_edges, iterations=2, checkpoint=False)
+    )
+    assert "CartesianProduct" not in lpa_body_plan, "LPA grew a cartesian"
+    assert "Window" not in lpa_body_plan, (
+        "LPA winner pick must stay a keyed fold, not a window"
+    )
+    q118_plan_df = queries.q118_community_quality(spark, sf_dir)
+    q118_plan = plan_of(q118_plan_df)
+    assert "CartesianProduct" not in q118_plan, "q118 grew a cartesian"
+    sections.append((
+        "LPA communities + cut quality (q117/q118)",
+        "Each synchronous LPA round is ONE edge⋈label equi-join plus two "
+        "keyed aggregates — vote counts on (node, label), then the "
+        "winner via min(struct(-count, label)), a partial-aggregatable "
+        "fold rather than a per-node window sort. Zero in-loop actions; "
+        "lineage cut per round (this section explains the UNCHECKPOINTED "
+        "2-round body, same convention as q51). q118's rollup attaches "
+        "labels by two O(nodes) equi-joins and folds once per side.",
+        summary_of(q118_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

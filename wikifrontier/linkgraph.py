@@ -722,3 +722,138 @@ def webgraph_stats(host_edges: DataFrame) -> DataFrame:
         "reciprocity_rate",
         "max_out_pairs",
     )
+
+
+LPA_ITERATIONS = 4
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = LPA_ITERATIONS,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Deterministic synchronous label propagation → ``(id, community)``.
+
+    Community detection over the host graph — the classic LPA
+    (Raghavan/Albert/Kumara 2007) with the two standard determinism
+    fixes so the result is oracle-replayable: synchronous rounds (all
+    nodes update from the PREVIOUS round's labels) and a total
+    tie-break (most-frequent neighbor label, ties to the MINIMUM
+    label). The graph is symmetrized and self-loops dropped first;
+    every node starts as its own label; a fixed iteration count keeps
+    the computation one deterministic plan (sync LPA can 2-cycle on
+    bipartite structures — a fixed horizon makes that a defined
+    output, not nondeterminism). The reference keeps the raw link
+    relation (database/db_models/models.py:203-236) but has no graph
+    analytics; this is additive capability over its own data model.
+
+    Scale shape: per round, ONE equi-join of the undirected edge list
+    against the label vector (keyed on the neighbor id) and TWO keyed
+    aggregates — vote counts on (node, label), then an argmin-by-struct
+    fold on node; the winner pick is min(struct(-count, label)), a
+    partial-aggregatable fold, NOT a window (no per-node sort, no skew
+    pile-up on a global key). Edge list is scanned once per round;
+    shuffle volume per round is O(edges) partial-aggregated to
+    O(nodes). Zero in-loop driver actions; lineage cut per round.
+
+    ``checkpoint=False`` exposes the full loop-body plan to `explain`
+    for the plan audit (same convention as ``pagerank``).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    if checkpoint:
+        und = und.localCheckpoint(eager=False)
+    nodes = und.select(F.col("a").alias("id")).distinct()
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(iterations):
+        votes = (
+            und.join(labels, und.b == labels.id)
+            .groupBy(F.col("a").alias("v"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        picks = votes.groupBy("v").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("label").alias("lb"))
+            ).alias("best")
+        )
+        # symmetrization guarantees every node has >= 1 neighbor, but the
+        # left join + coalesce keeps the op total on any labels input
+        labels = nodes.join(picks, nodes.id == picks.v, "left").select(
+            "id", F.coalesce(F.col("best.lb"), F.col("id")).alias("label")
+        )
+        if checkpoint:
+            labels = labels.localCheckpoint(eager=False)
+    return labels.select("id", F.col("label").alias("community"))
+
+
+def community_stats(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-community quality rollup → ``(community, n_members,
+    internal_pairs, boundary_pairs, conductance)`` over an LPA (or any)
+    node→community assignment.
+
+    internal_pairs counts undirected distinct pairs with BOTH endpoints
+    in the community; boundary_pairs counts pairs with exactly one.
+    conductance = boundary / (2·internal + boundary) — the standard cut
+    quality (lower = tighter community), rounded to 8 for cross-engine
+    float parity.
+
+    Scale shape: pairs are canonicalized (least, greatest) + distinct —
+    one shuffle; two label lookups are equi-joins against the O(nodes)
+    label vector; the rollup is one keyed fold per side unioned into a
+    single groupBy. No window, no n² anywhere.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    pairs = e.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    ).distinct()
+    lx = labels.select(F.col("id").alias("x"), F.col("community").alias("cx"))
+    ly = labels.select(F.col("id").alias("y"), F.col("community").alias("cy"))
+    tagged = pairs.join(lx, "x").join(ly, "y")
+    # attribute each pair to both endpoint communities, then fold once
+    per_side = tagged.select(
+        F.col("cx").alias("community"),
+        (F.col("cx") == F.col("cy")).alias("internal"),
+    ).union(
+        # internal pairs must count ONCE per community, so the y side
+        # only contributes when the pair crosses communities
+        tagged.filter(F.col("cx") != F.col("cy")).select(
+            F.col("cy").alias("community"), F.lit(False).alias("internal")
+        )
+    )
+    counts = per_side.groupBy("community").agg(
+        F.sum(F.col("internal").cast("long")).alias("internal_pairs"),
+        F.sum((~F.col("internal")).cast("long")).alias("boundary_pairs"),
+    )
+    members = labels.groupBy("community").agg(
+        F.count("*").alias("n_members")
+    )
+    return members.join(counts, "community", "left").select(
+        "community",
+        "n_members",
+        F.coalesce("internal_pairs", F.lit(0)).alias("internal_pairs"),
+        F.coalesce("boundary_pairs", F.lit(0)).alias("boundary_pairs"),
+        F.round(
+            F.coalesce("boundary_pairs", F.lit(0))
+            / F.greatest(
+                (2 * F.coalesce("internal_pairs", F.lit(0))
+                 + F.coalesce("boundary_pairs", F.lit(0))).cast("double"),
+                F.lit(1.0),
+            ),
+            8,
+        ).alias("conductance"),
+    )

@@ -2480,6 +2480,67 @@ def q116_video_neardup(spark, sf_dir):
     return multimodal.video_near_dups(q115_video_framehash(spark, sf_dir))
 
 
+def _q117_host_edges(spark, sf_dir):
+    """Shared fixture for q117/q118: a 40-host graph with 8 planted
+    communities — clusters of 5 hosts c{q}h0..c{q}h4 wired as K5 (ring +
+    distance-2 chord, symmetrized) plus sparse cross-cluster bridges
+    (doc_id % 23 == 0 → next cluster, same position). Dense intra-cluster
+    votes dominate the <= 2 bridge votes per node, so LPA must recover
+    exactly the planted clusters."""
+    docs = load(spark, sf_dir, "documents")
+    hs = F.col("doc_id") % 40
+
+    def host(idx):
+        return F.concat(
+            F.lit("c"), (idx / 5).cast("long").cast("string"),
+            F.lit("h"), (idx % 5).cast("string"),
+            F.lit(".example.org"),
+        )
+
+    ring = (hs - hs % 5) + (hs % 5 + 1) % 5
+    chord = (hs - hs % 5) + (hs % 5 + 2) % 5
+    bridge = (hs + 5) % 40
+    e12 = docs.select(
+        host(hs).alias("src"),
+        F.explode(F.array(host(ring), host(chord))).alias("dst"),
+    )
+    e3 = docs.filter(F.col("doc_id") % 23 == 0).select(
+        host(hs).alias("src"), host(bridge).alias("dst")
+    )
+    return e12.union(e3)
+
+
+def q117_lpa_communities(spark, sf_dir):
+    """Community detection over the host graph
+    (linkgraph.label_propagation): deterministic synchronous LPA —
+    most-frequent neighbor label with a min-label tie-break, 4 fixed
+    rounds, symmetrized edges. Per round: one edge⋈label equi-join plus
+    two keyed folds (vote count, then argmin-by-struct winner pick — a
+    partial-aggregatable fold, NOT a window), zero in-loop actions.
+    Fixture: 8 planted K5 clusters + sparse bridges; the oracle replays
+    every round as chained CTEs, so the 2-cycle-prone sync dynamics are
+    pinned exactly, not just the converged fixed point."""
+    edges = _q117_host_edges(spark, sf_dir)
+    return linkgraph.label_propagation(edges).select(
+        F.col("id").alias("host"), "community"
+    )
+
+
+def q118_community_quality(spark, sf_dir):
+    """Community cut quality (linkgraph.community_stats) over the q117
+    assignment: member counts, internal/boundary undirected pair counts,
+    and conductance = boundary / (2·internal + boundary) per community —
+    the acceptance check a pipeline runs before using communities for
+    crawl sharding or domain-mixture buckets. Pairs canonicalize to
+    (least, greatest) + distinct, labels attach via two O(nodes)
+    equi-joins, and the rollup is one keyed fold — no window, no n²."""
+    edges = _q117_host_edges(spark, sf_dir)
+    labels = linkgraph.label_propagation(edges).select(
+        F.col("id"), "community"
+    )
+    return linkgraph.community_stats(edges, labels)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
