@@ -1586,6 +1586,98 @@ SELECT m.community, m.n_members,
          AS conductance
 FROM members m LEFT JOIN ccounts c USING (community)
 """,
+        # q119: Mercator URL canonicalization — identical regexps (the
+        # Java∩RE2 dialect intersection), list ops mirror array ops.
+        "q119_url_normalize": """
+WITH uraw AS (
+  SELECT CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'HTTP://WWW.Example.com:80/a/' || (doc_id // 4)
+                || '?utm_source=x&b=2&a=1'
+    WHEN 1 THEN 'http://www.example.com/a/' || (doc_id // 4)
+                || '?b=2&a=1&fbclid=zz'
+    WHEN 2 THEN 'https://Site.org:443/p' || doc_id || '#frag'
+    ELSE 'not-a-url-' || doc_id END AS u
+  FROM documents
+),
+uparts AS (
+  SELECT u,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+      AS host0,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      AS path0,
+    regexp_extract(u, '\\?([^#]*)', 1) AS q
+  FROM uraw
+),
+unormed AS (
+  SELECT u,
+    scheme || '://'
+    || (CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             ELSE host0 END)
+    || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+    || (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS normalized_url
+  FROM (
+    SELECT u, scheme, host0, path0,
+      coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        x -> x <> '' AND NOT regexp_matches(x,
+          '(?i)^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)='))), '&'),
+        '') AS qs
+    FROM uparts
+  )
+  WHERE scheme <> '' AND host0 <> ''
+)
+SELECT normalized_url, count(DISTINCT u) AS n_variants, min(u) AS first_url
+FROM unormed GROUP BY 1
+""",
+        # q120: HLL replay — same sha256 bytes, same integer register
+        # sum, same scalar estimator; hex→int via the 0x-cast.
+        "q120_hll_distinct_hosts": """
+WITH hdata AS (
+  SELECT 's' || (doc_id % 8) AS segment,
+         'h' || ((doc_id * 48271) % 350) || '.example.org' AS host
+  FROM documents
+),
+rhos AS (
+  SELECT segment,
+    (('0x' || substr(sha256(host), 1, 2))::BIGINT) % 64 AS bucket,
+    CASE WHEN ('0x' || substr(sha256(host), 3, 10))::BIGINT = 0 THEN 41
+         ELSE 41 - length(bin(('0x' || substr(sha256(host), 3, 10))::BIGINT))
+    END AS rho
+  FROM hdata
+),
+regs AS (SELECT segment AS grp, bucket, max(rho) AS r FROM rhos GROUP BY 1, 2),
+allregs AS (SELECT 'ALL' AS grp, bucket, max(r) AS r FROM regs GROUP BY 2),
+folds AS (
+  SELECT grp, count(*) AS n_registers,
+         sum(CAST(power(2, 41 - r) AS BIGINT)) AS sum_present
+  FROM (SELECT * FROM regs UNION ALL SELECT * FROM allregs) GROUP BY 1
+),
+scalars AS (
+  SELECT grp, n_registers,
+    CAST(0.709 AS DOUBLE) * 64 * 64
+      / (CAST(sum_present + (64 - n_registers) * 2199023255552 AS DOUBLE)
+         / 2199023255552.0) AS raw,
+    64 - n_registers AS v
+  FROM folds
+),
+ests AS (
+  SELECT grp, n_registers,
+    CASE WHEN raw <= 160.0 AND v > 0
+         THEN round(64.0 * ln(64.0 / v), 4)
+         ELSE round(raw, 4) END AS hll_estimate
+  FROM scalars
+),
+hexact AS (
+  SELECT segment AS grp, count(DISTINCT host) AS n_exact FROM hdata GROUP BY 1
+  UNION ALL
+  SELECT 'ALL', count(DISTINCT host) FROM hdata
+)
+SELECT e.grp AS segment, x.n_exact, e.n_registers, e.hll_estimate,
+       round(abs(e.hll_estimate - x.n_exact) / CAST(x.n_exact AS DOUBLE), 4)
+         AS rel_err
+FROM ests e JOIN hexact x USING (grp)
+""",
         "q111_image_dhash": f"""
 WITH {_DHASH_HASHES}
 SELECT media_id, width, height, dhash_hi, dhash_lo FROM hashes

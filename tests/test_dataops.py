@@ -1756,3 +1756,78 @@ def test_community_stats_hand_counts(spark):
     assert rows["X"]["internal_pairs"] == 1
     assert rows["X"]["boundary_pairs"] == 1
     assert rows["X"]["conductance"] == round(1 / 3, 8)
+
+
+def test_url_normalize_matrix(spark):
+    """Hand matrix for the Mercator normalizer: case, default ports,
+    tracking params, param sorting, fragments, empty path, and the
+    reject path for scheme-less strings."""
+    from wikifrontier.extract import url_normalize
+
+    cases = [
+        ("HTTP://WWW.Ex.com:80/a?utm_source=x&b=2&a=1",
+         "http://www.ex.com/a?a=1&b=2"),
+        ("https://Site.org:443/p#frag", "https://site.org/p"),
+        ("https://site.org:8443/p", "https://site.org:8443/p"),  # non-default
+        ("http://h.io", "http://h.io/"),                          # empty path
+        ("http://h.io/?fbclid=z&REF=x", "http://h.io/"),          # (?i) match
+        ("ftp://files.org/f", "ftp://files.org/f"),               # other scheme
+        ("not-a-url", None),
+        ("/relative/path", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = {
+        r["url"]: r["norm"]
+        for r in df.select(
+            "url", url_normalize(F.col("url")).alias("norm")
+        ).collect()
+    }
+    for u, want in cases:
+        assert got[u] == want, (u, got[u], want)
+
+
+def test_url_dedup_rollup_collapses_variants(spark):
+    from wikifrontier.extract import url_dedup_rollup
+
+    df = spark.createDataFrame(
+        [("HTTP://A.com:80/x?b=1&a=2",), ("http://a.com/x?a=2&b=1&utm_z=9",),
+         ("http://a.com/x?a=2&b=1",), ("junk",)],
+        "url string",
+    )
+    rows = url_dedup_rollup(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["normalized_url"] == "http://a.com/x?a=2&b=1"
+    assert rows[0]["n_variants"] == 3
+    assert rows[0]["first_url"] == "HTTP://A.com:80/x?b=1&a=2"
+
+
+def test_hll_sketch_properties(spark):
+    """HLL invariants: the merged-ALL estimate comes from register-wise
+    max (union property — disjoint segments' ALL >= each segment), the
+    small-range branch is exact-formula m*ln(m/V), and rel_err stays
+    inside HLL's expected band (~1.04/sqrt(64) = 13%; assert a loose
+    3-sigma 40%)."""
+    import math
+
+    from wikifrontier.sketch import HLL_M, hll_report
+
+    df = spark.range(0, 2000).select(
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("g"),
+        F.concat(F.lit("v"), ((F.col("id") * 7919) % 900).cast("string")).alias("v"),
+    )
+    rows = {r["grp"]: r for r in hll_report(df, "v", "g").collect()}
+    assert set(rows) == {"s0", "s1", "s2", "s3", "ALL"}
+    a = rows["ALL"]
+    assert a["n_exact"] == 900
+    for g in ("s0", "s1", "s2", "s3"):
+        assert rows[g]["n_registers"] <= a["n_registers"]
+        assert rows[g]["rel_err"] <= 0.4
+    assert a["rel_err"] <= 0.4
+    # small-range branch: tiny cardinality must hit m*ln(m/V) exactly
+    tiny = spark.createDataFrame(
+        [("t", f"x{i}") for i in range(5)], "g string, v string"
+    )
+    t = hll_report(tiny, "v", "g").collect()
+    seg = [r for r in t if r["grp"] == "t"][0]
+    v_empty = HLL_M - seg["n_registers"]
+    assert seg["hll_estimate"] == round(HLL_M * math.log(HLL_M / v_empty), 4)

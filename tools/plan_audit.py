@@ -1200,6 +1200,40 @@ def main() -> int:
         summary_of(q118_plan_df),
     ))
 
+    # 69. Mercator URL normalization rollup (q119)
+    q119_plan_df = queries.q119_url_normalize(spark, sf_dir)
+    q119_plan = plan_of(q119_plan_df)
+    assert "CartesianProduct" not in q119_plan
+    assert "PythonUDF" not in q119_plan, (
+        "URL normalization must stay a JVM column expression"
+    )
+    sections.append((
+        "Mercator URL normalization (q119)",
+        "Normalization (case/port/fragment/tracking-param/param-sort) is "
+        "pure codegen'd column expressions — regexps + array ops, zero "
+        "Python; the rollup is ONE keyed groupBy on the normalized form "
+        "(countDistinct + min — the first-wins idiom). At 10^10 URLs "
+        "this is the same single exchange the seen-check pays.",
+        summary_of(q119_plan_df),
+    ))
+
+    # 70. HLL distinct-host sketch + merge (q120)
+    q120_plan_df = queries.q120_hll_distinct_hosts(spark, sf_dir)
+    q120_plan = plan_of(q120_plan_df)
+    assert "CartesianProduct" not in q120_plan
+    sections.append((
+        "HLL distinct-host sketch (q120)",
+        "sha256 hashing and rho extraction are map-side column "
+        "expressions; the ONLY value-bearing shuffle is the (group, "
+        "bucket) register fold — 64 counters per group. The ALL row "
+        "merges per-group registers by max (the HLL union property), "
+        "never re-scanning data; the estimator is a fixed scalar over "
+        "an exact integer register sum, so the result is deterministic "
+        "at any parallelism. The exact countDistinct column is the "
+        "acceptance artifact only.",
+        summary_of(q120_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -470,3 +470,87 @@ def canonical_clusters(df, url_col: str = "url", html_col: str = "html"):
             F.min("url").alias("keep_url"),
         )
     )
+
+
+# --- Mercator-style URL normalization (column-level) --------------------------
+# The reference's normalize_url (wiki_link_extractor.py:110-120) strips the
+# ENTIRE query string — correct for Wikipedia article URLs, destructive for
+# the general web where ?id=7 selects the page. A web-scale frontier needs
+# the Mercator/Heritrix canonicalization instead: lowercase scheme+host,
+# strip default ports, drop fragments, remove tracking parameters, and
+# SORT the surviving query parameters so parameter order never creates
+# synthetic URL diversity. Pure column expressions — JVM-side, codegen'd,
+# identical regexps replay in DuckDB (patterns stay in the Java∩RE2
+# dialect intersection, same convention as the PII rules).
+URL_TRACKING_PARAM_RE = (
+    "(?i)^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_eid|ref)="
+)
+
+
+def url_normalize(url_col):
+    """Normalized absolute URL, or NULL when the value has no scheme://host.
+
+    scheme/host lowercase; :80 (http) and :443 (https) stripped; empty
+    path becomes "/"; fragment dropped; tracking params removed; the
+    remaining query params sorted lexicographically and rejoined.
+    """
+    from pyspark.sql import functions as F
+
+    scheme = F.lower(
+        F.regexp_extract(url_col, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = F.lower(
+        F.regexp_extract(url_col, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(
+        url_col, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url_col, "\\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda x: (x != "") & ~x.rlike(URL_TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.array_join(params, "&")
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when((scheme != "") & (host != ""), norm)
+
+
+def url_dedup_rollup(df, url_col: str = "url"):
+    """Collapse syntactic URL variants → ``(normalized_url, n_variants,
+    first_url)``: distinct raw spellings per normalized form plus the
+    deterministic min() representative. Rows that fail normalization
+    (no scheme://host) are dropped — they never enter a frontier.
+
+    Scale shape: normalization is map-side; ONE keyed groupBy on the
+    normalized form (count distinct + min — the claim/dedup first-wins
+    idiom). At 10^10 URLs this is the same single exchange the seen-check
+    already pays.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(
+            F.col(url_col).alias("u"),
+            url_normalize(F.col(url_col)).alias("normalized_url"),
+        )
+        .filter(F.col("normalized_url").isNotNull())
+        .groupBy("normalized_url")
+        .agg(
+            F.countDistinct("u").alias("n_variants"),
+            F.min("u").alias("first_url"),
+        )
+    )

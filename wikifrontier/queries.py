@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from wikifrontier import corpus as corpus_mod
 from wikifrontier import dedup, filters, frontier, linkgraph, multimodal, politeness, seen
+from wikifrontier import extract, sketch
 from wikifrontier import similarity as sim
 from wikifrontier import textops
 from wikifrontier.session import spread
@@ -2539,6 +2540,63 @@ def q118_community_quality(spark, sf_dir):
         F.col("id"), "community"
     )
     return linkgraph.community_stats(edges, labels)
+
+
+def q119_url_normalize(spark, sf_dir):
+    """Mercator-style URL normalization + variant collapse
+    (extract.url_normalize / url_dedup_rollup): lowercase scheme+host,
+    default ports stripped, fragments dropped, tracking params removed,
+    surviving query params SORTED — then one keyed rollup counting raw
+    spellings per normalized form with the min() representative. The
+    reference's normalize_url (wiki_link_extractor.py:110-120) strips
+    the whole query string — right for Wikipedia, destructive for the
+    general web; this is the frontier-grade canonicalization beside it.
+    Fixture: 4 deterministic variant families per doc_id — two spellings
+    of the same logical URL (case/port/tracking/param-order noise) that
+    MUST collapse to one form, a :443 https URL with a fragment, and a
+    scheme-less string that must be dropped."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    g = (d / 4).cast("long").cast("string")
+    url = (
+        F.when(d % 4 == 0, F.concat(
+            F.lit("HTTP://WWW.Example.com:80/a/"), g,
+            F.lit("?utm_source=x&b=2&a=1")))
+        .when(d % 4 == 1, F.concat(
+            F.lit("http://www.example.com/a/"), g,
+            F.lit("?b=2&a=1&fbclid=zz")))
+        .when(d % 4 == 2, F.concat(
+            F.lit("https://Site.org:443/p"), d.cast("string"),
+            F.lit("#frag")))
+        .otherwise(F.concat(F.lit("not-a-url-"), d.cast("string")))
+    )
+    return extract.url_dedup_rollup(docs.select(url.alias("url")))
+
+
+def q120_hll_distinct_hosts(spark, sf_dir):
+    """Mergeable distinct-host cardinality (sketch.hll_report): a
+    cross-engine-exact HyperLogLog — sha256 hash, 64 registers, exact
+    integer register sum — giving per-crawl-segment distinct-host
+    estimates plus an ALL row computed by MERGING the per-segment
+    registers (register-wise max), never re-scanning the data. The
+    exact countDistinct rides along as the acceptance column. Fixture:
+    hosts from a multiplicative hash of doc_id over 8 segments, so
+    per-segment cardinalities are small enough to exercise the
+    small-range correction branch while ALL takes the raw-estimate
+    branch."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    data = docs.select(
+        F.concat(F.lit("s"), (d % 8).cast("string")).alias("segment"),
+        F.concat(
+            F.lit("h"), ((d * 48271) % 350).cast("string"),
+            F.lit(".example.org"),
+        ).alias("host"),
+    )
+    return sketch.hll_report(data, value="host", group="segment").select(
+        F.col("grp").alias("segment"),
+        "n_exact", "n_registers", "hll_estimate", "rel_err",
+    )
 
 
 ALL_QUERIES = {

@@ -1,0 +1,141 @@
+"""Mergeable cardinality sketches: a cross-engine-exact HyperLogLog.
+
+Crawl telemetry constantly needs "how many distinct hosts / URLs did
+segment X see" where the exact countDistinct is a full shuffle of the
+key. HyperLogLog (Flajolet et al. 2007) answers it from a 64-register
+sketch that MERGES by register-wise max — per-segment sketches roll up
+to fleet totals without ever re-touching the data. Spark ships HLL++ as
+``approx_count_distinct`` (production callers should normally use it);
+this implementation exists because the engine's correctness story is
+oracle replay, and ``approx_count_distinct``'s binary sketch is not
+reproducible in DuckDB. Here every step IS: the hash is sha256 (same
+bytes in both engines), the register sum is computed in exact integer
+arithmetic, and the estimator is a fixed scalar formula — so the oracle
+replays the sketch bit-for-bit, and the plan shape (one keyed fold to
+registers, one fold to the estimate) is the one a 100 TB run wants.
+
+Design constants: m = 64 registers addressed by the hash's first byte
+(low 6 bits); rank bits are the NEXT 10 hex chars (40 bits, disjoint
+from the bucket byte), so rho ∈ [1, 41]. The register sum
+Σ 2^-rho is computed as the integer Σ 2^(41-rho) (≤ 64·2^41 < 2^48,
+exactly representable) and divided once — float addition order can
+never perturb it at any parallelism.
+
+No reference counterpart: the reference counts distincts in Postgres
+(SELECT count(*) over the pages table); this is the engine-native
+replacement for the same observability need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_M = 64                      # registers (b = 6 bucket bits)
+HLL_ALPHA = 0.709               # alpha_64, Flajolet et al. Fig. 3
+HLL_RHO_MAX = 41                # 40 rank bits → rho in [1, 41]
+_POW2_41 = 1 << 41
+
+
+def hll_registers(
+    df: DataFrame, value: str, group: str = "grp"
+) -> DataFrame:
+    """Per-group HLL registers → ``(grp, bucket, r)``.
+
+    bucket = low 6 bits of the sha256 first byte; r = max over the
+    group's values of rho(next 40 hash bits). One keyed fold — the only
+    shuffle, carrying (group, bucket) counters, never the values.
+    """
+    h = F.sha2(F.col(value).cast("string"), 256)
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % HLL_M
+    w = F.conv(F.substring(h, 3, 10), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_RHO_MAX)).otherwise(
+        F.lit(HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            F.col(group).alias("grp"),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(regs: DataFrame, label: str = "ALL") -> DataFrame:
+    """Merge per-group sketches into one — register-wise max, the HLL
+    union property. O(groups · m) rows in, m rows out."""
+    return regs.groupBy("bucket").agg(F.max("r").alias("r")).select(
+        F.lit(label).alias("grp"), "bucket", "r"
+    )
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """Registers → ``(grp, n_registers, hll_estimate)``.
+
+    E = alpha·m²/Σ2^-rho with the small-range correction
+    E ≤ 2.5m ∧ V>0 → m·ln(m/V) (V = empty registers). The sum is the
+    exact integer Σ 2^(41-r) plus 2^41 per empty register, divided once
+    — deterministic at any parallelism, replayed exactly by the oracle.
+    """
+    term = F.pow(F.lit(2.0), F.lit(HLL_RHO_MAX) - F.col("r")).cast("long")
+    per = regs.groupBy("grp").agg(
+        F.count("*").alias("n_registers"),
+        F.sum(term).alias("sum_present"),
+    )
+    sum_i = F.col("sum_present") + (
+        (F.lit(HLL_M) - F.col("n_registers")).cast("long") * F.lit(_POW2_41)
+    )
+    raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M)
+        / (sum_i.cast("double") / F.lit(float(_POW2_41)))
+    )
+    v = F.lit(HLL_M) - F.col("n_registers")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return per.select(
+        "grp", "n_registers", F.round(est, 4).alias("hll_estimate")
+    )
+
+
+def hll_report(
+    df: DataFrame, value: str, group: str
+) -> DataFrame:
+    """Per-group + merged-ALL cardinality report → ``(grp, n_exact,
+    n_registers, hll_estimate, rel_err)``.
+
+    The exact countDistinct rides along as the acceptance column (this
+    is the correctness artifact; a 100 TB run keeps only the sketch
+    side). The ALL row is computed by MERGING the per-group registers —
+    the union property under test — not by re-scanning the data.
+    """
+    regs = hll_registers(df, value, group)
+    all_regs = hll_merge(regs)
+    ests = hll_estimate(regs.unionByName(all_regs))
+    exact = (
+        df.select(F.col(group).alias("grp"), F.col(value).alias("v"))
+        .groupBy("grp")
+        .agg(F.countDistinct("v").alias("n_exact"))
+    )
+    exact_all = (
+        df.select(F.col(value).alias("v"))
+        .agg(F.countDistinct("v").alias("n_exact"))
+        .select(F.lit("ALL").alias("grp"), "n_exact")
+    )
+    return (
+        ests.join(exact.unionByName(exact_all), "grp")
+        .select(
+            "grp",
+            "n_exact",
+            "n_registers",
+            "hll_estimate",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("n_exact"))
+                / F.col("n_exact").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
