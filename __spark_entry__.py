@@ -580,6 +580,82 @@ l{k} AS (
     return ",".join(parts)
 
 
+# q121 oracle scaffold: per-subspace replay of pq_codebooks (the q28
+# k-means recipe sliced to 16-dim subvectors), the encode argmin, and the
+# per-query ADC distance tables with 1e-6-quantized integer sums.
+_PQ_L2 = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+    "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+)
+
+
+def _pq_sql(m: int = 4, k: int = 8, dsub: int = 16) -> str:
+    parts = ["""pqv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)"""]
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        av = _PQ_L2.format(a="v.svec", b="c.cvec")
+        aq = _PQ_L2.format(a="q.svec", b="c.cvec")
+        parts.append(f"""sv{s} AS (SELECT vec_id, v[{lo}:{hi}] AS svec FROM pqv),
+cb{s}0 AS (
+  SELECT vec_id AS centroid_id, svec AS cvec FROM sv{s} WHERE vec_id < {k}
+),
+as{s}1 AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT v.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY {av} ASC, c.centroid_id) AS rn
+    FROM sv{s} v CROSS JOIN cb{s}0 c
+  ) WHERE rn = 1
+),
+ex{s}1 AS (
+  SELECT a.centroid_id,
+         unnest(generate_series(1, len(v.svec))) AS pos,
+         unnest(v.svec) AS x
+  FROM sv{s} v JOIN as{s}1 a USING (vec_id)
+),
+mn{s}1 AS (
+  SELECT centroid_id, pos,
+         CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+           / count(*) / 1000000 AS mv
+  FROM ex{s}1 GROUP BY 1, 2
+),
+nc{s}1 AS (
+  SELECT centroid_id, list(mv ORDER BY pos) AS cvec FROM mn{s}1 GROUP BY 1
+),
+cb{s}1 AS (
+  SELECT * FROM nc{s}1
+  UNION ALL
+  SELECT p.centroid_id, p.cvec FROM cb{s}0 p
+  WHERE p.centroid_id NOT IN (SELECT centroid_id FROM nc{s}1)
+),
+en{s} AS (
+  SELECT vec_id, centroid_id AS code FROM (
+    SELECT v.vec_id, c.centroid_id,
+      row_number() OVER (PARTITION BY v.vec_id
+        ORDER BY {av} ASC, c.centroid_id) AS rn
+    FROM sv{s} v CROSS JOIN cb{s}1 c
+  ) WHERE rn = 1
+),
+dt{s} AS (
+  SELECT q.vec_id AS query_id, c.centroid_id AS code,
+    CAST(round({aq} * 1000000) AS BIGINT) AS d2_q
+  FROM sv{s} q CROSS JOIN cb{s}1 c WHERE q.vec_id < 5
+)""")
+    codes = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS sub, code FROM en{s}" for s in range(m)
+    )
+    dts = " UNION ALL ".join(
+        f"SELECT query_id, {s} AS sub, code, d2_q FROM dt{s}"
+        for s in range(m)
+    )
+    parts.append(f"pqcodes AS ({codes}),\npqdt AS ({dts})")
+    return ",\n".join(parts)
+
+
 def _pagerank_sql() -> str:
     """q51 oracle: chained-CTE replay of linkgraph.pagerank over the
     derived doc_id graph. Every float op mirrors the Spark side's IEEE
@@ -1588,6 +1664,22 @@ FROM members m LEFT JOIN ccounts c USING (community)
 """,
         # q119: Mercator URL canonicalization — identical regexps (the
         # Java∩RE2 dialect intersection), list ops mirror array ops.
+        "q121_pq_adc_topk": f"""
+WITH {_pq_sql()}
+SELECT query_id, neighbor_id, adc_d2, rank FROM (
+  SELECT query_id, neighbor_id, adc_d2,
+    CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id) AS INT) AS rank
+  FROM (
+    SELECT d.query_id, c.vec_id AS neighbor_id,
+           round(CAST(sum(d.d2_q) AS DOUBLE) / 1000000, 6) AS adc_d2,
+           count(*) AS nsub
+    FROM pqcodes c JOIN pqdt d ON d.sub = c.sub AND d.code = c.code
+    WHERE d.query_id <> c.vec_id
+    GROUP BY 1, 2
+  ) WHERE nsub = 4
+) WHERE rank <= 10
+""",
         "q119_url_normalize": """
 WITH uraw AS (
   SELECT CASE CAST(doc_id % 4 AS INT)

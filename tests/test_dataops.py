@@ -1831,3 +1831,38 @@ def test_hll_sketch_properties(spark):
     seg = [r for r in t if r["grp"] == "t"][0]
     v_empty = HLL_M - seg["n_registers"]
     assert seg["hll_estimate"] == round(HLL_M * math.log(HLL_M / v_empty), 4)
+
+
+def test_pq_encode_and_adc_separation(spark):
+    """PQ on two well-separated clusters (8-dim, m=2 subspaces, k=2
+    codes): every vector gets exactly m codes in [0, k); ADC ranks every
+    same-cluster neighbor above every cross-cluster one for cluster-A
+    queries; adc_d2 is nonnegative."""
+    from wikifrontier.similarity import pq_adc_topk, pq_codebooks, pq_encode
+
+    rows = []
+    for i in range(20):
+        sign = 1.0 if i % 2 == 0 else -1.0          # even ids cluster A
+        jit = (i % 5) * 0.01
+        rows.append((i, [sign * (1.0 + jit)] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_codebooks(emb, m=2, k=2, iters=1)
+    codes = pq_encode(emb, books, m=2).collect()
+    assert len(codes) == 40                          # 20 vectors x 2 subs
+    assert all(0 <= r["code"] < 2 for r in codes)
+    per_vec = {}
+    for r in codes:
+        per_vec.setdefault(r["vec_id"], set()).add(r["sub"])
+    assert all(subs == {0, 1} for subs in per_vec.values())
+
+    q = emb.filter(F.col("vec_id").isin(0, 2))
+    top = pq_adc_topk(emb, q, books, k=19, m=2).collect()
+    for r in top:
+        assert r["adc_d2"] >= 0
+    for qid in (0, 2):
+        ranked = sorted(
+            (r for r in top if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        same = [r for r in ranked if r["neighbor_id"] % 2 == 0]
+        other = [r for r in ranked if r["neighbor_id"] % 2 == 1]
+        assert max(r["rank"] for r in same) < min(r["rank"] for r in other)

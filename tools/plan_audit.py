@@ -1234,6 +1234,24 @@ def main() -> int:
         summary_of(q120_plan_df),
     ))
 
+    # 71. product-quantization ADC (q121)
+    q121_plan_df = queries.q121_pq_adc_topk(spark, sf_dir)
+    q121_plan = plan_of(q121_plan_df)
+    assert "CartesianProduct" not in q121_plan, "q121 grew a cartesian"
+    sections.append((
+        "Product-quantization ADC top-k (q121)",
+        "Codebook training slices the SAME scan per subspace (q28's "
+        "k-means recipe, m·k = 32 codebook rows — always broadcast); "
+        "encode is a broadcast-codebook argmin; the query path joins "
+        "the broadcast per-query distance table onto the code table "
+        "and folds (query, vector) integer sums — raw vectors are "
+        "never touched at query time. The only crossJoins are the "
+        "broadcast codebook/distance-table attaches. ADC is the "
+        "compressed-domain scan; at 10^10 vectors it composes with "
+        "the q28 IVF lists so only probed lists are scanned.",
+        summary_of(q121_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

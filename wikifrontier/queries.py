@@ -2599,6 +2599,22 @@ def q120_hll_distinct_hosts(spark, sf_dir):
     )
 
 
+def q121_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (similarity.pq_codebooks / pq_encode /
+    pq_adc_topk): 64-dim embeddings → 4 subspaces × 8-code codebooks
+    (per-subspace distributed k-means, the q28 recipe sliced), vectors
+    stored as 4 small codes, and asymmetric-distance top-10 for the
+    q19 query set via per-query distance tables — m integer-quantized
+    lookups per (query, vector), raw vectors untouched at query time.
+    The compressed-domain complement to q19 (exact), q20 (LSH buckets)
+    and q28 (IVF lists); at 10^10 vectors PQ codes ride inside the IVF
+    lists. Oracle replays the per-subspace k-means, the encode argmin,
+    and the exact-integer ADC sum."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    books = sim.pq_codebooks(emb)
+    return sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), books)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -341,3 +341,211 @@ def ann_recall(
             6,
         ).alias("recall"),
     )
+
+
+# --- product quantization (PQ) ------------------------------------------------
+PQ_M = 4       # subspaces
+PQ_K = 8       # codes per subspace codebook
+PQ_ITERS = 1   # Lloyd iterations per codebook
+
+
+def _l2sq(a, b):
+    """Squared L2 distance between two array<double> columns — a single
+    left-to-right fold (zip_with then aggregate), so the float addition
+    order is fixed and DuckDB's list_sum replays it exactly."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-subspace PQ codebooks → ``(sub, centroid_id, cvec)``.
+
+    Product quantization (Jégou/Douze/Schmid 2011): split the D-dim
+    space into m subspaces and k-means each independently — the
+    codebook has m·k entries but spans k^m effective cells. Training
+    reuses the IVF k-means recipe per subspace (seed = k lowest-id
+    vectors' subvectors; argmin L2 with centroid-id tie-break;
+    1e-6-quantized exact-integer mean updates, empty clusters keep
+    their centroid), so every float is oracle-replayable.
+
+    Scale shape: the m subspaces train over the SAME scan (slice is a
+    projection); per iteration each subspace is one broadcast-codebook
+    argmin + one (centroid, dim) counter fold. The codebook output is
+    m·k rows — always broadcastable.
+    """
+    d_sub_expr = F.size(F.col(vec_col)) / m  # constant per dataset
+    books = []
+    for s in range(m):
+        sub = vectors.select(
+            F.col(id_col),
+            F.slice(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.lit(s).cast("int") * d_sub_expr.cast("int") + 1,
+                d_sub_expr.cast("int"),
+            ).alias("svec"),
+        )
+        cents = sub.filter(F.col(id_col) < k).select(
+            F.col(id_col).alias("centroid_id"), F.col("svec").alias("cvec")
+        )
+        for _ in range(iters):
+            assign = _pq_assign(sub, cents, id_col)
+            exploded = sub.join(assign, id_col).select(
+                "centroid_id", F.posexplode("svec").alias("pos", "x")
+            )
+            q = F.round(F.col("x") * KMEANS_SCALE).cast("long")
+            means = exploded.groupBy("centroid_id", "pos").agg(
+                (F.sum(q).cast("double") / F.count("*") / KMEANS_SCALE)
+                .alias("mv")
+            )
+            new = (
+                means.groupBy("centroid_id")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "mv")))
+                     .alias("pm"))
+                .select(
+                    "centroid_id",
+                    F.transform("pm", lambda st: st["mv"]).alias("cvec"),
+                )
+            )
+            cents = new.unionByName(
+                cents.join(new.select("centroid_id"), "centroid_id",
+                           "left_anti")
+            ).localCheckpoint(eager=True)
+        books.append(cents.select(F.lit(s).alias("sub"), "centroid_id",
+                                  "cvec"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-centroid (argmin L2, centroid-id tie-break) per vector."""
+    scored = sub.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "centroid_id",
+        _l2sq(F.col("svec"), F.col("cvec")).alias("d2"),
+    )
+    w = Window.partitionBy(id_col).orderBy("d2", "centroid_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "centroid_id")
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    m: int = PQ_M,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ compression → ``(vec_id, sub, code)``: each vector stored as m
+    small codes (m·log2(k) bits — 64-dim float32 becomes 12 bits here).
+    One broadcast join against the m·k codebook + a per-(vector, sub)
+    argmin; the full-precision vector dies at this operator's output.
+    """
+    sliced = vectors.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).select(
+        id_col,
+        "sub",
+        F.slice(
+            "v",
+            F.col("sub") * (F.size("v") / m).cast("int") + 1,
+            (F.size("v") / m).cast("int"),
+        ).alias("svec"),
+    )
+    scored = sliced.join(F.broadcast(codebooks), "sub").select(
+        id_col, "sub", "centroid_id",
+        _l2sq(F.col("svec"), F.col("cvec")).alias("d2"),
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy("d2", "centroid_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "sub", F.col("centroid_id").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    m: int = PQ_M,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes →
+    ``(query_id, neighbor_id, adc_d2, rank)``.
+
+    ADC (the PQ paper's query path): precompute, per query, the L2²
+    from each query SUBVECTOR to each codebook centroid — an m·k
+    distance table per query — then a database vector's approximate
+    distance is the sum of m table lookups on its codes; the raw
+    vectors are never touched at query time. Per-sub distances are
+    1e-6-quantized to longs BEFORE the cross-subspace sum, so the fold
+    is an exact integer sum — order-independent at any parallelism,
+    bit-replayable by the oracle, and the rank ordering ties out.
+
+    Scale shape: codes shuffle nowhere — the distance table
+    (queries × m·k rows) broadcasts onto the code table, and the
+    (query, vector) fold is the only exchange. ADC is the
+    compressed-domain SCAN (every vector, m integer adds each);
+    at 10^10 vectors compose it with the IVF lists (q28) so only the
+    probed lists are scanned — both pieces exist in this module.
+    """
+    codes = pq_encode(vectors, codebooks, m, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "sub", "code"
+    )
+    qsub = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).select(
+        "query_id",
+        "sub",
+        F.slice(
+            "v",
+            F.col("sub") * (F.size("v") / m).cast("int") + 1,
+            (F.size("v") / m).cast("int"),
+        ).alias("svec"),
+    )
+    dtable = qsub.join(F.broadcast(codebooks), "sub").select(
+        "query_id", "sub",
+        F.col("centroid_id").alias("code"),
+        F.round(_l2sq(F.col("svec"), F.col("cvec")) * KMEANS_SCALE)
+        .cast("long").alias("d2_q"),
+    )
+    summed = (
+        codes.join(F.broadcast(dtable), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            (F.sum("d2_q").cast("double") / KMEANS_SCALE).alias("adc_raw"),
+            F.count("*").alias("_nsub"),
+        )
+        .filter(F.col("_nsub") == m)  # guard: all m codes present
+        .select(
+            "query_id", "neighbor_id",
+            F.round("adc_raw", 6).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return summed.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
