@@ -1680,6 +1680,35 @@ SELECT query_id, neighbor_id, adc_d2, rank FROM (
   ) WHERE nsub = 4
 ) WHERE rank <= 10
 """,
+        # q122: count-min replay — same sha256 16-bit row slices, same
+        # counter fold, min-over-rows estimate, TakeOrdered top-10.
+        "q122_cms_heavy_hitters": """
+WITH cdata AS (
+  SELECT 'h' || (CASE WHEN doc_id % 100 < 60 THEN doc_id % 5
+                      ELSE 5 + doc_id % 40 END) || '.example.org' AS host
+  FROM documents
+),
+cells AS (
+  SELECT r.row,
+         (('0x' || substr(sha256(host), r.row * 4 + 1, 4))::BIGINT) % 64
+           AS col
+  FROM cdata, (SELECT unnest(range(4)) AS row) r
+),
+counters AS (SELECT row, col, count(*) AS c FROM cells GROUP BY 1, 2),
+cand AS (SELECT host AS v, count(*) AS n_exact FROM cdata GROUP BY 1),
+probes AS (
+  SELECT v, n_exact, r.row,
+         (('0x' || substr(sha256(v), r.row * 4 + 1, 4))::BIGINT) % 64 AS col
+  FROM cand, (SELECT unnest(range(4)) AS row) r
+),
+cest AS (
+  SELECT v, n_exact, min(c) AS cms_est
+  FROM probes JOIN counters USING (row, col)
+  GROUP BY 1, 2
+)
+SELECT v AS value, n_exact, cms_est, cms_est - n_exact AS overcount
+FROM cest ORDER BY cms_est DESC, v LIMIT 10
+""",
         "q119_url_normalize": """
 WITH uraw AS (
   SELECT CASE CAST(doc_id % 4 AS INT)

@@ -1866,3 +1866,18 @@ def test_pq_encode_and_adc_separation(spark):
         same = [r for r in ranked if r["neighbor_id"] % 2 == 0]
         other = [r for r in ranked if r["neighbor_id"] % 2 == 1]
         assert max(r["rank"] for r in same) < min(r["rank"] for r in other)
+
+
+def test_cms_overestimate_guarantee(spark):
+    """Count-min invariants: every estimate >= the exact count (the CM
+    guarantee), point queries for never-seen values still return the
+    collision mass (>= 0), and a 10x-heavy key tops the ranking."""
+    from wikifrontier.sketch import cms_heavy_hitters
+
+    rows = [("big",)] * 200 + [(f"t{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "host string")
+    got = cms_heavy_hitters(df, "host", k=20).collect()
+    assert got[0]["value"] == "big" and got[0]["n_exact"] == 200
+    for r in got:
+        assert r["overcount"] >= 0
+        assert r["cms_est"] >= r["n_exact"]

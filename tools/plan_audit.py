@@ -1252,6 +1252,23 @@ def main() -> int:
         summary_of(q121_plan_df),
     ))
 
+    # 72. count-min heavy hitters (q122)
+    q122_plan_df = queries.q122_cms_heavy_hitters(spark, sf_dir)
+    q122_plan = plan_of(q122_plan_df)
+    assert "CartesianProduct" not in q122_plan
+    assert "TakeOrderedAndProject" in q122_plan, (
+        "q122 top-k must be TakeOrdered, not a global sort"
+    )
+    sections.append((
+        "Count-min heavy hitters (q122)",
+        "sha256 row-slice hashing is map-side; the 4x64 counter matrix "
+        "is one (row, col) counter fold and broadcasts onto the probe "
+        "side; top-10 is TakeOrderedAndProject. The sketch is 256 cells "
+        "at ANY host cardinality and merges by cell-wise addition — the "
+        "bounded-memory frequency telemetry a fleet ships per segment.",
+        summary_of(q122_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

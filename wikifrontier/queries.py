@@ -2615,6 +2615,27 @@ def q121_pq_adc_topk(spark, sf_dir):
     return sim.pq_adc_topk(emb, emb.filter(F.col("vec_id") < 5), books)
 
 
+def q122_cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter hosts by count-min sketch (sketch.cms_heavy_hitters):
+    a 4×64 counter matrix over sha256 hash slices — 256 counters total
+    regardless of host cardinality, cell-wise-additive merge — with the
+    min-over-rows estimate and the CM overestimate-only guarantee as the
+    machine-checked invariant (overcount >= 0). Top-10 is orderBy+limit
+    (TakeOrderedAndProject). Fixture: a skewed host mix — 60% of docs on
+    5 heavy hosts, the rest spread over a 40-host tail — so the heavy 5
+    must surface on top despite hash collisions in the 64-wide rows."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(
+        F.lit("h"),
+        F.when(d % 100 < 60, (d % 5).cast("string")).otherwise(
+            (5 + d % 40).cast("string")
+        ),
+        F.lit(".example.org"),
+    )
+    return sketch.cms_heavy_hitters(docs.select(host.alias("host")), "host")
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -139,3 +139,80 @@ def hll_report(
             ).alias("rel_err"),
         )
     )
+
+
+# --- count-min sketch ---------------------------------------------------------
+CMS_D = 4      # hash rows
+CMS_W = 64     # counters per row
+
+
+def cms_counters(df: DataFrame, value: str) -> DataFrame:
+    """Count-min counter matrix → ``(row, col, c)`` (Cormode/Muthukrishnan
+    2005). Row j's hash is an independent 16-bit slice of the value's
+    sha256 (chars 4j+1..4j+4) mod w — same bytes in both engines, so the
+    sketch replays exactly. d·w = 256 counters regardless of cardinality;
+    sketches MERGE by cell-wise addition. One (row, col) counter fold is
+    the only shuffle — the frequency telemetry a 1000-executor crawl
+    keeps per segment without a per-host groupBy."""
+    h = F.sha2(F.col(value).cast("string"), 256)
+    rows = df.select(
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("row"),
+        h.alias("h"),
+    ).select(
+        "row",
+        (
+            F.conv(
+                F.substring("h", F.col("row") * 4 + 1, 4), 16, 10
+            ).cast("long") % CMS_W
+        ).alias("col"),
+    )
+    return rows.groupBy("row", "col").agg(F.count("*").alias("c"))
+
+
+def cms_heavy_hitters(df: DataFrame, value: str, k: int = 10) -> DataFrame:
+    """Top-k by count-min estimate → ``(value, n_exact, cms_est,
+    overcount)``.
+
+    The estimate is min over the d rows of the value's counter — never
+    below the true count (the CM guarantee; ``overcount = cms_est −
+    n_exact ≥ 0`` is the machine-checked invariant). Candidates here are
+    the distinct values themselves (the exact column is the acceptance
+    artifact); a production stream draws candidates from the arriving
+    keys and keeps only the sketch. Top-k is orderBy+limit —
+    TakeOrderedAndProject, no global sort.
+    """
+    sketch_df = cms_counters(df, value)
+    cand = df.groupBy(F.col(value).alias("v")).agg(
+        F.count("*").alias("n_exact")
+    )
+    h = F.sha2(F.col("v").cast("string"), 256)
+    probes = cand.select(
+        "v",
+        "n_exact",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("row"),
+        h.alias("h"),
+    ).select(
+        "v",
+        "n_exact",
+        "row",
+        (
+            F.conv(
+                F.substring("h", F.col("row") * 4 + 1, 4), 16, 10
+            ).cast("long") % CMS_W
+        ).alias("col"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch_df), ["row", "col"])
+        .groupBy("v", "n_exact")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.select(
+            F.col("v").alias("value"),
+            "n_exact",
+            "cms_est",
+            (F.col("cms_est") - F.col("n_exact")).alias("overcount"),
+        )
+        .orderBy(F.col("cms_est").desc(), "value")
+        .limit(k)
+    )
