@@ -43,7 +43,7 @@ from wikifrontier.linkgraph import (
     PAGERANK_DAMPING,
     PAGERANK_ITERATIONS,
 )
-from wikifrontier.similarity import SEMDEDUP_THRESHOLD
+from wikifrontier.similarity import SEMDEDUP_THRESHOLD, jl_sign_matrix
 from wikifrontier.streaming import SESSION_GAP_SEC
 from wikifrontier.textops import (
     BM25_B, BM25_K1, BM25_QUERIES, BM25_SHARDS, BM25_TOP_K,
@@ -1679,6 +1679,45 @@ SELECT query_id, neighbor_id, adc_d2, rank FROM (
     GROUP BY 1, 2
   ) WHERE nsub = 4
 ) WHERE rank <= 10
+""",
+        # q123: JL replay — same ±1 sign arithmetic, exact integer
+        # component sums (/1e6/4 — √16 is exact), same distance folds.
+        "q123_jl_projection": f"""
+WITH jv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+jsigns AS (SELECT {jl_sign_matrix(64, 16)!r}::BIGINT[] AS sm),
+jcomps AS (
+  SELECT vec_id, j.j,
+    sum(CAST(round(v[i.i + 1] * 1000000) AS BIGINT)
+        * sm[i.i * 16 + j.j + 1]) AS s
+  FROM jv, jsigns,
+       (SELECT unnest(range(64)) AS i) i,
+       (SELECT unnest(range(16)) AS j) j
+  GROUP BY 1, 2
+),
+jproj AS (
+  SELECT vec_id, list(CAST(s AS DOUBLE) / 1000000 / 4 ORDER BY j) AS p
+  FROM jcomps GROUP BY 1
+),
+ja AS (
+  SELECT jv.vec_id AS id_a, v AS va, p AS pa
+  FROM jv JOIN jproj USING (vec_id) WHERE vec_id < 5
+),
+jb AS (
+  SELECT jv.vec_id AS id_b, v AS vb, p AS pb
+  FROM jv JOIN jproj USING (vec_id) WHERE vec_id % 25 = 0
+),
+jd AS (
+  SELECT id_a, id_b,
+    round({_PQ_L2.format(a="va", b="vb")}, 6) AS d2_orig,
+    round({_PQ_L2.format(a="pa", b="pb")}, 6) AS d2_proj
+  FROM ja JOIN jb ON id_a < id_b
+)
+SELECT id_a, id_b, d2_orig, d2_proj,
+       round(d2_proj / d2_orig, 6) AS distortion
+FROM jd WHERE d2_orig <> 0
 """,
         # q122: count-min replay — same sha256 16-bit row slices, same
         # counter fold, min-over-rows estimate, TakeOrdered top-10.

@@ -1881,3 +1881,38 @@ def test_cms_overestimate_guarantee(spark):
     for r in got:
         assert r["overcount"] >= 0
         assert r["cms_est"] >= r["n_exact"]
+
+
+def test_jl_projection_properties(spark):
+    """JL invariants: output dim is 16; projection is linear (scaling a
+    vector scales every component); the distortion ratio over the probe
+    pairs stays in a loose JL band for k=16."""
+    from wikifrontier.similarity import jl_distortion, jl_project
+
+    emb = spark.range(0, 60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (
+                (F.col("id") * 2654435761 + i.cast("long") * 40503) % 1009
+            ).cast("double") / 1009.0 - 0.5,
+        ).alias("embedding"),
+    )
+    proj = {r["vec_id"]: r["proj"] for r in jl_project(emb).collect()}
+    assert all(len(p) == 16 for p in proj.values())
+    doubled = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x * 2).alias("embedding")
+    )
+    proj2 = {r["vec_id"]: r["proj"] for r in jl_project(doubled).collect()}
+    for vid, p in proj.items():
+        for a, b in zip(p, proj2[vid]):
+            assert abs(b - 2 * a) < 1e-4
+    rows = jl_distortion(emb, n_queries=5, cand_mod=10).collect()
+    assert rows, "probe set must be non-empty"
+    # this lattice fixture is adversarial for a FIXED sign matrix, so
+    # individual pairs can land outside the probabilistic JL band —
+    # assert a loose per-pair envelope plus a near-1 median
+    ds = sorted(r["distortion"] for r in rows)
+    for d in ds:
+        assert 0.05 <= d <= 5.0
+    assert 0.5 <= ds[len(ds) // 2] <= 1.6

@@ -1269,6 +1269,24 @@ def main() -> int:
         summary_of(q122_plan_df),
     ))
 
+    # 73. JL projection distortion audit (q123)
+    q123_plan_df = queries.q123_jl_projection(spark, sf_dir)
+    q123_plan = plan_of(q123_plan_df)
+    assert "PythonUDF" not in q123_plan, (
+        "JL projection must stay JVM column expressions"
+    )
+    sections.append((
+        "JL projection + distortion audit (q123)",
+        "The sign matrix is a 1024-element literal (sha256-derived at "
+        "plan build) — nothing broadcast, nothing collected; projection "
+        "is posexplode × 16 then ONE exact-integer (vec, j) fold and an "
+        "array rebuild. The probe-pair join is a bounded 5×20 "
+        "nested-loop on id_a < id_b (the same bounded-query-set "
+        "convention as q19); the projection leg itself is linear scan + "
+        "keyed fold at any corpus size.",
+        summary_of(q123_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

