@@ -1680,6 +1680,35 @@ SELECT query_id, neighbor_id, adc_d2, rank FROM (
   ) WHERE nsub = 4
 ) WHERE rank <= 10
 """,
+        # q124: histogram-quantile replay — exact integer binning
+        # (floor(value·2) = 50 ms bins), same cumulative scan over the
+        # <=64-bin histogram, same ceil(p·n) threshold doubles.
+        "q124_latency_quantiles": """
+WITH qdata AS (
+  SELECT 'h' || (user_id % 12) || '.com' AS grp, value FROM events
+),
+qhist AS (
+  SELECT grp,
+         CAST(least(63, floor(CAST(value AS DOUBLE) * 2)) AS INT) AS bin,
+         count(*) AS c
+  FROM qdata GROUP BY 1, 2
+),
+qcum AS (
+  SELECT grp, bin, c,
+    sum(c) OVER (PARTITION BY grp ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(c) OVER (PARTITION BY grp) AS n_events
+  FROM qhist
+)
+SELECT grp AS host, CAST(max(n_events) AS BIGINT) AS n_events,
+  round((CAST(min(CASE WHEN cum >= ceil(0.5 * n_events) THEN bin END)
+              AS DOUBLE) + 0.5) * 50, 1) AS p50_ms,
+  round((CAST(min(CASE WHEN cum >= ceil(0.95 * n_events) THEN bin END)
+              AS DOUBLE) + 0.5) * 50, 1) AS p95_ms,
+  round((CAST(min(CASE WHEN cum >= ceil(0.99 * n_events) THEN bin END)
+              AS DOUBLE) + 0.5) * 50, 1) AS p99_ms
+FROM qcum GROUP BY 1
+""",
         # q123: JL replay — same ±1 sign arithmetic, exact integer
         # component sums (/1e6/4 — √16 is exact), same distance folds.
         "q123_jl_projection": f"""

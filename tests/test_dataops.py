@@ -1916,3 +1916,28 @@ def test_jl_projection_properties(spark):
     for d in ds:
         assert 0.05 <= d <= 5.0
     assert 0.5 <= ds[len(ds) // 2] <= 1.6
+
+
+def test_histogram_quantiles_accuracy(spark):
+    """Histogram-quantile invariants: estimates are within one bin width
+    (50 ms) of the exact percentile; monotone p50 <= p95 <= p99; the
+    overflow bin clamps out-of-range values instead of dropping them."""
+    from wikifrontier.sketch import histogram_quantiles
+
+    df = spark.range(0, 1000).select(
+        F.lit("h").alias("g"),
+        ((F.col("id") % 200).cast("double") / 10.0).alias("v"),  # 0..19.9
+    )
+    row = histogram_quantiles(df, "v", "g").collect()[0]
+    assert row["n_events"] == 1000
+    exact = sorted(((i % 200) / 10.0) * 100 for i in range(1000))
+    for p, col in ((0.5, "p50_ms"), (0.95, "p95_ms"), (0.99, "p99_ms")):
+        want = exact[max(0, -(-int(p * 1000)) - 1)]
+        assert abs(row[col] - want) <= 50.0, (col, row[col], want)
+    assert row["p50_ms"] <= row["p95_ms"] <= row["p99_ms"]
+    big = spark.createDataFrame(
+        [("g", 9999.0)] * 3 + [("g", 1.0)], "g string, v double"
+    )
+    r2 = histogram_quantiles(big, "v", "g").collect()[0]
+    assert r2["n_events"] == 4
+    assert r2["p99_ms"] == (63 + 0.5) * 50  # clamped into the last bin

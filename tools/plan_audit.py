@@ -1287,6 +1287,22 @@ def main() -> int:
         summary_of(q123_plan_df),
     ))
 
+    # 74. histogram latency quantiles (q124)
+    q124_plan_df = queries.q124_latency_quantiles(spark, sf_dir)
+    q124_plan = plan_of(q124_plan_df)
+    assert "CartesianProduct" not in q124_plan
+    sections.append((
+        "Histogram latency quantiles (q124)",
+        "The only event-scale exchange is the (host, bin) counter fold; "
+        "the window runs over the <=64-bin histogram per host (O(hosts"
+        "x64), bounded partitions — never a sort of raw events); "
+        "binning is exact integer arithmetic so the estimate is "
+        "deterministic with error bounded by the 50 ms bin width. "
+        "Histograms merge by cell-wise addition — fleet-level rollup "
+        "without re-touching events.",
+        summary_of(q124_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

@@ -2650,6 +2650,27 @@ def q123_jl_projection(spark, sf_dir):
     return sim.jl_distortion(emb)
 
 
+def q124_latency_quantiles(spark, sf_dir):
+    """Per-host fetch-latency percentile profile
+    (sketch.histogram_quantiles): p50/p95/p99 from a fixed 64-bin
+    histogram — the only event-scale exchange is a (host, bin) counter
+    fold; histograms merge by cell-wise addition so per-segment sketches
+    roll up to fleet percentiles; the quantile scan is a window over the
+    ≤64-bin histogram per host, never over raw events. Binning is exact
+    integer arithmetic (50 ms bins over value×100 ms latencies), so the
+    result is deterministic and the oracle replays it exactly. Fixture:
+    events.value as latency with the host from user_id."""
+    ev = load(spark, sf_dir, "events")
+    data = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 12).cast("string"),
+                 F.lit(".com")).alias("host"),
+        "value",
+    )
+    return sketch.histogram_quantiles(data, "value", "host").select(
+        F.col("grp").alias("host"), "n_events", "p50_ms", "p95_ms", "p99_ms"
+    )
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -216,3 +216,72 @@ def cms_heavy_hitters(df: DataFrame, value: str, k: int = 10) -> DataFrame:
         .orderBy(F.col("cms_est").desc(), "value")
         .limit(k)
     )
+
+
+# --- fixed-bin histogram quantiles --------------------------------------------
+HIST_BINS = 64
+HIST_BIN_WIDTH_MS = 50.0
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value: str,
+    group: str,
+    probs: tuple = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Per-group quantile estimates from a fixed 64-bin histogram →
+    ``(grp, n_events, q_cols...)`` with one column per prob (``p50_ms``,
+    ``p95_ms``, …), each the MIDPOINT of the bin where the cumulative
+    count first reaches ceil(p·n).
+
+    The latency-percentile telemetry of a crawl fleet without a global
+    sort: the only event-scale exchange is the (group, bin) counter
+    fold; histograms MERGE by cell-wise addition (same algebra as the
+    count-min rows), so per-segment sketches roll up to fleet
+    percentiles. The quantile scan is a window over the ≤64-bin
+    histogram per group — O(groups·64), never over raw events. Binning
+    is exact integer arithmetic (floor of value·2 — 50 ms bins over
+    value·100 ms latencies), so the result is deterministic and
+    oracle-replayable; estimate error is bounded by the bin width.
+    """
+    from pyspark.sql import Window
+
+    bin_col = F.least(
+        F.lit(HIST_BINS - 1),
+        F.floor(F.col(value).cast("double") * (100.0 / HIST_BIN_WIDTH_MS)),
+    ).cast("int")
+    hist = (
+        df.select(F.col(group).alias("grp"), bin_col.alias("bin"))
+        .groupBy("grp", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("grp").orderBy("bin")
+    cum = hist.select(
+        "grp", "bin", "c",
+        F.sum("c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy("grp")
+        ).alias("n_events"),
+    )
+    aggs = [F.max("n_events").alias("n_events")]
+    for p in probs:
+        name = f"p{int(p * 100)}_ms"
+        aggs.append(
+            F.round(
+                (
+                    F.min(
+                        F.when(
+                            F.col("cum")
+                            >= F.ceil(F.lit(p) * F.col("n_events")),
+                            F.col("bin"),
+                        )
+                    ).cast("double")
+                    + 0.5
+                )
+                * HIST_BIN_WIDTH_MS,
+                1,
+            ).alias(name)
+        )
+    return cum.groupBy("grp").agg(*aggs)
