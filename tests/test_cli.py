@@ -216,3 +216,36 @@ def test_graph_missing_checkpoint(spark, tmp_path, capsys):
     rc = cli.main(["graph", "--checkpoint", str(tmp_path / "nope")])
     assert rc == 1
     assert "error" in json.loads(capsys.readouterr().out.strip())
+
+
+def test_sketches_over_checkpoint(spark, tmp_path, capsys):
+    """crawl → checkpoint → sketches: one HLL line per state table with
+    the exact distinct-host count riding along (single-host synthetic
+    corpus ⇒ exact = 1, and the small-range HLL branch must land on it
+    exactly), then count-min heavy-hitter lines whose estimates respect
+    the overestimate-only guarantee."""
+    ckpt = str(tmp_path / "sk_ckpt")
+    rc = cli.main([
+        "crawl", "--pages", "300", "--rounds", "3", "--budget", "60",
+        "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = cli.main(["sketches", "--checkpoint", ckpt, "--top", "5"])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    tables = {l["table"]: l for l in lines if "table" in l}
+    assert set(tables) == {"pages", "pending"}
+    for t in tables.values():
+        if t.get("empty"):
+            continue
+        assert t["distinct_hosts_exact"] == 1  # single-host corpus
+        # small-range branch: 64*ln(64/63) = 1.0079
+        assert abs(t["hll_estimate"] - 1.0) < 0.05
+        assert t["rel_err"] <= 0.05
+    hh = [l for l in lines if "cms_estimate" in l]
+    if not tables["pending"].get("empty"):
+        assert hh and hh[0]["host"] == "en.wikipedia.org"
+        for l in hh:
+            assert l["overcount"] >= 0

@@ -131,6 +131,17 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--top", type=int, default=10)
     g.add_argument("--master", type=str, default=None)
 
+    sk = sub.add_parser(
+        "sketches",
+        help="bounded-memory telemetry over a checkpoint: HLL "
+             "distinct-host estimate for crawled pages and pending "
+             "frontier (vs exact), plus count-min heavy-hitter hosts "
+             "of the pending queue",
+    )
+    sk.add_argument("--checkpoint", type=str, required=True)
+    sk.add_argument("--top", type=int, default=10)
+    sk.add_argument("--master", type=str, default=None)
+
     r = sub.add_parser("report", help="summarize a checkpoint")
     r.add_argument("--checkpoint", type=str, required=True)
     r.add_argument("--master", type=str, default=None)
@@ -470,6 +481,54 @@ def cmd_graph(args) -> int:
     return 0
 
 
+def cmd_sketches(args) -> int:
+    """Sketch-tier telemetry (q120/q122 over real crawl state): one HLL
+    line per state table (crawled pages, pending frontier) — estimated
+    vs exact distinct hosts — then the pending queue's heavy-hitter
+    hosts by count-min estimate. These are the bounded-memory numbers a
+    fleet ships per segment and merges centrally; the exact columns
+    ride along here because a checkpoint is small enough to afford the
+    acceptance check."""
+    from pyspark.sql import functions as F
+
+    from wikifrontier import sketch
+    from wikifrontier import state as state_io
+    from wikifrontier.filters import split_url
+    from wikifrontier.session import get_spark
+
+    spark = get_spark(master=args.master)
+    st = state_io.load_checkpoint(spark, args.checkpoint)
+    if st is None:
+        print(json.dumps({"error": "no complete checkpoint found"}))
+        return 1
+    for label, df in (("pages", st.pages), ("pending", st.pending)):
+        if df.isEmpty():
+            print(json.dumps({"table": label, "empty": True}))
+            continue
+        _, host, _ = split_url(F.col("url"))
+        hosts = df.select(host.alias("host"), F.lit(label).alias("t"))
+        row = sketch.hll_report(hosts, "host", "t").where(
+            F.col("grp") == label
+        ).collect()[0]
+        print(json.dumps({
+            "table": label,
+            "distinct_hosts_exact": row["n_exact"],
+            "hll_estimate": row["hll_estimate"],
+            "rel_err": row["rel_err"],
+        }))
+    if not st.pending.isEmpty():
+        _, host, _ = split_url(F.col("url"))
+        pend_hosts = st.pending.select(host.alias("host"))
+        for r in sketch.cms_heavy_hitters(
+            pend_hosts, "host", k=args.top
+        ).collect():
+            print(json.dumps({
+                "host": r["value"], "pending_exact": r["n_exact"],
+                "cms_estimate": r["cms_est"], "overcount": r["overcount"],
+            }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     return {
@@ -480,6 +539,7 @@ def main(argv: list[str] | None = None) -> int:
         "diff": cmd_diff,
         "health": cmd_health,
         "graph": cmd_graph,
+        "sketches": cmd_sketches,
     }[args.cmd](args)
 
 
