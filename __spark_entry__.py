@@ -3810,4 +3810,323 @@ WHERE round(CASE WHEN coalesce(c.total_grams, 0) > 0
                  ELSE 0.0 END, 6) < {Q.CONTAM_RATIO_MAX}
   AND substr(md5(CAST(v.doc_id AS VARCHAR)), 1, {SAMPLE_HEX_DIGITS}) < {_mixture_case}
 """,
+        "q125_gopher_rules": _gopher_sql(),
+        "q126_c4_lines": _c4_sql(),
+        "q127_trustrank": _trustrank_sql(),
+        "q128_theta_sketch": _kmv_sql(),
+        "q129_random_walks": _walks_sql(),
+        "q130_host_ewma": _ewma_sql(),
     }
+
+
+# --------------------------------------------------------------------------
+# q125–q130 oracle generators
+# --------------------------------------------------------------------------
+def _lined_cte(src: str) -> str:
+    """queries.lined_docs replay over `src` (doc_id, text): lines of
+    LINE_TOKENS tokens with the deterministic bullet / boilerplate /
+    ellipsis decorations."""
+    LT = Q.LINE_TOKENS
+    return f"""
+ltoks AS (SELECT doc_id, {TOKS} AS t FROM {src}),
+lined AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(
+        range(0, greatest(CAST(ceil(len(t) / {LT}.0) AS INT), 1)),
+        li ->
+          (CASE WHEN (doc_id + li) % 7 = 0 THEN '- ' ELSE '' END)
+          || array_to_string(t[li*{LT}+1 : li*{LT}+{LT}], ' ')
+          || (CASE WHEN (doc_id*3 + li) % 11 = 0
+              THEN ' javascript required' ELSE '' END)
+          || (CASE WHEN (doc_id + li) % 5 = 0 THEN ' ...' ELSE '' END)
+      ), chr(10)) AS text
+  FROM ltoks
+)"""
+
+
+def _gopher_sql() -> str:
+    from wikifrontier import textops as T
+
+    stops = "[" + ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS) + "]"
+    return f"""
+WITH {_lined_cte('documents')},
+g AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '[ \n]'), w -> w <> '') AS words,
+    string_split(text, chr(10)) AS lines,
+    length(text) - length(replace(text, '#', '')) AS hash_cnt,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS ell_cnt
+  FROM lined
+),
+f AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    len(lines) AS n_lines,
+    CASE WHEN len(words) > 0
+         THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+              / CAST(len(words) AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS mean_word_len,
+    CASE WHEN len(words) > 0
+         THEN (hash_cnt + ell_cnt) / CAST(len(words) AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS symbol_ratio,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(lines, l -> l LIKE '- %')) AS DOUBLE)
+              / CAST(len(lines) AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS bullet_frac,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+              / CAST(len(lines) AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS ellipsis_frac,
+    CASE WHEN len(words) > 0
+         THEN CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+              / CAST(len(words) AS DOUBLE)
+         ELSE CAST(0 AS DOUBLE) END AS alpha_frac,
+    len(list_filter(words, w -> list_contains({stops}, w))) AS stop_hits
+  FROM g
+)
+SELECT doc_id, n_words, n_lines,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(symbol_ratio, 6) AS symbol_ratio,
+  round(bullet_frac, 6) AS bullet_frac,
+  round(ellipsis_frac, 6) AS ellipsis_frac,
+  round(alpha_frac, 6) AS alpha_frac,
+  stop_hits,
+  (n_words >= {T.GOPHER_MIN_WORDS} AND n_words <= {T.GOPHER_MAX_WORDS}) AS r_wordcount,
+  (mean_word_len >= {T.GOPHER_MIN_MEAN_LEN} AND mean_word_len <= {T.GOPHER_MAX_MEAN_LEN}) AS r_mean_len,
+  symbol_ratio <= {T.GOPHER_MAX_SYMBOL_RATIO} AS r_symbol,
+  bullet_frac <= {T.GOPHER_MAX_BULLET_FRAC} AS r_bullet,
+  ellipsis_frac <= {T.GOPHER_MAX_ELLIPSIS_FRAC} AS r_ellipsis,
+  alpha_frac >= {T.GOPHER_MIN_ALPHA_FRAC} AS r_alpha,
+  stop_hits >= {T.GOPHER_MIN_STOP_HITS} AS r_stop,
+  (n_words >= {T.GOPHER_MIN_WORDS} AND n_words <= {T.GOPHER_MAX_WORDS}
+   AND mean_word_len >= {T.GOPHER_MIN_MEAN_LEN} AND mean_word_len <= {T.GOPHER_MAX_MEAN_LEN}
+   AND symbol_ratio <= {T.GOPHER_MAX_SYMBOL_RATIO}
+   AND bullet_frac <= {T.GOPHER_MAX_BULLET_FRAC}
+   AND ellipsis_frac <= {T.GOPHER_MAX_ELLIPSIS_FRAC}
+   AND alpha_frac >= {T.GOPHER_MIN_ALPHA_FRAC}
+   AND stop_hits >= {T.GOPHER_MIN_STOP_HITS}) AS keep
+FROM f
+"""
+
+
+def _c4_sql() -> str:
+    from wikifrontier import textops as T
+
+    banned = " OR ".join(f"line LIKE '%{w}%'" for w in T.C4_BANNED_WORDS)
+    return f"""
+WITH {NEARDUP}, {_lined_cte('docs')},
+lns AS (
+  SELECT doc_id, unnest(ls) AS line, unnest(range(0, len(ls))) AS line_idx
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined)
+),
+flagged AS (
+  SELECT doc_id, line_idx, line,
+    len(list_filter(string_split(line, ' '), w -> w <> '')) < {T.C4_MIN_LINE_WORDS} AS is_short,
+    NOT regexp_matches(line, '{T.C4_TERMINAL_RE}') AS is_nopunct,
+    ({banned}) AS is_banned
+  FROM lns
+),
+occd AS (
+  SELECT doc_id, line_idx, line,
+    CASE WHEN is_short THEN 'short'
+         WHEN is_nopunct THEN 'no_punct'
+         WHEN is_banned THEN 'banned'
+         WHEN row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) > 1
+           THEN 'dup_line'
+         ELSE 'kept' END AS reason
+  FROM flagged
+)
+SELECT doc_id,
+  count(*) AS n_lines,
+  CAST(sum(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN reason = 'short' THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+  CAST(sum(CASE WHEN reason = 'no_punct' THEN 1 ELSE 0 END) AS BIGINT) AS n_nopunct,
+  CAST(sum(CASE WHEN reason = 'banned' THEN 1 ELSE 0 END) AS BIGINT) AS n_banned,
+  CAST(sum(CASE WHEN reason = 'dup_line' THEN 1 ELSE 0 END) AS BIGINT) AS n_dupline,
+  md5(coalesce(string_agg(CASE WHEN reason = 'kept' THEN line END,
+                          chr(10) ORDER BY line_idx), '')) AS clean_hash
+FROM occd
+GROUP BY doc_id
+"""
+
+
+def _trustrank_sql() -> str:
+    from wikifrontier.linkgraph import PAGERANK_DAMPING, TRUSTRANK_ITERATIONS
+
+    d = f"CAST({PAGERANK_DAMPING} AS DOUBLE)"
+    iters = []
+    prev = "it0"
+    for k in range(1, TRUSTRANK_ITERATIONS + 1):
+        iters.append(f"""
+it{k} AS (
+  SELECT trust.id,
+         (CAST(1 AS DOUBLE) - {d}) * trust.t
+         + {d} * (coalesce(inf.w, CAST(0 AS DOUBLE))
+                  + (SELECT coalesce(sum(tr), CAST(0 AS DOUBLE)) FROM {prev}
+                     WHERE id NOT IN (SELECT src FROM edges)) * trust.t) AS tr
+  FROM trust
+  LEFT JOIN (
+    SELECT dst AS id, sum(tr / od) AS w
+    FROM edges JOIN {prev} pv ON pv.id = edges.src
+               JOIN outdeg USING (src)
+    GROUP BY dst
+  ) inf ON inf.id = trust.id
+)""")
+        prev = f"it{k}"
+    its = ",".join(iters)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 31 + 7) % nn.n FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+sn AS (SELECT count(*) AS ns FROM documents WHERE doc_id % {Q.TRUST_SEED_MOD} = 0),
+trust AS (
+  SELECT nodes.id,
+         CASE WHEN nodes.id % {Q.TRUST_SEED_MOD} = 0
+              THEN CAST(1 AS DOUBLE) / sn.ns ELSE CAST(0 AS DOUBLE) END AS t
+  FROM nodes CROSS JOIN sn
+),
+it0 AS (SELECT id, t AS tr FROM trust),{its}
+SELECT id AS doc_id, round(tr, 8) AS trustrank FROM {prev}
+"""
+
+
+def _kmv_sql() -> str:
+    from wikifrontier.sketch import KMV_K
+
+    k = KMV_K
+    space = f"CAST({16 ** 13} AS DOUBLE)"
+
+    def frac(h):
+        return f"(CAST(('0x' || substr({h}, 1, 13))::UBIGINT AS BIGINT) / {space})"
+
+    est = lambda sk: (
+        f"CASE WHEN len({sk}) < {k} THEN CAST(len({sk}) AS DOUBLE) "
+        f"ELSE CAST({k - 1} AS DOUBLE) / {frac(f'{sk}[{k}]')} END"
+    )
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+ha AS (SELECT DISTINCT md5('https://en.wikipedia.org/wiki/Doc_' || CAST(doc_id AS VARCHAR)) AS h
+       FROM documents),
+hb AS (SELECT DISTINCT md5('https://en.wikipedia.org/wiki/Doc_'
+                           || CAST(doc_id + (nn.n // {Q.KMV_SHIFT_DEN}) AS VARCHAR)) AS h
+       FROM documents CROSS JOIN nn),
+ska AS (SELECT list(h ORDER BY h) AS sk FROM (SELECT h FROM ha ORDER BY h LIMIT {k})),
+skb AS (SELECT list(h ORDER BY h) AS sk FROM (SELECT h FROM hb ORDER BY h LIMIT {k})),
+m AS (
+  SELECT ska.sk AS ska, skb.sk AS skb,
+         (list_sort(list_distinct(list_cat(ska.sk, skb.sk))))[1:{k}] AS sku
+  FROM ska, skb
+),
+m2 AS (
+  SELECT ska, skb, sku,
+    len(sku) >= {k} AS is_full,
+    len(list_filter(
+      CASE WHEN len(sku) >= {k} THEN sku[1:{k - 1}] ELSE sku END,
+      h -> list_contains(ska, h) AND list_contains(skb, h))) AS n_both
+  FROM m
+)
+SELECT 'A' AS set_label, round({est('ska')}, 4) AS est_distinct FROM m2
+UNION ALL
+SELECT 'B', round({est('skb')}, 4) FROM m2
+UNION ALL
+SELECT 'union',
+  round(CASE WHEN is_full THEN CAST({k - 1} AS DOUBLE) / {frac(f'sku[{k}]')}
+             ELSE CAST(len(sku) AS DOUBLE) END, 4) FROM m2
+UNION ALL
+SELECT 'intersection',
+  round(CASE WHEN is_full THEN CAST(n_both AS DOUBLE) / {frac(f'sku[{k}]')}
+             ELSE CAST(n_both AS DOUBLE) END, 4) FROM m2
+"""
+
+
+def _walks_sql() -> str:
+    from wikifrontier.linkgraph import WALK_STEPS
+
+    steps = []
+    prev = "s0"
+    for s in range(1, WALK_STEPS + 1):
+        steps.append(f"""
+s{s} AS (
+  SELECT w.walk_id,
+         coalesce(n.dst, w.pos) AS pos,
+         w.path || '->' || CAST(coalesce(n.dst, w.pos) AS VARCHAR) AS path
+  FROM {prev} w LEFT JOIN nbrs n
+    ON n.src = w.pos
+   AND n.rn = CAST(('0x' || substr(md5(CAST(w.pos AS VARCHAR) || '#{s}'), 1, 13))::UBIGINT AS BIGINT) % n.od
+)""")
+        prev = f"s{s}"
+    its = ",".join(steps)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 31 + 7) % nn.n FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn
+),
+nbrs AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+         count(*) OVER (PARTITION BY src) AS od
+  FROM edges
+),
+s0 AS (
+  SELECT doc_id AS walk_id, doc_id AS pos, CAST(doc_id AS VARCHAR) AS path
+  FROM documents WHERE doc_id % {Q.WALK_SEED_MOD} = 0
+),{its}
+SELECT walk_id, pos AS end_node, path FROM {prev}
+"""
+
+
+def _ewma_sql() -> str:
+    from wikifrontier.politeness import (
+        EWMA_FAIL_OPEN,
+        EWMA_SLOW_MS,
+        EWMA_WINDOW,
+    )
+
+    return f"""
+WITH f AS (
+  SELECT 'h' || CAST(user_id % 12 AS VARCHAR) || '.com' AS host,
+         ts, event_id AS seq,
+         CAST(value AS DOUBLE) AS lat,
+         CAST(event_type = 'error' AS DOUBLE) AS fail
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY host ORDER BY ts DESC, seq DESC) AS rn
+  FROM f
+),
+per AS (
+  SELECT host,
+    count(*) AS n_events,
+    least(count(*), {EWMA_WINDOW}) AS n_window,
+    list(lat * power(0.5, rn - 1) ORDER BY rn) FILTER (WHERE rn <= {EWMA_WINDOW}) AS wl,
+    list(fail * power(0.5, rn - 1) ORDER BY rn) FILTER (WHERE rn <= {EWMA_WINDOW}) AS wf
+  FROM ranked GROUP BY host
+),
+e AS (
+  SELECT host, n_events, n_window,
+    list_reduce(wl, (a, b) -> a + b)
+      / (CAST(2 AS DOUBLE) - power(0.5, n_window - 1)) AS ewma_lat,
+    list_reduce(wf, (a, b) -> a + b)
+      / (CAST(2 AS DOUBLE) - power(0.5, n_window - 1)) AS ewma_fail
+  FROM per
+)
+SELECT host, n_events, CAST(n_window AS INT) AS n_window,
+  round(ewma_lat, 6) AS ewma_latency_ms,
+  round(ewma_fail, 6) AS ewma_fail_rate,
+  CASE WHEN ewma_fail > {EWMA_FAIL_OPEN} THEN 'failing'
+       WHEN ewma_lat > {EWMA_SLOW_MS} THEN 'slow'
+       ELSE 'healthy' END AS verdict
+FROM e
+"""

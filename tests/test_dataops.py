@@ -1941,3 +1941,137 @@ def test_histogram_quantiles_accuracy(spark):
     r2 = histogram_quantiles(big, "v", "g").collect()[0]
     assert r2["n_events"] == 4
     assert r2["p99_ms"] == (63 + 0.5) * 50  # clamped into the last bin
+
+
+# --------------------------------------------------------------------------
+# q125–q130 operators: Gopher rules, C4 line cleaning, TrustRank, KMV
+# sketch set ops, deterministic random walks, EWMA host health
+# --------------------------------------------------------------------------
+def test_gopher_rules_hand_doc(spark):
+    from wikifrontier.textops import gopher_rules
+
+    good = " ".join(["the desk and chair that have area with wood"] * 6)
+    df = spark.createDataFrame(
+        [
+            (1, good),                       # 54 words, stopword-rich
+            (2, "tiny doc"),                 # fails word count + stop rule
+            (3, "\n".join(["- bullet line"] * 10)),  # all-bullet doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+    assert out[1]["keep"] is True and out[1]["n_words"] == 54
+    assert out[2]["keep"] is False and not out[2]["r_wordcount"]
+    assert not out[3]["r_bullet"] and out[3]["bullet_frac"] == 1.0
+    # symbol rule: a doc drowned in '#' marks fails symbol ratio
+    hashy = spark.createDataFrame(
+        [(4, " ".join(["w#"] * 60))], "doc_id long, text string"
+    )
+    row = gopher_rules(hashy).collect()[0]
+    assert row["symbol_ratio"] == 1.0 and not row["r_symbol"]
+
+
+def test_c4_line_filter_reasons_and_dedup(spark):
+    from wikifrontier.textops import c4_line_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, 'good line one ok.\nshared dup line here.\nno punct line\nhi.'),
+            (2, 'shared dup line here.\nenable javascript to view this.\nanother good line kept.'),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in c4_line_filter(df).collect()}
+    # doc 1: kept(good, dup-first), short('hi.' = 1 word), no_punct
+    assert out[1]["n_kept"] == 2 and out[1]["n_short"] == 1
+    assert out[1]["n_nopunct"] == 1 and out[1]["n_dupline"] == 0
+    # doc 2: dup loses to doc 1 (first-writer-wins), banned javascript
+    assert out[2]["n_dupline"] == 1 and out[2]["n_banned"] == 1
+    assert out[2]["n_kept"] == 1
+    # clean hash is md5 of the reassembled kept lines, in line order
+    import hashlib
+
+    expect = hashlib.md5(
+        "good line one ok.\nshared dup line here.".encode()
+    ).hexdigest()
+    assert out[1]["clean_hash"] == expect
+
+
+def test_trustrank_flows_from_seeds_only(spark):
+    from wikifrontier.linkgraph import trustrank
+
+    # two disconnected 2-cycles; only component {1,2} holds a seed
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (10, 11), (11, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    tr = {r["id"]: r["tr"] for r in trustrank(edges, seeds).collect()}
+    assert tr[10] == 0.0 and tr[11] == 0.0  # spam island gets nothing
+    assert tr[1] > 0 and tr[2] > 0
+    assert abs(sum(tr.values()) - 1.0) < 1e-9  # mass conserved
+    # empty seed set → all zeros, no crash
+    none = trustrank(edges, spark.createDataFrame([(99,)], "id long"))
+    assert all(r["tr"] == 0.0 for r in none.collect())
+
+
+def test_kmv_estimates_within_error_and_exact_when_small(spark):
+    from pyspark.sql import functions as F
+    from wikifrontier.sketch import kmv_set_ops, kmv_sketch
+
+    # small sets (< k): every estimate is exact
+    a = spark.range(0, 100).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(50, 150).select(F.col("id").cast("string").alias("v"))
+    got = {
+        r["set_label"]: r["est_distinct"]
+        for r in kmv_set_ops(kmv_sketch(a, "v"), kmv_sketch(b, "v")).collect()
+    }
+    assert got == {"A": 100.0, "B": 100.0, "union": 150.0, "intersection": 50.0}
+    # large sets (> k): estimates land within ~3/sqrt(k) relative error
+    a = spark.range(0, 20000).select(F.col("id").cast("string").alias("v"))
+    b = spark.range(10000, 30000).select(F.col("id").cast("string").alias("v"))
+    got = {
+        r["set_label"]: r["est_distinct"]
+        for r in kmv_set_ops(kmv_sketch(a, "v"), kmv_sketch(b, "v")).collect()
+    }
+    for label, truth in [("A", 20000), ("B", 20000), ("union", 30000),
+                         ("intersection", 10000)]:
+        assert abs(got[label] - truth) / truth < 0.25, (label, got[label])
+
+
+def test_random_walks_deterministic_and_dead_end_holds(spark):
+    from wikifrontier.linkgraph import random_walks
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3)], "src long, dst long"
+    )  # node 3 is a dead end
+    seeds = spark.createDataFrame([(0,)], "id long")
+    r1 = random_walks(edges, seeds, steps=3).collect()[0]
+    r2 = random_walks(edges, seeds, steps=3).collect()[0]
+    assert r1["path"] == r2["path"]  # pure function of the graph
+    assert r1["path"].count("->") == 3  # exactly `steps` hops recorded
+    assert r1["end_node"] == 3  # every 2-hop route ends at 3; then holds
+
+
+def test_host_ewma_recency_weighting(spark):
+    import datetime
+
+    from wikifrontier.politeness import host_ewma
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # hostA: 15 old fast fetches, newest is one huge outlier
+        *[("a.com", t0, i, 10.0, False) for i in range(15)],
+        ("a.com", t0, 99, 1000.0, False),
+        # hostB: all failures, newest first
+        *[("b.com", t0, i, 10.0, True) for i in range(4)],
+    ]
+    df = spark.createDataFrame(
+        rows, "host string, ts timestamp, seq long, latency_ms double, failed boolean"
+    )
+    out = {r["host"]: r.asDict() for r in host_ewma(df).collect()}
+    # newest outlier carries weight 1/2 of the total ≈2 → ewma ≈ 505
+    assert 400 < out["a.com"]["ewma_latency_ms"] < 600
+    assert out["a.com"]["verdict"] == "slow"
+    assert out["b.com"]["ewma_fail_rate"] == 1.0
+    assert out["b.com"]["verdict"] == "failing"
+    assert out["a.com"]["n_window"] == 16 and out["a.com"]["n_events"] == 16

@@ -857,3 +857,170 @@ def community_stats(
             8,
         ).alias("conductance"),
     )
+
+
+# --------------------------------------------------------------------------
+# TrustRank (Gyöngyi, Garcia-Molina & Pedersen 2004): PageRank with the
+# teleport vector concentrated on a hand-audited trusted seed set. Trust
+# flows out along links; pages unreachable from any seed converge toward
+# zero — the classic web-spam demotion signal a crawl scheduler combines
+# with raw PageRank. The reference stores the full link graph
+# (database/db_models/models.py:108-158) but never scores it; this is the
+# third classic link score its data model supports (after PageRank/HITS).
+# --------------------------------------------------------------------------
+TRUSTRANK_ITERATIONS = 3
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = TRUSTRANK_ITERATIONS,
+    damping: float = PAGERANK_DAMPING,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration personalized PageRank → (id, tr).
+
+    ``seeds`` is a one-column (id) frame of trusted nodes. The trust
+    prior t is uniform over seeds ∩ nodes and zero elsewhere; both the
+    teleport term AND the dangling-mass redistribution use t (the
+    personalized form), so spam islands receive no leaked mass. Same
+    plan shape as `pagerank`: one keyed join + keyed sum per iteration,
+    dangling mass as a 1-row broadcast, per-iteration lineage cut.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
+    s = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    trusted = nodes.join(s, "id", "left_semi")
+    ns = trusted.count()
+    if ns == 0:
+        # no trusted node appears in the graph: trust mass has nowhere to
+        # teleport — every score is 0 by definition, not a crash
+        return nodes.select("id", F.lit(0.0).alias("tr"))
+    trust = nodes.join(
+        trusted.withColumn("_seed", F.lit(1)), "id", "left"
+    ).select(
+        "id",
+        F.when(F.col("_seed").isNotNull(), F.lit(1.0 / ns))
+        .otherwise(F.lit(0.0))
+        .alias("t"),
+    )
+    if checkpoint:
+        trust = trust.localCheckpoint(eager=False)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = trust.select("id", F.col("t").alias("tr"))
+    for _ in range(iterations):
+        inflow = (
+            e.join(ranks, e.src == ranks.id)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("tr") / F.col("out_deg")).alias("w"),
+            )
+            .groupBy("id")
+            .agg(F.sum("w").alias("inflow"))
+        )
+        dangling = ranks.join(
+            outdeg, ranks.id == outdeg.src, "left_anti"
+        ).agg(F.coalesce(F.sum("tr"), F.lit(0.0)).alias("dangling"))
+        ranks = (
+            trust.join(inflow, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dangling") * F.col("t")
+                    )
+                ).alias("tr"),
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+# --------------------------------------------------------------------------
+# Deterministic random walks (the DeepWalk/node2vec corpus-generation
+# primitive, and Monte-Carlo PageRank's inner loop): from each seed, take
+# `steps` hops; the hop from node u at step s picks out-neighbor index
+# md5(u#s) mod out_deg(u). Hash-derived choices make the walk a pure
+# function of the graph — re-runnable, resumable, and replayable by a SQL
+# oracle — while preserving the mixing behavior sampling needs.
+# --------------------------------------------------------------------------
+WALK_STEPS = 4
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = WALK_STEPS,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """→ (walk_id, end_node, path) — one walk per seed.
+
+    Each step is one equi-join of the walk frame against the
+    rank-numbered adjacency list (row_number per src ordered by dst),
+    filtered to the hash-chosen rank — O(walks) rows shuffled per step,
+    never O(edges). Dead ends (no out-edges) hold their position, so
+    every walk always yields exactly `steps` path entries. The adjacency
+    frame is built once and lineage-cut; at 10^10 edges it is the same
+    keyed shuffle a PageRank iteration already pays.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    w_adj = Window.partitionBy("src").orderBy("dst")
+    nbrs = e.select(
+        "src",
+        "dst",
+        (F.row_number().over(w_adj) - 1).alias("rn"),
+        F.count("*").over(Window.partitionBy("src")).alias("out_deg"),
+    )
+    if checkpoint:
+        nbrs = nbrs.localCheckpoint(eager=False)
+    cur = seeds.select(
+        F.col(seeds.columns[0]).alias("walk_id"),
+        F.col(seeds.columns[0]).alias("pos"),
+        F.col(seeds.columns[0]).cast("string").alias("path"),
+    )
+    for step in range(1, steps + 1):
+        pick = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("pos").cast("string"), F.lit(f"#{step}"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.col("out_deg"),
+        )
+        stepped = cur.join(
+            nbrs, (cur.pos == nbrs.src) & (nbrs.rn == pick), "left"
+        ).select(
+            "walk_id",
+            F.coalesce(F.col("dst"), F.col("pos")).alias("pos"),
+            F.concat(
+                F.col("path"),
+                F.lit("->"),
+                F.coalesce(F.col("dst"), F.col("pos")).cast("string"),
+            ).alias("path"),
+        )
+        cur = stepped.localCheckpoint(eager=False) if checkpoint else stepped
+    return cur.select("walk_id", F.col("pos").alias("end_node"), "path")

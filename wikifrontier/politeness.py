@@ -371,3 +371,91 @@ def politeness_audit(
             6,
         ).alias("compliance_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA host health: exponentially-weighted latency and failure rate over
+# each host's most recent fetches. The circuit breaker above votes on a
+# whole retention window; production schedulers (and the politeness
+# literature's adaptive-delay rules) want a RECENCY-weighted view — one
+# slow probe an hour ago must not outvote ten fast fetches since. The
+# window is capped (EWMA_WINDOW) so per-host state is O(1): exactly the
+# bounded per-host accumulator a streaming checkpoint would carry.
+#
+# Determinism: decay is 1/2 — every weight 2^-j is a dyadic rational, and
+# weighting a double by it only shifts the exponent (exact). The weighted
+# sums are LEFT FOLDS over recency-ordered arrays (F.aggregate), never
+# SUM() over a shuffled partition, so float addition order is fixed and
+# the DuckDB oracle (list_reduce over the same ordered list) replays the
+# arithmetic bit-for-bit at any parallelism.
+# --------------------------------------------------------------------------
+EWMA_WINDOW = 16          # most-recent fetches per host that carry weight
+EWMA_FAIL_OPEN = 0.4      # recency-weighted failure rate → 'failing'
+EWMA_SLOW_MS = 120.0      # recency-weighted latency → 'slow'
+
+
+def host_ewma(
+    fetches: DataFrame,
+    host: str = "host",
+    ts: str = "ts",
+    seq: str = "seq",
+    latency: str = "latency_ms",
+    failed: str = "failed",
+) -> DataFrame:
+    """Per-host EWMA health → (host, n_events, n_window, ewma_latency_ms,
+    ewma_fail_rate, verdict).
+
+    One keyed window to rank recency (newest rn=1), one keyed fold over
+    ≤EWMA_WINDOW rows per host. Weight of the rn-th newest is 2^-(rn-1);
+    the mean divides by the closed-form weight total 2 - 2^-(n-1). Shape
+    at 10^10 fetch events: a single shuffle on host; the fold state per
+    host is 16 structs.
+    """
+    w_host = Window.partitionBy("host").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    ranked = fetches.select(
+        F.col(host).alias("host"),
+        F.col(ts).alias("ts"),
+        F.col(seq).alias("seq"),
+        F.col(latency).cast("double").alias("lat"),
+        F.col(failed).cast("double").alias("fail"),
+    ).withColumn("rn", F.row_number().over(w_host))
+    per_host = (
+        ranked.groupBy("host")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") <= EWMA_WINDOW,
+                        F.struct("rn", "lat", "fail"),
+                    )
+                )
+            ).alias("win"),
+        )
+    )
+    half = F.lit(0.5)
+
+    def wfold(field):
+        return F.aggregate(
+            F.col("win"),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField(field) * F.pow(half, s.getField("rn") - 1),
+        )
+
+    nw = F.size(F.col("win"))
+    denom = F.lit(2.0) - F.pow(half, nw - 1)
+    ewma_lat = wfold("lat") / denom
+    ewma_fail = wfold("fail") / denom
+    return per_host.select(
+        "host",
+        "n_events",
+        nw.alias("n_window"),
+        F.round(ewma_lat, 6).alias("ewma_latency_ms"),
+        F.round(ewma_fail, 6).alias("ewma_fail_rate"),
+        F.when(ewma_fail > EWMA_FAIL_OPEN, F.lit("failing"))
+        .when(ewma_lat > EWMA_SLOW_MS, F.lit("slow"))
+        .otherwise(F.lit("healthy"))
+        .alias("verdict"),
+    )

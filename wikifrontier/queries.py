@@ -2671,6 +2671,149 @@ def q124_latency_quantiles(spark, sf_dir):
     )
 
 
+LINE_TOKENS = 8  # tokens per derived line in lined_docs
+
+
+def lined_docs(docs: DataFrame) -> DataFrame:
+    """documents re-shaped into newline-delimited lines of LINE_TOKENS
+    tokens, deterministically decorated so the line-level quality rules
+    (q125/q126) see every rule outcome: bullet prefixes ((doc_id+li)%7),
+    a planted boilerplate word ((3·doc_id+li)%11), ellipsis suffixes
+    ((doc_id+li)%5). Pure arithmetic — the oracle rebuilds the exact
+    same lines."""
+    toks = textops.tokens(F.col("text"))
+    nlines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(LINE_TOKENS))).cast("int"), F.lit(1)
+    )
+    did = F.col("doc_id")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda li: F.concat(
+            F.when((did + li) % 7 == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.concat_ws(" ", F.slice(toks, li * LINE_TOKENS + 1, LINE_TOKENS)),
+            F.when((did * 3 + li) % 11 == 0, F.lit(" javascript required")).otherwise(
+                F.lit("")
+            ),
+            F.when((did + li) % 5 == 0, F.lit(" ...")).otherwise(F.lit("")),
+        ),
+    )
+    return docs.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+def q125_gopher_rules(spark, sf_dir):
+    """Gopher document-quality rule suite (Rae et al. 2021 A1.1;
+    textops.gopher_rules): word-count / mean-word-length / symbol-ratio
+    / bullet- and ellipsis-line / alpha-word / stop-word rules over
+    line-structured docs, one boolean per rule plus the composite keep.
+    Pure projection — no shuffle, no UDF; the oracle replays the lined
+    fixture and every double in the same operation order."""
+    docs = lined_docs(spread(load(spark, sf_dir, "documents")))
+    return textops.gopher_rules(docs)
+
+
+def q126_c4_lines(spark, sf_dir):
+    """C4 line-level cleaning + corpus-wide exact line dedup (Raffel et
+    al. 2020; textops.c4_line_filter) over lined documents ∪ lined
+    near-dup copies (the copies share undecorated lines with their
+    originals — the planted cross-document duplicates). Reasons are
+    precedence-assigned; dedup keeps the (doc_id, line_idx)-first
+    occurrence via one keyed window on the line text — the single
+    corpus-scale shuffle. Output: per-doc drop-reason counts + md5 of
+    the reassembled clean text."""
+    base = load(spark, sf_dir, "documents")
+    docs = lined_docs(neardup_docs(base).drop("lang"))
+    return textops.c4_line_filter(docs)
+
+
+TRUST_SEED_MOD = 17  # doc_id % MOD == 0 → trusted seed (q127)
+
+
+def q127_trustrank(spark, sf_dir):
+    """TrustRank (Gyöngyi et al. 2004; linkgraph.trustrank): PageRank
+    with teleport AND dangling mass personalized onto the trusted seed
+    set (doc_id % 17 == 0) over the q51 derived link graph — the classic
+    spam-demotion companion score to q51/q59. 3 iterations, damping
+    0.85; oracle is a chained-CTE replay with the same trust vector."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    src = F.col("doc_id").alias("src")
+    edges = (
+        docs.select(src, ((F.col("doc_id") + 1) % n).alias("dst"))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 31 + 7) % n).alias("dst")))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 17 + 3) % n).alias("dst")))
+    )
+    seeds = docs.filter(F.col("doc_id") % TRUST_SEED_MOD == 0).select("doc_id")
+    tr = linkgraph.trustrank(edges, seeds)
+    return tr.select(F.col("id").alias("doc_id"), F.round("tr", 8).alias("trustrank"))
+
+
+KMV_SHIFT_DEN = 3  # B = A shifted by N//3 → |A∩B| = N - N//3 (q128)
+
+
+def q128_theta_sketch(spark, sf_dir):
+    """KMV/theta bottom-k sketch set algebra (sketch.kmv_sketch/
+    kmv_set_ops): distinct-URL estimates for two overlapping crawl
+    snapshots A (doc ids [0,N)) and B (ids shifted by N//3) and their
+    union/intersection — the snapshot-reconciliation arithmetic a crawl
+    planner runs without re-scanning either snapshot. Sketches are
+    bottom-256 md5 hashes (TakeOrderedAndProject — per-partition
+    bottom-k, O(k) driver state); every estimate is a fixed scalar
+    formula the oracle replays exactly."""
+    docs = spread(load(spark, sf_dir, "documents"))
+    n = docs.count()
+    shift = n // KMV_SHIFT_DEN
+    url_of = lambda c: F.concat(F.lit("https://en.wikipedia.org/wiki/Doc_"), c)
+    a = docs.select(url_of(F.col("doc_id").cast("string")).alias("url"))
+    b = docs.select(
+        url_of((F.col("doc_id") + shift).cast("string")).alias("url")
+    )
+    ska = sketch.kmv_sketch(a, "url")
+    skb = sketch.kmv_sketch(b, "url")
+    return sketch.kmv_set_ops(ska, skb)
+
+
+WALK_SEED_MOD = 29  # doc_id % MOD == 0 → walk seed (q129)
+
+
+def q129_random_walks(spark, sf_dir):
+    """Deterministic random walks (linkgraph.random_walks) — the
+    DeepWalk/Monte-Carlo-PageRank sampling primitive — over the q51
+    derived graph from seeds doc_id % 29 == 0: 4 hops, each hop chosen
+    by md5(node#step) mod out-degree against the rank-numbered
+    adjacency list; one O(walks) equi-join per step, never O(edges).
+    Oracle unrolls the same four joins with the same hash arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    src = F.col("doc_id").alias("src")
+    edges = (
+        docs.select(src, ((F.col("doc_id") + 1) % n).alias("dst"))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 31 + 7) % n).alias("dst")))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 17 + 3) % n).alias("dst")))
+    )
+    seeds = docs.filter(F.col("doc_id") % WALK_SEED_MOD == 0).select("doc_id")
+    return linkgraph.random_walks(edges, seeds)
+
+
+def q130_host_ewma(spark, sf_dir):
+    """Recency-weighted host health (politeness.host_ewma): EWMA latency
+    and failure rate over each host's last 16 fetch events (decay 1/2 —
+    dyadic weights, left-fold summation → bit-exact at any parallelism)
+    plus the healthy/slow/failing verdict an adaptive politeness
+    scheduler keys on. Fixture: events as the fetch log — host from
+    user_id, latency from value, failure when event_type='error'."""
+    ev = load(spark, sf_dir, "events")
+    fetches = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 12).cast("string"), F.lit(".com")).alias(
+            "host"
+        ),
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.col("value").alias("latency_ms"),
+        (F.col("event_type") == "error").alias("failed"),
+    )
+    return politeness.host_ewma(fetches)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())

@@ -285,3 +285,105 @@ def histogram_quantiles(
             ).alias(name)
         )
     return cum.groupBy("grp").agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# KMV / theta sketch (Bar-Yossef et al. 2002; Dasgupta et al.'s theta
+# formalization): keep the k minimum hash values of a set. Where HLL only
+# unions, KMV supports the SET ALGEBRA crawl planning needs — union,
+# intersection, difference between two crawl snapshots' URL sets ("how
+# many URLs does tomorrow's seed list share with what we already have?")
+# — each estimated from two k-element sketches, no re-scan of either
+# snapshot. Cross-engine-exact like the HLL above: md5 hashes (identical
+# bytes both engines), the estimator reads the hash's first 13 hex chars
+# as a 52-bit integer (exact in a double), and every arithmetic step is
+# a fixed scalar formula the DuckDB oracle replays bit-for-bit.
+# --------------------------------------------------------------------------
+KMV_K = 256
+_KMV_SPACE = float(16 ** 13)  # 52-bit hash-prefix space
+
+
+def kmv_sketch(df: DataFrame, value: str, k: int = KMV_K) -> DataFrame:
+    """Bottom-k distinct md5 hashes of ``value`` → one row holding the
+    sorted hash array. distinct → sort-limit is Spark's
+    TakeOrderedAndProject: per-partition bottom-k, merged at the driver
+    — O(k) per partition, never a global sort."""
+    h = df.select(F.md5(F.col(value).cast("string")).alias("h")).distinct()
+    bottom = h.orderBy("h").limit(k)
+    return bottom.agg(F.array_sort(F.collect_list("h")).alias("sk"))
+
+
+def _frac(h):
+    """Hash → position in [0,1): first 13 hex chars / 16^13 (exact)."""
+    return F.conv(F.substring(h, 1, 13), 16, 10).cast("long") / F.lit(_KMV_SPACE)
+
+
+def kmv_estimate(sk, k: int = KMV_K):
+    """Distinct-count estimate from a sorted bottom-k array column: exact
+    size when the sketch is not full, else (k-1)/frac(kth)."""
+    return F.when(F.size(sk) < k, F.size(sk).cast("double")).otherwise(
+        F.lit(float(k - 1)) / _frac(F.element_at(sk, k))
+    )
+
+
+def kmv_set_ops(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Two 1-row sketch frames → (set_label, est_distinct) rows for
+    A, B, union, intersection.
+
+    Union sketch = bottom-k of the merged hash arrays. Intersection uses
+    the standard KMV combination: among the union sketch's k-1 smallest
+    (all below theta), count those present in BOTH input sketches; that
+    count / (k-1) × est(union) — equivalently count/theta_frac. When the
+    union sketch is not full every member is known exactly and the
+    estimates collapse to exact counts. All array ops are over ≤k
+    elements on a single row — driver-free, broadcast-size state.
+    """
+    j = (
+        a.select(F.col("sk").alias("ska"))
+        .crossJoin(b.select(F.col("sk").alias("skb")))
+        .select(
+            "ska",
+            "skb",
+            F.slice(
+                F.array_sort(F.array_union(F.col("ska"), F.col("skb"))), 1, k
+            ).alias("sku"),
+        )
+    )
+    full = F.size(F.col("sku")) >= k
+    theta_frac = _frac(F.element_at(F.col("sku"), k))
+    head = F.when(full, F.slice(F.col("sku"), 1, k - 1)).otherwise(F.col("sku"))
+    n_both = F.size(
+        F.filter(
+            head,
+            lambda h: F.array_contains(F.col("ska"), h)
+            & F.array_contains(F.col("skb"), h),
+        )
+    )
+    est_union = F.when(full, F.lit(float(k - 1)) / theta_frac).otherwise(
+        F.size(F.col("sku")).cast("double")
+    )
+    est_inter = F.when(full, n_both.cast("double") / theta_frac).otherwise(
+        n_both.cast("double")
+    )
+    return j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("A").alias("set_label"),
+                    F.round(kmv_estimate(F.col("ska"), k), 4).alias("est_distinct"),
+                ),
+                F.struct(
+                    F.lit("B").alias("set_label"),
+                    F.round(kmv_estimate(F.col("skb"), k), 4).alias("est_distinct"),
+                ),
+                F.struct(
+                    F.lit("union").alias("set_label"),
+                    F.round(est_union, 4).alias("est_distinct"),
+                ),
+                F.struct(
+                    F.lit("intersection").alias("set_label"),
+                    F.round(est_inter, 4).alias("est_distinct"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.set_label", "s.est_distinct")

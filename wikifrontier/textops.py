@@ -1273,3 +1273,190 @@ def soft404_signals(
             F.col("has_error_phrase") & (is_short | short_vs_host)
         ).alias("is_soft404"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ...
+# Gopher", appendix A1.1) — the published document-level heuristic filter
+# suite most 100 TB-class web-text pipelines start from. The reference
+# parses pages one message at a time (components/parser/services/
+# parser_service.py) and never quality-gates them; at training-data scale
+# the gate is the first corpus pass after extraction. All rules are pure
+# Column expressions (whole-stage codegen, no Python), so the filter runs
+# at scan speed and pushes nothing to the driver.
+# --------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MAX_MEAN_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(df, id_col: str = "doc_id", text: str = "text"):
+    """Gopher quality-rule audit over line-structured documents →
+    one row per doc: the measured features, one boolean per rule, and
+    the composite ``keep``.
+
+    ``text`` is newline-joined lines (the shape html→text extraction
+    emits). Words are whitespace-delimited runs — bullets and ellipsis
+    markers count as words, exactly as in the published rules (they are
+    what the symbol/alpha ratios exist to catch). Double arithmetic is
+    explicit and ordered so the DuckDB oracle replays it bit-for-bit.
+
+    Scale: one narrow projection — no shuffle, no UDF, no explode; the
+    per-doc word/line arrays live only inside the projection.
+    """
+    t = F.col(text)
+    words = F.filter(F.split(t, "[ \n]"), lambda w: w != "")
+    lines = F.split(t, "\n")
+    n_words = F.size(words)
+    nd = n_words.cast("double")
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("double"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = F.when(n_words > 0, word_chars / nd).otherwise(F.lit(0.0))
+    hash_count = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    ellipsis_count = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.when(
+        n_words > 0, (hash_count + ellipsis_count).cast("double") / nd
+    ).otherwise(F.lit(0.0))
+    bullet_lines = F.size(F.filter(lines, lambda l: l.startswith("- ")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    nld = n_lines.cast("double")
+    bullet_frac = F.when(n_lines > 0, bullet_lines.cast("double") / nld).otherwise(
+        F.lit(0.0)
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0, ellipsis_lines.cast("double") / nld
+    ).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_frac = F.when(n_words > 0, alpha_words.cast("double") / nd).otherwise(
+        F.lit(0.0)
+    )
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*GOPHER_STOPWORDS)))
+    r_wordcount = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mean_len = (mean_len >= GOPHER_MIN_MEAN_LEN) & (
+        mean_len <= GOPHER_MAX_MEAN_LEN
+    )
+    r_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    r_bullet = bullet_frac <= GOPHER_MAX_BULLET_FRAC
+    r_ellipsis = ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        r_wordcount.alias("r_wordcount"),
+        r_mean_len.alias("r_mean_len"),
+        r_symbol.alias("r_symbol"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stop"),
+        (
+            r_wordcount
+            & r_mean_len
+            & r_symbol
+            & r_bullet
+            & r_ellipsis
+            & r_alpha
+            & r_stop
+        ).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C4-style line cleaning (Raffel et al. 2020, the C4 pipeline): per-line
+# keep rules (≥3 words, terminal punctuation, no policy/boilerplate
+# words) plus the corpus-wide pass C4 is known for — any line that occurs
+# more than once in the WHOLE corpus is kept only at its first occurrence.
+# That global pass is the genuinely distributed part: one shuffle keyed by
+# the line text (Spark hash-partitions the key; at 10^10 pages this is a
+# plain keyed window over ~10^11 short rows, no driver state).
+# --------------------------------------------------------------------------
+C4_MIN_LINE_WORDS = 3
+C4_BANNED_WORDS = ("javascript", "cookie", "lorem")
+C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_line_filter(df, id_col: str = "doc_id", text: str = "text"):
+    """C4 line-level cleaning + corpus-level exact line dedup → one row
+    per doc: line counts by drop reason and the md5 of the cleaned,
+    reassembled text.
+
+    Drop reasons are assigned in fixed precedence (short → no_punct →
+    banned → dup_line) so each line counts exactly once. The dedup
+    window orders occurrences by (doc_id, line_idx) — deterministic
+    first-writer-wins, the same tie rule as the engine's claim operator
+    (frontier.claim_first_wins).
+    """
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text), "\n")).alias("line_idx", "line"),
+    )
+    n_line_words = F.size(F.filter(F.split(F.col("line"), " "), lambda w: w != ""))
+    banned = F.lit(False)
+    for w in C4_BANNED_WORDS:
+        banned = banned | F.col("line").contains(w)
+    flagged = lines.select(
+        id_col,
+        "line_idx",
+        "line",
+        (n_line_words < C4_MIN_LINE_WORDS).alias("is_short"),
+        (~F.col("line").rlike(C4_TERMINAL_RE)).alias("is_nopunct"),
+        banned.alias("is_banned"),
+    )
+    ok = ~(F.col("is_short") | F.col("is_nopunct") | F.col("is_banned"))
+    # corpus-wide first occurrence among line-rule survivors only (C4
+    # dedups the text that would otherwise ship) — losers keep occ > 1
+    w_line = Window.partitionBy("line").orderBy(id_col, "line_idx")
+    flagged = flagged.withColumn(
+        "occ",
+        F.when(ok, F.row_number().over(w_line)).otherwise(F.lit(1)),
+    )
+    reason = (
+        F.when(F.col("is_short"), "short")
+        .when(F.col("is_nopunct"), "no_punct")
+        .when(F.col("is_banned"), "banned")
+        .when(F.col("occ") > 1, "dup_line")
+        .otherwise("kept")
+    )
+    tagged = flagged.select(id_col, "line_idx", "line", reason.alias("reason"))
+    kept_struct = F.when(
+        F.col("reason") == "kept",
+        F.struct(F.col("line_idx"), F.col("line")),
+    )
+    return tagged.groupBy(id_col).agg(
+        F.count("*").alias("n_lines"),
+        F.sum((F.col("reason") == "kept").cast("int")).alias("n_kept"),
+        F.sum((F.col("reason") == "short").cast("int")).alias("n_short"),
+        F.sum((F.col("reason") == "no_punct").cast("int")).alias("n_nopunct"),
+        F.sum((F.col("reason") == "banned").cast("int")).alias("n_banned"),
+        F.sum((F.col("reason") == "dup_line").cast("int")).alias("n_dupline"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("line"),
+                ),
+            )
+        ).alias("clean_hash"),
+    )
