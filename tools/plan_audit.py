@@ -1303,6 +1303,111 @@ def main() -> int:
         summary_of(q124_plan_df),
     ))
 
+    # 75. Gopher quality rules (q125)
+    q125_plan_df = queries.q125_gopher_rules(spark, sf_dir)
+    q125_plan = plan_of(q125_plan_df)
+    assert "PythonUDF" not in q125_plan, "gopher rules must stay JVM-side"
+    assert "SortMergeJoin" not in q125_plan and "CartesianProduct" not in q125_plan
+    sections.append((
+        "Gopher quality rules (q125)",
+        "The whole rule suite — word/line arrays, ratios, seven rule "
+        "booleans — is ONE codegen projection over the scan; the only "
+        "exchange is the spread() rebalance (no-op at real file counts). "
+        "No join, no window, no UDF: at 10^10 docs this runs at scan "
+        "speed, which is the design point for a first-pass corpus gate.",
+        summary_of(q125_plan_df),
+    ))
+
+    # 76. C4 line cleaning + corpus line dedup (q126)
+    q126_plan_df = queries.q126_c4_lines(spark, sf_dir)
+    q126_plan = plan_of(q126_plan_df)
+    assert "CartesianProduct" not in q126_plan
+    sections.append((
+        "C4 line cleaning + corpus-wide line dedup (q126)",
+        "Line-level rules are computed in the exploded projection "
+        "(map-side); the single corpus-scale exchange is the dedup "
+        "window keyed by the line text, followed by the per-doc "
+        "re-aggregation. At 10^10 pages that is one shuffle of short "
+        "(line, doc, idx) rows — the same cost class as q52's segment "
+        "dedup, with first-occurrence semantics instead of drop-all.",
+        summary_of(q126_plan_df),
+    ))
+
+    # 77. TrustRank loop (q127)
+    from wikifrontier.linkgraph import trustrank
+
+    tr_edges = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 200).alias("dst")
+    )
+    tr_seeds = spark.range(0, 200, 17).select(F.col("id"))
+    tr_df = trustrank(tr_edges, tr_seeds, iterations=2, checkpoint=False)
+    tr_plan = plan_of(tr_df)
+    assert "CartesianProduct" not in tr_plan, "trustrank loop grew a cartesian"
+    sections.append((
+        "TrustRank iteration (q127)",
+        "Same loop skeleton as q51's PageRank (one edge⋈rank equi-join + "
+        "keyed partial-sum per iteration, 1-row dangling broadcast) with "
+        "the trust vector joined in place of the uniform prior — the "
+        "teleport AND dangling terms multiply by t, so the plan adds only "
+        "a broadcast-able seed semi-join at build time. Explained with "
+        "checkpoint=False to expose the unrolled loop body.",
+        summary_of(tr_df),
+    ))
+
+    # 78. KMV theta sketch set ops (q128)
+    q128_plan_df = queries.q128_theta_sketch(spark, sf_dir)
+    q128_plan = plan_of(q128_plan_df)
+    assert "TakeOrderedAndProject" in q128_plan, (
+        "KMV bottom-k must be TakeOrdered (per-partition bottom-k), "
+        "not a global sort"
+    )
+    sections.append((
+        "KMV theta-sketch set algebra (q128)",
+        "Each snapshot's sketch is distinct-hash → TakeOrderedAndProject "
+        "(per-partition bottom-k, O(k) merged at the driver — never a "
+        "global sort). The set-op arithmetic runs on two 1-row arrays "
+        "joined by a broadcast nested loop that is a scalar attach, not "
+        "pair generation. Sketch size is 256 hashes at ANY snapshot "
+        "cardinality; union/intersection estimates never re-touch the "
+        "snapshots.",
+        summary_of(q128_plan_df),
+    ))
+
+    # 79. deterministic random walks (q129)
+    from wikifrontier.linkgraph import random_walks
+
+    rw_df = random_walks(
+        tr_edges, tr_seeds, steps=2, checkpoint=False
+    )
+    rw_plan = plan_of(rw_df)
+    assert "CartesianProduct" not in rw_plan, "walk loop grew a cartesian"
+    sections.append((
+        "Deterministic random walks (q129)",
+        "The adjacency list is rank-numbered once (one keyed window — "
+        "the same shuffle class as a PageRank iteration) and each hop is "
+        "an equi-join of the O(walks) frame against it on src, filtered "
+        "to the hash-chosen rank; walk state never exceeds (walk_id, "
+        "pos, path). Explained with checkpoint=False to expose two "
+        "unrolled hops.",
+        summary_of(rw_df),
+    ))
+
+    # 80. EWMA host health (q130)
+    q130_plan_df = queries.q130_host_ewma(spark, sf_dir)
+    q130_plan = plan_of(q130_plan_df)
+    assert "PythonUDF" not in q130_plan
+    assert "CartesianProduct" not in q130_plan
+    sections.append((
+        "EWMA host health (q130)",
+        "One keyed window ranks recency per host; the fold input is "
+        "capped at 16 structs per host before aggregation, so per-host "
+        "state is O(1) — exactly the accumulator a streaming checkpoint "
+        "would carry. The weighted sums are left folds over "
+        "recency-ordered arrays (never SUM over a shuffled partition), "
+        "which is what makes the doubles bit-exact at any parallelism.",
+        summary_of(q130_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "
