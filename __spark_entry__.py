@@ -3816,6 +3816,10 @@ WHERE round(CASE WHEN coalesce(c.total_grams, 0) > 0
         "q128_theta_sketch": _kmv_sql(),
         "q129_random_walks": _walks_sql(),
         "q130_host_ewma": _ewma_sql(),
+        "q131_url_quality": _urlq_sql(),
+        "q132_focused_frontier": _focused_sql(),
+        "q133_rendezvous_shards": _rendezvous_sql(),
+        "q134_opic": _opic_sql(),
     }
 
 
@@ -4129,4 +4133,154 @@ SELECT host, n_events, CAST(n_window AS INT) AS n_window,
        WHEN ewma_lat > {EWMA_SLOW_MS} THEN 'slow'
        ELSE 'healthy' END AS verdict
 FROM e
+"""
+
+
+# --------------------------------------------------------------------------
+# q131–q134 oracle generators
+# --------------------------------------------------------------------------
+_Q51_EDGES = """
+edges AS (
+  SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 31 + 7) % nn.n FROM documents, nn
+  UNION
+  SELECT doc_id, (doc_id * 17 + 3) % nn.n FROM documents, nn
+)"""
+
+
+def _urlq_sql() -> str:
+    from wikifrontier import filters as FL
+
+    banned = " OR ".join(f"url LIKE '%{w}%'" for w in FL.URLQ_BANNED_WORDS)
+    return f"""
+WITH u AS (
+  SELECT 'https://'
+    || (CASE WHEN doc_id % 4 = 0 THEN 'a.b.c.en.wikipedia.org'
+             ELSE 'en.wikipedia.org' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '/casino' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN '/wiki/12345/67890/Doc_'
+             ELSE '/wiki/Doc_' END)
+    || doc_id
+    || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&sess=1&ref=2&id=3&p=4'
+             WHEN doc_id % 3 = 1 THEN '?q=1' ELSE '' END) AS url
+  FROM documents
+),
+f AS (
+  SELECT url,
+    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query,
+    length(url) AS url_len
+  FROM u
+),
+g AS (
+  SELECT url, host, url_len,
+    length(host) - length(replace(host, '.', '')) AS subdomain_depth,
+    CAST(length(path) - length(regexp_replace(path, '[0-9]', '', 'g')) AS DOUBLE)
+      / CAST(greatest(length(path), 1) AS DOUBLE) AS digit_frac,
+    CASE WHEN query = '' THEN 0
+         ELSE length(query) - length(replace(query, '&', '')) + 1 END AS n_params,
+    ({banned}) AS banned
+  FROM f
+)
+SELECT url, host, url_len, subdomain_depth,
+  round(digit_frac, 6) AS digit_frac, n_params,
+  url_len <= {FL.URLQ_MAX_LEN} AS r_len,
+  subdomain_depth <= {FL.URLQ_MAX_SUBDOMAIN_DEPTH} AS r_subdomain,
+  digit_frac <= {FL.URLQ_MAX_DIGIT_FRAC} AS r_digits,
+  n_params <= {FL.URLQ_MAX_PARAMS} AS r_params,
+  NOT banned AS r_banned,
+  (url_len <= {FL.URLQ_MAX_LEN}
+   AND subdomain_depth <= {FL.URLQ_MAX_SUBDOMAIN_DEPTH}
+   AND digit_frac <= {FL.URLQ_MAX_DIGIT_FRAC}
+   AND n_params <= {FL.URLQ_MAX_PARAMS}
+   AND NOT banned) AS keep
+FROM g
+"""
+
+
+def _focused_sql() -> str:
+    from wikifrontier.politeness import FOCUS_BUDGET, FOCUS_HOST_CAP, FOCUS_TOPIC
+
+    topic = "[" + ", ".join(f"'{w}'" for w in FOCUS_TOPIC) + "]"
+    return f"""
+WITH c AS (
+  SELECT 'https://en.wikipedia.org/wiki/Doc_' || doc_id AS url,
+         'h' || CAST(doc_id % 5 AS VARCHAR) || '.org' AS host,
+         CAST(doc_id % 6 AS INT) AS depth,
+         array_to_string(({TOKS})[1:6], ' ') AS anchor_text
+  FROM documents
+),
+s AS (
+  SELECT url, host, depth,
+    len(list_filter(regexp_extract_all(lower(anchor_text), '[a-z0-9]+'),
+                    t -> list_contains({topic}, t))) AS relevance
+  FROM c
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY host ORDER BY relevance DESC, depth ASC, url ASC) AS host_rank
+  FROM s
+)
+SELECT url, host, depth, relevance FROM r WHERE host_rank <= {FOCUS_HOST_CAP}
+ORDER BY relevance DESC, depth ASC, url ASC LIMIT {FOCUS_BUDGET}
+"""
+
+
+def _rendezvous_sql() -> str:
+    from wikifrontier.politeness import RENDEZVOUS_K
+
+    return f"""
+WITH hosts AS (
+  SELECT 'h' || CAST(doc_id % 97 AS VARCHAR) || '.example.org' AS host,
+         count(*) AS n_urls
+  FROM documents GROUP BY 1
+),
+sh AS (
+  SELECT host, n_urls,
+    list_max(list_transform(range(0, {RENDEZVOUS_K}),
+                            s -> {{'h': md5(host || '#' || s), 's': s}}))['s'] AS shard
+  FROM hosts
+)
+SELECT CAST(shard AS INT) AS shard, count(*) AS n_hosts,
+       CAST(sum(n_urls) AS BIGINT) AS n_urls
+FROM sh GROUP BY shard
+"""
+
+
+def _opic_sql() -> str:
+    from wikifrontier.linkgraph import OPIC_ITERATIONS
+
+    iters = []
+    prev = "st0"
+    for k in range(1, OPIC_ITERATIONS + 1):
+        iters.append(f"""
+st{k} AS (
+  SELECT nodes.id,
+    coalesce(inf.w, CAST(0 AS DOUBLE))
+      + (SELECT coalesce(sum(cash), CAST(0 AS DOUBLE)) FROM {prev}
+         WHERE id NOT IN (SELECT src FROM edges)) / nn.n AS cash,
+    pv2.hist + pv2.cash AS hist
+  FROM nodes CROSS JOIN nn
+  JOIN {prev} pv2 ON pv2.id = nodes.id
+  LEFT JOIN (
+    SELECT dst AS id, sum(cash / od) AS w
+    FROM edges JOIN {prev} pv ON pv.id = edges.src
+               JOIN outdeg USING (src)
+    GROUP BY dst
+  ) inf ON inf.id = nodes.id
+)""")
+        prev = f"st{k}"
+    its = ",".join(iters)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),{_Q51_EDGES},
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+st0 AS (SELECT nodes.id, CAST(1 AS DOUBLE) / nn.n AS cash,
+               CAST(0 AS DOUBLE) AS hist
+        FROM nodes CROSS JOIN nn),{its}
+SELECT id AS doc_id,
+       round((hist + cash) / CAST({OPIC_ITERATIONS + 1} AS DOUBLE), 8) AS importance
+FROM {prev}
 """

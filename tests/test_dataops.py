@@ -2075,3 +2075,79 @@ def test_host_ewma_recency_weighting(spark):
     assert out["b.com"]["ewma_fail_rate"] == 1.0
     assert out["b.com"]["verdict"] == "failing"
     assert out["a.com"]["n_window"] == 16 and out["a.com"]["n_events"] == 16
+
+
+def test_url_quality_rule_matrix(spark):
+    from wikifrontier.filters import url_quality
+
+    df = spark.createDataFrame(
+        [
+            ("https://en.wikipedia.org/wiki/Fine",),
+            ("https://a.b.c.d.site.org/x",),              # subdomain depth 5
+            ("https://site.org/1234567890/12345",),       # digit-stuffed
+            ("https://site.org/p?a=1&b=2&c=3&d=4&e=5",),  # 5 params
+            ("https://site.org/casino/page",),            # blocklist
+            ("https://site.org/" + "x" * 300,),           # over-long
+        ],
+        "url string",
+    )
+    out = {r["url"][:30]: r.asDict() for r in url_quality(df).collect()}
+    assert out["https://en.wikipedia.org/wiki/"]["keep"] is True
+    assert not out["https://a.b.c.d.site.org/x"]["r_subdomain"]
+    assert not out["https://site.org/1234567890/12"]["r_digits"]
+    assert not out["https://site.org/p?a=1&b=2&c=3"]["r_params"]
+    assert not out["https://site.org/casino/page"]["r_banned"]
+    assert not out["https://site.org/xxxxxxxxxxxxx"]["r_len"]
+    assert sum(1 for v in out.values() if v["keep"]) == 1
+
+
+def test_focused_pop_orders_and_caps(spark):
+    from wikifrontier.politeness import focused_pop
+
+    rows = [
+        ("u%02d" % i, "h1", 3, "spark data join")  # relevance 3
+        for i in range(12)
+    ] + [
+        ("v1", "h2", 0, "nothing relevant here"),  # relevance 0, shallow
+        ("v2", "h2", 5, "spark spark spark spark"),  # relevance 4, deep
+    ]
+    df = spark.createDataFrame(rows, "url string, host string, depth int, anchor_text string")
+    got = focused_pop(df, budget=8, per_host_cap=5).collect()
+    assert len(got) == 7  # h1 capped at 5, h2 contributes 2
+    assert got and got[0]["url"] == "v2"  # highest relevance first, despite depth
+    assert sum(1 for r in got if r["host"] == "h1") == 5
+    # determinism: equal relevance/depth breaks on url
+    h1 = [r["url"] for r in got if r["host"] == "h1"]
+    assert h1 == sorted(h1)
+
+
+def test_rendezvous_stability_on_shard_add(spark):
+    from pyspark.sql import functions as F
+    from wikifrontier.politeness import rendezvous_shard
+
+    hosts = spark.createDataFrame(
+        [("host%d.org" % i,) for i in range(200)], "host string"
+    )
+    k8 = hosts.select("host", rendezvous_shard(F.col("host"), 8).alias("s8"))
+    k9 = hosts.select("host", rendezvous_shard(F.col("host"), 9).alias("s9"))
+    j = k8.join(k9, "host")
+    moved = j.filter(F.col("s8") != F.col("s9")).count()
+    # HRW property: going 8→9 shards moves ONLY hosts won by the new
+    # shard — expectation 1/9 of hosts; hash-mod would move ~8/9
+    assert moved < 200 * 0.25, moved
+    # every moved host moved TO the new shard 8
+    bad = j.filter((F.col("s8") != F.col("s9")) & (F.col("s9") != 8)).count()
+    assert bad == 0
+
+
+def test_opic_conserves_cash_and_ranks_sinks(spark):
+    from wikifrontier.linkgraph import opic
+
+    # star: 0→1, 0→2, 1→0, 2→0  (0 is the hub, gets half the cash back
+    # every round; 1 and 2 split the rest)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (2, 0)], "src long, dst long"
+    )
+    got = {r["id"]: r["importance"] for r in opic(edges).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # importance sums to 1
+    assert got[0] > got[1] and abs(got[1] - got[2]) < 1e-12

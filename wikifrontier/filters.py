@@ -422,3 +422,70 @@ def robots_crawl_delays(
         .groupBy("host")
         .agg(F.min("delay").alias("crawl_delay"))
     )
+
+
+# --------------------------------------------------------------------------
+# URL-level quality gate (the FineWeb/RefinedWeb URL-filtering pass):
+# before a page is ever fetched, its URL alone carries spam signal —
+# over-deep subdomains, digit-stuffed paths, parameter explosions, and
+# blocklist words. Filtering at the URL beats filtering at the document:
+# the fetch (the expensive step at 10^10 URLs) is what gets skipped. The
+# reference gates URLs only by scheme/netloc validity and wiki namespace
+# (components/crawler/services/, link_filters.py); this is the
+# general-web quality layer beside it. Pure codegen column expressions —
+# the gate runs inside the candidate-link projection, before the seen
+# anti-join, adding zero exchanges to the round.
+# --------------------------------------------------------------------------
+URLQ_MAX_LEN = 200
+URLQ_MAX_SUBDOMAIN_DEPTH = 3   # dots in host
+URLQ_MAX_DIGIT_FRAC = 0.4      # digit chars / path chars
+URLQ_MAX_PARAMS = 4
+URLQ_BANNED_WORDS = ("casino", "viagra", "warez")
+_URLQ_HOST_RE = "^[a-z]+://([^/?#]+)"
+_URLQ_PATH_RE = "^[a-z]+://[^/?#]+([^?#]*)"
+_URLQ_QUERY_RE = "\\?([^#]*)"
+
+
+def url_quality(df, url: str = "url"):
+    """Per-URL quality features + rule booleans + composite keep.
+
+    Host/path/query are split by the same three regexes in both engines
+    (Java ∩ RE2 dialect); character counts use length-after-replace so
+    no per-char explode exists anywhere.
+    """
+    u = F.col(url)
+    host = F.regexp_extract(u, _URLQ_HOST_RE, 1)
+    path = F.regexp_extract(u, _URLQ_PATH_RE, 1)
+    query = F.regexp_extract(u, _URLQ_QUERY_RE, 1)
+    url_len = F.length(u)
+    subdomain_depth = F.length(host) - F.length(F.replace(host, F.lit("."), F.lit("")))
+    path_len = F.length(path)
+    digit_chars = path_len - F.length(F.regexp_replace(path, "[0-9]", ""))
+    digit_frac = digit_chars.cast("double") / F.greatest(path_len, F.lit(1)).cast(
+        "double"
+    )
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.length(query) - F.length(F.replace(query, F.lit("&"), F.lit(""))) + 1
+    )
+    banned = F.lit(False)
+    for w in URLQ_BANNED_WORDS:
+        banned = banned | u.contains(w)
+    r_len = url_len <= URLQ_MAX_LEN
+    r_subdomain = subdomain_depth <= URLQ_MAX_SUBDOMAIN_DEPTH
+    r_digits = digit_frac <= URLQ_MAX_DIGIT_FRAC
+    r_params = n_params <= URLQ_MAX_PARAMS
+    r_banned = ~banned
+    return df.select(
+        u.alias("url"),
+        host.alias("host"),
+        url_len.alias("url_len"),
+        subdomain_depth.alias("subdomain_depth"),
+        F.round(digit_frac, 6).alias("digit_frac"),
+        n_params.alias("n_params"),
+        r_len.alias("r_len"),
+        r_subdomain.alias("r_subdomain"),
+        r_digits.alias("r_digits"),
+        r_params.alias("r_params"),
+        r_banned.alias("r_banned"),
+        (r_len & r_subdomain & r_digits & r_params & r_banned).alias("keep"),
+    )

@@ -1024,3 +1024,86 @@ def random_walks(
         )
         cur = stepped.localCheckpoint(eager=False) if checkpoint else stepped
     return cur.select("walk_id", F.col("pos").alias("end_node"), "path")
+
+
+# --------------------------------------------------------------------------
+# OPIC — On-line Page Importance Computation (Abiteboul, Preda & Cobena,
+# WWW 2003): the importance estimator built FOR crawlers. Each page holds
+# cash; visiting a page distributes its cash equally along out-links and
+# banks the spent amount in its history; importance ≈ (history + cash) /
+# total circulated. Unlike PageRank it needs no damping constant and its
+# per-round work is exactly the crawl round's own link traversal — the
+# reference's BFS visit order (SURVEY §2.9) upgraded to importance-first
+# with one extra keyed fold per round.
+# --------------------------------------------------------------------------
+OPIC_ITERATIONS = 3
+
+
+def opic(
+    edges: DataFrame,
+    iterations: int = OPIC_ITERATIONS,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-round synchronous OPIC → (id, importance).
+
+    cash₀ = 1/n everywhere, history₀ = 0. Per round: every node gives
+    cash/out_deg along each out-edge (dangling nodes give to the
+    virtual-root, i.e. uniformly to all nodes — the paper's model);
+    history += cash given; new cash = inflow. Total cash in circulation
+    stays exactly 1, so importance = (history + cash)/(rounds + 1) sums
+    to 1. Same plan shape as pagerank: one edge⋈cash equi-join + keyed
+    sum + 1-row dangling broadcast per round.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("importance"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    state = nodes.select(
+        "id", F.lit(1.0 / n).alias("cash"), F.lit(0.0).alias("hist")
+    )
+    for _ in range(iterations):
+        inflow = (
+            e.join(state, e.src == state.id)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("cash") / F.col("out_deg")).alias("w"),
+            )
+            .groupBy("id")
+            .agg(F.sum("w").alias("inflow"))
+        )
+        dangling = state.join(
+            outdeg, state.id == outdeg.src, "left_anti"
+        ).agg(F.coalesce(F.sum("cash"), F.lit(0.0)).alias("dangling"))
+        state = (
+            state.join(inflow, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.coalesce(F.col("inflow"), F.lit(0.0))
+                    + F.col("dangling") / F.lit(float(n))
+                ).alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+        )
+        if checkpoint:
+            state = state.localCheckpoint(eager=False)
+    return state.select(
+        "id",
+        ((F.col("hist") + F.col("cash")) / F.lit(float(iterations + 1))).alias(
+            "importance"
+        ),
+    )

@@ -459,3 +459,96 @@ def host_ewma(
         .otherwise(F.lit("healthy"))
         .alias("verdict"),
     )
+
+
+# --------------------------------------------------------------------------
+# Focused-crawl frontier ordering (Chakrabarti et al. 1999): pop by
+# anchor-text topic relevance instead of FIFO — a crawler chasing a topic
+# fetches the links whose anchor text matches the topic profile first,
+# and expands shallow pages before deep ones at equal relevance. This is
+# the third pop strategy beside FIFO (pop_frontier) and link-score
+# (scored_pop); like them it is a per-host-capped distributed top-k
+# (TakeOrderedAndProject), never a global sort of the frontier.
+# --------------------------------------------------------------------------
+FOCUS_TOPIC = ("spark", "query", "join", "data")
+FOCUS_BUDGET = 100
+FOCUS_HOST_CAP = 10
+
+
+def focused_pop(
+    cands: DataFrame,
+    topic: tuple[str, ...] = FOCUS_TOPIC,
+    budget: int = FOCUS_BUDGET,
+    per_host_cap: int = FOCUS_HOST_CAP,
+    anchor: str = "anchor_text",
+) -> DataFrame:
+    """(url, host, depth, anchor_text) candidates → the ≤budget batch a
+    focused crawler dispatches this round, per-host-capped.
+
+    relevance = topic-marker hits (with multiplicity) in the tokenized
+    anchor text. Order: relevance desc, depth asc, url asc — fully
+    deterministic. The host cap is the same keyed window politeness
+    already pays; the final cut is orderBy+limit, which Spark executes
+    as per-partition top-k.
+    """
+    from wikifrontier.textops import marker_hits, tokens
+
+    scored = cands.select(
+        "url",
+        "host",
+        "depth",
+        marker_hits(tokens(F.col(anchor)), topic).alias("relevance"),
+    )
+    w_host = Window.partitionBy("host").orderBy(
+        F.col("relevance").desc(), F.col("depth").asc(), F.col("url").asc()
+    )
+    capped = (
+        scored.withColumn("host_rank", F.row_number().over(w_host))
+        .filter(F.col("host_rank") <= per_host_cap)
+        .drop("host_rank")
+    )
+    return capped.orderBy(
+        F.col("relevance").desc(), F.col("depth").asc(), F.col("url").asc()
+    ).limit(budget)
+
+
+# --------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) host→shard assignment (Thaler &
+# Ravishankar 1998): shard(host) = argmax_s md5(host#s). The property a
+# crawl fleet needs: when a fetcher shard is added or removed, ONLY the
+# hosts whose argmax involved that shard move — every other host keeps
+# its assignment, so per-host politeness state stays where it is.
+# Hash-range sharding (hash(host) % k) reshuffles ~every host on any k
+# change. Pure column arithmetic: k md5 calls per host, an array_max,
+# no shuffle beyond the final rollup.
+# --------------------------------------------------------------------------
+RENDEZVOUS_K = 8
+
+
+def rendezvous_shard(host_col, k: int = RENDEZVOUS_K):
+    """Column: the HRW shard id for a host."""
+    choices = F.array(
+        *[
+            F.struct(
+                F.md5(F.concat(host_col, F.lit(f"#{s}"))).alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(k)
+        ]
+    )
+    return F.array_max(choices).getField("s")
+
+
+def rendezvous_plan(
+    hosts: DataFrame, host: str = "host", weight: str = "n_urls", k: int = RENDEZVOUS_K
+) -> DataFrame:
+    """Per-shard load rollup → (shard, n_hosts, n_urls): the capacity
+    check an operator runs before (re)sizing the fetcher fleet."""
+    return (
+        hosts.select(
+            rendezvous_shard(F.col(host), k).alias("shard"),
+            F.col(weight).alias("w"),
+        )
+        .groupBy("shard")
+        .agg(F.count("*").alias("n_hosts"), F.sum("w").alias("n_urls"))
+    )

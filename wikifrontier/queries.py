@@ -2814,6 +2814,100 @@ def q130_host_ewma(spark, sf_dir):
     return politeness.host_ewma(fetches)
 
 
+def urlq_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic URL-quality fixture: deep-subdomain hosts (%4),
+    digit-stuffed paths (%5), parameter explosions (%3), and a planted
+    blocklist word (%7) — every q131 rule sees both outcomes."""
+    d = F.col("doc_id")
+    host = F.when(d % 4 == 0, F.lit("a.b.c.en.wikipedia.org")).otherwise(
+        F.lit("en.wikipedia.org")
+    )
+    path = F.concat(
+        F.when(d % 7 == 0, F.lit("/casino")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("/wiki/12345/67890/Doc_")).otherwise(
+            F.lit("/wiki/Doc_")
+        ),
+        d.cast("string"),
+    )
+    query = (
+        F.when(d % 3 == 0, F.lit("?utm_source=x&sess=1&ref=2&id=3&p=4"))
+        .when(d % 3 == 1, F.lit("?q=1"))
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        F.concat(F.lit("https://"), host, path, query).alias("url")
+    )
+
+
+def q131_url_quality(spark, sf_dir):
+    """FineWeb/RefinedWeb-style URL quality gate (filters.url_quality):
+    length, subdomain depth, path digit fraction, parameter count, and
+    blocklist-word rules — filtering BEFORE the fetch, which is the step
+    that matters at 10^10 URLs. Pure codegen projection; oracle replays
+    the three split regexes and every count."""
+    return filters.url_quality(urlq_urls(load(spark, sf_dir, "documents")))
+
+
+def q132_focused_frontier(spark, sf_dir):
+    """Focused-crawl pop (Chakrabarti et al. 1999; politeness.
+    focused_pop): anchor-text topic relevance desc, depth asc, url asc;
+    per-host cap 10 then global budget 100 as a TakeOrdered top-k —
+    the third pop strategy beside FIFO (q06) and link-score (q37/q54).
+    Fixture: anchor text = the target doc's first 6 tokens, host/depth
+    from doc_id arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    toks = textops.tokens(F.col("text"))
+    cands = docs.select(
+        F.concat(F.lit("https://en.wikipedia.org/wiki/Doc_"), d).alias("url"),
+        F.concat(F.lit("h"), (d % 5).cast("string"), F.lit(".org")).alias("host"),
+        (d % 6).cast("int").alias("depth"),
+        F.concat_ws(" ", F.slice(toks, 1, 6)).alias("anchor_text"),
+    )
+    return politeness.focused_pop(cands)
+
+
+def q133_rendezvous_shards(spark, sf_dir):
+    """Rendezvous/HRW host→fetcher-shard assignment (Thaler &
+    Ravishankar 1998; politeness.rendezvous_plan): shard = argmax_s
+    md5(host#s) — adding/removing a shard moves only that shard's
+    hosts, so per-host politeness state stays put (hash-mod sharding
+    reshuffles everything). Fixture: 97 derived hosts with per-host URL
+    counts; output is the per-shard load rollup."""
+    docs = load(spark, sf_dir, "documents")
+    hosts = (
+        docs.select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 97).cast("string"), F.lit(".example.org")
+            ).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+    )
+    return politeness.rendezvous_plan(hosts)
+
+
+def q134_opic(spark, sf_dir):
+    """OPIC crawl-time importance (Abiteboul et al. 2003; linkgraph.
+    opic) over the q51 derived graph: cash diffuses along out-links
+    each round, history banks it, importance = (hist+cash)/(rounds+1)
+    — the importance estimator whose per-round work IS the crawl
+    round's own link traversal. Oracle: chained-CTE replay of all
+    three rounds."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    src = F.col("doc_id").alias("src")
+    edges = (
+        docs.select(src, ((F.col("doc_id") + 1) % n).alias("dst"))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 31 + 7) % n).alias("dst")))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 17 + 3) % n).alias("dst")))
+    )
+    res = linkgraph.opic(edges)
+    return res.select(
+        F.col("id").alias("doc_id"), F.round("importance", 8).alias("importance")
+    )
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
