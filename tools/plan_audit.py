@@ -1408,6 +1408,76 @@ def main() -> int:
         summary_of(q130_plan_df),
     ))
 
+    # 81. URL quality gate (q131)
+    q131_plan_df = queries.q131_url_quality(spark, sf_dir)
+    q131_plan = plan_of(q131_plan_df)
+    assert "PythonUDF" not in q131_plan
+    assert "Exchange" not in q131_plan, (
+        "URL gate must run inside the scan projection — zero exchanges"
+    )
+    sections.append((
+        "URL quality gate (q131)",
+        "All five rules — host/path/query regex splits, char counts, "
+        "blocklist — are one exchange-free codegen projection: the gate "
+        "composes into the candidate-link projection BEFORE the seen "
+        "anti-join, so at 10^10 URLs it adds zero shuffles to the round "
+        "and skips fetches, the step that actually costs.",
+        summary_of(q131_plan_df),
+    ))
+
+    # 82. focused-crawl pop (q132)
+    q132_plan_df = queries.q132_focused_frontier(spark, sf_dir)
+    q132_plan = plan_of(q132_plan_df)
+    assert "TakeOrderedAndProject" in q132_plan, (
+        "focused pop budget cut must be TakeOrdered, not a global sort"
+    )
+    sections.append((
+        "Focused-crawl pop (q132)",
+        "Relevance scoring is map-side (tokenize + marker count in the "
+        "projection); the per-host cap is the same keyed window "
+        "politeness already pays; the global budget cut explains as "
+        "TakeOrderedAndProject — per-partition top-k, never a frontier "
+        "sort. Third pop strategy beside FIFO (q06) and link-score "
+        "(q37/q54), same plan class.",
+        summary_of(q132_plan_df),
+    ))
+
+    # 83. rendezvous shards (q133)
+    q133_plan_df = queries.q133_rendezvous_shards(spark, sf_dir)
+    q133_plan = plan_of(q133_plan_df)
+    assert "PythonUDF" not in q133_plan
+    assert "CartesianProduct" not in q133_plan
+    sections.append((
+        "Rendezvous host→shard plan (q133)",
+        "The HRW argmax is k md5 calls + one array_max per host — pure "
+        "projection; the only exchanges are the host rollup and the "
+        "per-shard rollup (both keyed, partial-aggregated). The "
+        "operational property is WHY this exists: resizing the fetcher "
+        "fleet moves only the hosts the new shard wins, so per-host "
+        "politeness state (host_state, breaker verdicts) stays put.",
+        summary_of(q133_plan_df),
+    ))
+
+    # 84. OPIC loop (q134)
+    from wikifrontier.linkgraph import opic
+
+    op_edges = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 200).alias("dst")
+    )
+    op_df = opic(op_edges, iterations=2, checkpoint=False)
+    op_plan = plan_of(op_df)
+    assert "CartesianProduct" not in op_plan, "opic loop grew a cartesian"
+    sections.append((
+        "OPIC iteration (q134)",
+        "Cash diffusion is q51's loop body without the damping constant: "
+        "one edge⋈cash equi-join + keyed partial-sum per round, 1-row "
+        "dangling (virtual-root) broadcast, history folded alongside. "
+        "Per-round work equals the crawl round's own link traversal — "
+        "the reason OPIC is the crawler-native importance estimator. "
+        "Explained with checkpoint=False to expose two unrolled rounds.",
+        summary_of(op_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "
