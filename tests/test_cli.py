@@ -249,3 +249,38 @@ def test_sketches_over_checkpoint(spark, tmp_path, capsys):
         assert hh and hh[0]["host"] == "en.wikipedia.org"
         for l in hh:
             assert l["overcount"] >= 0
+
+
+def test_qa_over_checkpoint(spark, tmp_path, capsys):
+    """crawl → checkpoint → qa: the corpus-quality audit reads the
+    parsed text and emits one Gopher and one C4 rollup line."""
+    ckpt = str(tmp_path / "qa_ckpt")
+    rc = cli.main([
+        "crawl", "--pages", "300", "--rounds", "3", "--budget", "60",
+        "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli.main(["qa", "--checkpoint", ckpt])
+    assert rc == 0
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    gopher = next(l for l in lines if l["report"] == "gopher")
+    c4 = next(l for l in lines if l["report"] == "c4_lines")
+    assert gopher["n_docs"] > 0
+    assert 0 <= gopher["n_keep"] <= gopher["n_docs"]
+    assert gopher["keep_rate"] is not None
+    # per-rule fail counts present and sane
+    for k in ("fail_wordcount", "fail_stop", "fail_alpha"):
+        assert 0 <= gopher[k] <= gopher["n_docs"]
+    assert c4["n_docs"] == gopher["n_docs"]
+    assert c4["n_lines"] >= c4["n_kept"]
+    assert (
+        c4["n_kept"] + c4["n_short"] + c4["n_nopunct"]
+        + c4["n_banned"] + c4["n_dupline"] == c4["n_lines"]
+    )
+
+
+def test_qa_missing_checkpoint(spark, tmp_path, capsys):
+    rc = cli.main(["qa", "--checkpoint", str(tmp_path / "nope")])
+    assert rc == 1
+    assert "error" in json.loads(capsys.readouterr().out.strip())

@@ -142,6 +142,16 @@ def build_parser() -> argparse.ArgumentParser:
     sk.add_argument("--top", type=int, default=10)
     sk.add_argument("--master", type=str, default=None)
 
+    qa = sub.add_parser(
+        "qa",
+        help="corpus-quality audit over a checkpoint's parsed text: "
+             "Gopher rule-suite rollup (per-rule fail counts, keep "
+             "rate) and C4 line-cleaning rollup (drop reasons incl. "
+             "corpus-wide duplicate lines)",
+    )
+    qa.add_argument("--checkpoint", type=str, required=True)
+    qa.add_argument("--master", type=str, default=None)
+
     r = sub.add_parser("report", help="summarize a checkpoint")
     r.add_argument("--checkpoint", type=str, required=True)
     r.add_argument("--master", type=str, default=None)
@@ -529,6 +539,60 @@ def cmd_sketches(args) -> int:
     return 0
 
 
+def cmd_qa(args) -> int:
+    """Corpus-quality audit (q125/q126 over real crawl output): the
+    Gopher rule suite and C4 line cleaning run against the checkpoint's
+    parsed text — one rollup JSON line per report. This is the
+    acceptance gate a training-data pipeline runs on a crawl segment
+    before shipping it: keep rate, which rules bite, and how much
+    cross-document boilerplate the line dedup would strip."""
+    from pyspark.sql import functions as F
+
+    from wikifrontier import state as state_io
+    from wikifrontier.session import get_spark
+    from wikifrontier.textops import c4_line_filter, gopher_rules
+
+    spark = get_spark(master=args.master)
+    st = state_io.load_checkpoint(spark, args.checkpoint)
+    if st is None:
+        print(json.dumps({"error": "no complete checkpoint found"}))
+        return 1
+    docs = st.page_content.select(
+        F.col("source_page_url").alias("doc_id"),
+        F.col("text_content").alias("text"),
+    ).where(F.col("text").isNotNull() & (F.length("text") > 0))
+    g = gopher_rules(docs)
+    rules = [
+        "r_wordcount", "r_mean_len", "r_symbol", "r_bullet",
+        "r_ellipsis", "r_alpha", "r_stop",
+    ]
+    grow = g.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        *[F.sum((~F.col(r)).cast("long")).alias(f"fail_{r[2:]}") for r in rules],
+    ).collect()[0]
+    out = {"report": "gopher", **grow.asDict()}
+    out["keep_rate"] = (
+        round(out["n_keep"] / out["n_docs"], 4) if out["n_docs"] else None
+    )
+    print(json.dumps(out))
+    c = c4_line_filter(docs)
+    crow = c.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(col).alias(col)
+            for col in ("n_lines", "n_kept", "n_short", "n_nopunct",
+                        "n_banned", "n_dupline")
+        ],
+    ).collect()[0]
+    cout = {"report": "c4_lines", **crow.asDict()}
+    cout["kept_rate"] = (
+        round(cout["n_kept"] / cout["n_lines"], 4) if cout["n_lines"] else None
+    )
+    print(json.dumps(cout))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     return {
@@ -540,6 +604,7 @@ def main(argv: list[str] | None = None) -> int:
         "health": cmd_health,
         "graph": cmd_graph,
         "sketches": cmd_sketches,
+        "qa": cmd_qa,
     }[args.cmd](args)
 
 
