@@ -141,3 +141,60 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         (1, 2, 0, 1, 3.75),
         (2, 1, 3, 3, 0.1),
     ]
+
+
+def test_stateful_host_ewma_matches_batch_twin(spark, tmp_path):
+    """The GroupState ring-buffer EWMA must agree with the batch
+    operator (politeness.host_ewma) over the same events — same window,
+    same dyadic weights, same fold order — and the ring must survive a
+    stream restart through the checkpoint."""
+    from wikifrontier.politeness import host_ewma
+
+    ddl = "host string, ts timestamp, seq long, latency_ms double, failed boolean"
+    fdir = str(tmp_path / "fetches")
+    ckpt = streaming.host_ewma_checkpoint_dir(str(tmp_path / "ckpt3"))
+    assert ckpt.endswith(f"host_ewma_v{streaming.HOST_EWMA_STATE_VERSION}")
+    t0 = datetime(2025, 8, 15, 12, 0, 0)
+    rows = [
+        ("a.com", t0 + timedelta(seconds=i), i, 10.0 + 7 * (i % 5), i % 6 == 0)
+        for i in range(20)
+    ] + [
+        ("b.com", t0 + timedelta(seconds=i), i, 200.0, False) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ddl)
+    df.coalesce(1).write.mode("overwrite").parquet(fdir)
+
+    batch = {r["host"]: r for r in host_ewma(df).collect()}
+    stream = streaming.stateful_host_ewma(
+        spark.readStream.schema(ddl).parquet(fdir)
+    )
+    got = {r["host"]: r for r in streaming.run_available_now_collect(stream, ckpt)}
+    for h in ("a.com", "b.com"):
+        assert got[h]["n_events"] == batch[h]["n_events"]
+        assert got[h]["n_window"] == batch[h]["n_window"]
+        assert abs(got[h]["ewma_latency_ms"] - batch[h]["ewma_latency_ms"]) < 1e-5
+        assert abs(got[h]["ewma_fail_rate"] - batch[h]["ewma_fail_rate"]) < 1e-5
+        assert got[h]["verdict"] == batch[h]["verdict"]
+    assert got["b.com"]["verdict"] == "slow"
+
+    # restart: 10 fresh fast events displace the ring's old entries; the
+    # cumulative count proves state survived, the EWMA matches the batch
+    # twin over the FULL event set
+    rows2 = [
+        ("b.com", t0 + timedelta(minutes=2, seconds=i), 100 + i, 1.0, False)
+        for i in range(10)
+    ]
+    spark.createDataFrame(rows2, ddl).coalesce(1).write.mode("append").parquet(fdir)
+    stream2 = streaming.stateful_host_ewma(
+        spark.readStream.schema(ddl).parquet(fdir)
+    )
+    got2 = {r["host"]: r for r in streaming.run_available_now_collect(stream2, ckpt)}
+    full_batch = {
+        r["host"]: r
+        for r in host_ewma(spark.read.parquet(fdir)).collect()
+    }
+    assert got2["b.com"]["n_events"] == 15
+    assert abs(
+        got2["b.com"]["ewma_latency_ms"] - full_batch["b.com"]["ewma_latency_ms"]
+    ) < 1e-5
+    assert got2["b.com"]["verdict"] == full_batch["b.com"]["verdict"] == "healthy"

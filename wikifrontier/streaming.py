@@ -317,3 +317,112 @@ def streaming_sessionize(
             "total_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming twin of politeness.host_ewma: the same recency-weighted host
+# health, maintained incrementally across micro-batches. State per host
+# is a bounded ring of the last EWMA_WINDOW (ts, seq, latency, fail)
+# events — O(1) per host regardless of crawl lifetime, which is exactly
+# why the batch operator was designed around a capped window: the batch
+# fold and this GroupState ring are the SAME accumulator, so a perpetual
+# crawl can hand the telemetry off to Structured Streaming without
+# changing semantics. Versioned checkpoint dir per the host_rate rule.
+# --------------------------------------------------------------------------
+HOST_EWMA_STATE_VERSION = 1
+HOST_EWMA_STATE_DDL = (
+    "n_total long, tss array<long>, seqs array<long>, "
+    "lats array<double>, fails array<double>"
+)
+HOST_EWMA_OUTPUT_DDL = (
+    "host string, n_events long, n_window int, "
+    "ewma_latency_ms double, ewma_fail_rate double, verdict string"
+)
+
+
+def host_ewma_checkpoint_dir(base_dir: str) -> str:
+    import os
+
+    return os.path.join(base_dir, f"host_ewma_v{HOST_EWMA_STATE_VERSION}")
+
+
+def stateful_host_ewma(
+    fetches: DataFrame,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """(host, ts, seq, latency_ms, failed) stream → per-batch EWMA health
+    rows, numerically identical to `politeness.host_ewma` over the same
+    events: weights 2^-j newest-first (exact dyadic scaling), left-fold
+    summation in the same order, denom 2 − 2^-(n−1)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from wikifrontier.politeness import EWMA_FAIL_OPEN, EWMA_SLOW_MS, EWMA_WINDOW
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n_total, tss, seqs, lats, fails = state.get
+            ring = list(zip(tss, seqs, lats, fails))
+        else:
+            n_total, ring = 0, []
+        n_batch = 0
+        for pdf in pdfs:
+            n_batch += len(pdf)
+            if len(pdf):
+                us = pdf["ts"].astype("int64") // 1000
+                ring.extend(
+                    zip(
+                        (int(v) for v in us),
+                        (int(v) for v in pdf["seq"]),
+                        (float(v) for v in pdf["latency_ms"]),
+                        (1.0 if bool(v) else 0.0 for v in pdf["failed"]),
+                    )
+                )
+        # newest first, ties on seq — the batch twin's recency order
+        ring.sort(key=lambda r: (r[0], r[1]), reverse=True)
+        ring = ring[:EWMA_WINDOW]
+        n_total += n_batch
+        state.update((
+            n_total,
+            [r[0] for r in ring],
+            [r[1] for r in ring],
+            [r[2] for r in ring],
+            [r[3] for r in ring],
+        ))
+        nw = len(ring)
+        denom = 2.0 - 0.5 ** (nw - 1)
+        lat_acc = 0.0
+        fail_acc = 0.0
+        for j, (_, _, lat, fail) in enumerate(ring):  # left fold, j=0 newest
+            w = 0.5 ** j
+            lat_acc += lat * w
+            fail_acc += fail * w
+        ewma_lat = lat_acc / denom
+        ewma_fail = fail_acc / denom
+        verdict = (
+            "failing" if ewma_fail > EWMA_FAIL_OPEN
+            else "slow" if ewma_lat > EWMA_SLOW_MS
+            else "healthy"
+        )
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "n_events": [n_total],
+                "n_window": [nw],
+                "ewma_latency_ms": [ewma_lat],
+                "ewma_fail_rate": [ewma_fail],
+                "verdict": [verdict],
+            }
+        )
+
+    return (
+        fetches.withWatermark("ts", watermark)
+        .groupBy("host")
+        .applyInPandasWithState(
+            update,
+            HOST_EWMA_OUTPUT_DDL,
+            HOST_EWMA_STATE_DDL,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
