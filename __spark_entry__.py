@@ -3820,6 +3820,7 @@ WHERE round(CASE WHEN coalesce(c.total_grams, 0) > 0
         "q132_focused_frontier": _focused_sql(),
         "q133_rendezvous_shards": _rendezvous_sql(),
         "q134_opic": _opic_sql(),
+        "q135_pagerank_warm": _pagerank_warm_sql(),
     }
 
 
@@ -4283,4 +4284,41 @@ st0 AS (SELECT nodes.id, CAST(1 AS DOUBLE) / nn.n AS cash,
 SELECT id AS doc_id,
        round((hist + cash) / CAST({OPIC_ITERATIONS + 1} AS DOUBLE), 8) AS importance
 FROM {prev}
+"""
+
+
+def _pagerank_warm_sql() -> str:
+    """q135 oracle: the q51 chain extended one more iteration — warm
+    start from the 3-iteration result is BY CONSTRUCTION the 4th cold
+    iteration, so the oracle just unrolls 4."""
+    from wikifrontier.linkgraph import PAGERANK_DAMPING, PAGERANK_ITERATIONS
+
+    d = f"CAST({PAGERANK_DAMPING} AS DOUBLE)"
+    total = PAGERANK_ITERATIONS + 1
+    iters = []
+    prev = "it0"
+    for k in range(1, total + 1):
+        iters.append(f"""
+it{k} AS (
+  SELECT nodes.id,
+         (CAST(1 AS DOUBLE) - {d}) / nn.n
+         + {d} * (coalesce(inf.w, CAST(0 AS DOUBLE))
+                  + (SELECT coalesce(sum(pr), CAST(0 AS DOUBLE)) FROM {prev}
+                     WHERE id NOT IN (SELECT src FROM edges)) / nn.n) AS pr
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN (
+    SELECT dst AS id, sum(pr / od) AS w
+    FROM edges JOIN {prev} pv ON pv.id = edges.src
+               JOIN outdeg USING (src)
+    GROUP BY dst
+  ) inf ON inf.id = nodes.id
+)""")
+        prev = f"it{k}"
+    its = ",".join(iters)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),{_Q51_EDGES},
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+it0 AS (SELECT nodes.id, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),{its}
+SELECT id AS doc_id, round(pr, 8) AS warm_pagerank FROM {prev}
 """

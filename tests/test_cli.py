@@ -284,3 +284,36 @@ def test_qa_missing_checkpoint(spark, tmp_path, capsys):
     rc = cli.main(["qa", "--checkpoint", str(tmp_path / "nope")])
     assert rc == 1
     assert "error" in json.loads(capsys.readouterr().out.strip())
+
+
+def test_linkrank_opic_and_trustrank(spark, tmp_path, capsys):
+    """linkrank --algo opic / trustrank over a real crawl checkpoint:
+    both score the full discovered link graph; trustrank seeds from the
+    crawl's depth-0 pages and conserves trust mass."""
+    ckpt = str(tmp_path / "lr_ckpt")
+    rc = cli.main([
+        "crawl", "--pages", "300", "--rounds", "3", "--budget", "60",
+        "--checkpoint", ckpt,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = cli.main(["linkrank", "--checkpoint", ckpt, "--algo", "opic", "--top", "5"])
+    assert rc == 0
+    op = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert op["algo"] == "opic" and op["nodes"] > 0
+    scores = [t["importance"] for t in op["top"]]
+    assert scores == sorted(scores, reverse=True) and scores[0] > 0
+
+    out_pq = str(tmp_path / "tr.parquet")
+    rc = cli.main([
+        "linkrank", "--checkpoint", ckpt, "--algo", "trustrank",
+        "--top", "5", "--out", out_pq,
+    ])
+    assert rc == 0
+    tr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert tr["algo"] == "trustrank" and tr["nodes"] == op["nodes"]
+    import pyspark.sql.functions as F
+    full = spark.read.parquet(out_pq)
+    total = full.agg(F.sum("tr")).first()[0]
+    assert abs(total - 1.0) < 1e-6  # trust mass conserved

@@ -2151,3 +2151,21 @@ def test_opic_conserves_cash_and_ranks_sinks(spark):
     got = {r["id"]: r["importance"] for r in opic(edges).collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-9  # importance sums to 1
     assert got[0] > got[1] and abs(got[1] - got[2]) < 1e-12
+
+
+def test_pagerank_warm_start_equals_cold_continuation(spark):
+    from pyspark.sql import functions as F
+    from wikifrontier.linkgraph import pagerank
+
+    edges = spark.range(120).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 120).alias("dst")
+    )
+    cold4 = {r["id"]: r["pr"] for r in pagerank(edges, iterations=4).collect()}
+    cold3 = pagerank(edges, iterations=3)
+    warm = {r["id"]: r["pr"]
+            for r in pagerank(edges, iterations=1, init=cold3).collect()}
+    assert warm == cold4  # bit-identical continuation
+    # nodes missing from init fall back to the uniform prior
+    partial = cold3.filter(F.col("id") < 60)
+    warm_partial = pagerank(edges, iterations=1, init=partial)
+    assert warm_partial.count() == 120  # every node still scored

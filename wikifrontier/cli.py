@@ -67,10 +67,15 @@ def build_parser() -> argparse.ArgumentParser:
              "(the periodic full-graph feed for priority scheduling)",
     )
     lr.add_argument("--checkpoint", type=str, required=True)
-    lr.add_argument("--algo", choices=("pagerank", "hits"), default="pagerank",
+    lr.add_argument("--algo",
+                    choices=("pagerank", "hits", "opic", "trustrank"),
+                    default="pagerank",
                     help="pagerank: one score per page; hits: hub (whose "
                          "out-links to expand) + authority (what to fetch "
-                         "soonest) per page")
+                         "soonest) per page; opic: crawl-native cash-"
+                         "diffusion importance; trustrank: personalized "
+                         "PageRank seeded by the crawl's depth-0 seed "
+                         "pages (spam islands score 0)")
     lr.add_argument("--iterations", type=int, default=3)
     lr.add_argument("--damping", type=float, default=0.85,
                     help="pagerank only")
@@ -281,15 +286,39 @@ def cmd_linkrank(args) -> int:
             out["warning"] = note
         print(json.dumps(out))
         return 0
-    pr = pagerank(edges, iterations=args.iterations, damping=args.damping)
+    if args.algo == "opic":
+        from wikifrontier.linkgraph import opic
+
+        sc = opic(edges, iterations=args.iterations)
+        score_col = "importance"
+    elif args.algo == "trustrank":
+        from wikifrontier.linkgraph import trustrank
+
+        # the crawl's own depth-0 seed pages ARE the trusted set: trust
+        # flows outward along discovered links; anything the seeds can't
+        # reach (link-farm islands that only point inward) scores 0
+        seeds = st.pages.where(F.col("depth") == 0).select(
+            F.col("url").alias("id")
+        )
+        sc = trustrank(edges, seeds, iterations=args.iterations,
+                       damping=args.damping)
+        score_col = "tr"
+    else:
+        sc = pagerank(edges, iterations=args.iterations, damping=args.damping)
+        score_col = "pr"
     if args.out:
-        pr.select(F.col("id").alias("url"), "pr").write.mode(
+        sc.select(F.col("id").alias("url"), F.col(score_col)).write.mode(
             "overwrite"
         ).parquet(args.out)
-    top = pr.orderBy(F.col("pr").desc(), F.col("id")).limit(args.top).collect()
+    top = (
+        sc.orderBy(F.col(score_col).desc(), F.col("id")).limit(args.top).collect()
+    )
     out = {
-        "nodes": pr.count(),
-        "top": [{"url": r["id"], "pr": round(r["pr"], 8)} for r in top],
+        "algo": args.algo,
+        "nodes": sc.count(),
+        "top": [
+            {"url": r["id"], score_col: round(r[score_col], 8)} for r in top
+        ],
     }
     if note:
         out["warning"] = note

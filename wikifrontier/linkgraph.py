@@ -40,6 +40,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     checkpoint: bool = True,
+    init: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list → (id, pr).
 
@@ -75,7 +76,24 @@ def pagerank(
         # return the empty (id, pr) frame instead of ZeroDivisionError
         return nodes.select("id", F.lit(0.0).alias("pr"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    ranks = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    if init is None:
+        ranks = nodes.select("id", F.lit(1.0 / n).alias("pr"))
+    else:
+        # warm start (incremental refresh): a crawl that re-scores its
+        # growing link graph every K rounds restarts from the previous
+        # round's ranks instead of the uniform prior — the fixed-point is
+        # the same, but convergence needs far fewer iterations when the
+        # delta is a small edge batch. Nodes born since the last refresh
+        # (absent from init) take the uniform prior 1/n.
+        prev = init.select(
+            F.col(init.columns[0]).alias("id"),
+            F.col(init.columns[1]).alias("_pr0"),
+        )
+        ranks = nodes.join(prev, "id", "left").select(
+            "id", F.coalesce(F.col("_pr0"), F.lit(1.0 / n)).alias("pr")
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=False)
     base = (1.0 - damping) / n
     for _ in range(iterations):
         inflow = (

@@ -2908,6 +2908,30 @@ def q134_opic(spark, sf_dir):
     )
 
 
+def q135_pagerank_warm(spark, sf_dir):
+    """Incremental PageRank refresh (linkgraph.pagerank warm start): a
+    crawl re-scoring its growing link graph every K rounds restarts
+    from the previous ranks instead of the uniform prior — same fixed
+    point, far fewer iterations per refresh. Here: 3 cold iterations →
+    1 warm iteration from that result, which must equal the 4th cold
+    iteration exactly; the oracle replays the 4-iteration chain. Nodes
+    absent from the init (born since the last refresh) take the 1/n
+    prior."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    src = F.col("doc_id").alias("src")
+    edges = (
+        docs.select(src, ((F.col("doc_id") + 1) % n).alias("dst"))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 31 + 7) % n).alias("dst")))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 17 + 3) % n).alias("dst")))
+    )
+    cold = linkgraph.pagerank(edges)
+    warm = linkgraph.pagerank(edges, iterations=1, init=cold)
+    return warm.select(
+        F.col("id").alias("doc_id"), F.round("pr", 8).alias("warm_pagerank")
+    )
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
