@@ -1478,6 +1478,28 @@ def main() -> int:
         summary_of(op_df),
     ))
 
+    # 85. warm-start PageRank (q135)
+    from wikifrontier.linkgraph import pagerank as _pr_warm
+
+    w_edges = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 200).alias("dst")
+    )
+    w_init = _pr_warm(w_edges, iterations=1, checkpoint=False)
+    w_df = _pr_warm(w_edges, iterations=1, checkpoint=False, init=w_init)
+    w_plan = plan_of(w_df)
+    assert "CartesianProduct" not in w_plan, "warm pagerank grew a cartesian"
+    sections.append((
+        "Warm-start PageRank (q135)",
+        "The init vector enters as ONE left join onto the node set "
+        "before the loop (missing nodes coalesce to the 1/n prior); "
+        "every iteration after that is exactly q51's plan. This is the "
+        "incremental-refresh shape: a crawl re-scoring its growing link "
+        "graph every K rounds pays the per-iteration edge join fewer "
+        "times because it starts near the fixed point instead of at "
+        "uniform.",
+        summary_of(w_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "
