@@ -3821,6 +3821,9 @@ WHERE round(CASE WHEN coalesce(c.total_grams, 0) > 0
         "q133_rendezvous_shards": _rendezvous_sql(),
         "q134_opic": _opic_sql(),
         "q135_pagerank_warm": _pagerank_warm_sql(),
+        "q136_seed_distance": _seed_distance_sql(),
+        "q137_reciprocity": _reciprocity_sql(),
+        "q138_spam_composite": _spam_composite_sql(),
     }
 
 
@@ -4321,4 +4324,126 @@ nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
 outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
 it0 AS (SELECT nodes.id, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN nn),{its}
 SELECT id AS doc_id, round(pr, 8) AS warm_pagerank FROM {prev}
+"""
+
+
+def _seed_distance_sql() -> str:
+    from wikifrontier.linkgraph import BFS_MAX_DEPTH
+
+    steps = []
+    prev = "d0"
+    for k in range(1, BFS_MAX_DEPTH + 1):
+        steps.append(f"""
+d{k} AS (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS id, d.dist + 1 AS dist
+    FROM edges e JOIN {prev} d ON d.id = e.src
+  ) GROUP BY id
+)""")
+        prev = f"d{k}"
+    its = ",".join(steps)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),{_Q51_EDGES},
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+d0 AS (SELECT doc_id AS id, 0 AS dist FROM documents
+       WHERE doc_id % {Q.WALK_SEED_MOD} = 0),{its}
+SELECT nodes.id AS doc_id, CAST(coalesce({prev}.dist, -1) AS INT) AS dist
+FROM nodes LEFT JOIN {prev} ON {prev}.id = nodes.id
+"""
+
+
+def _reciprocity_sql() -> str:
+    from wikifrontier.linkgraph import FARM_MIN_OUT, FARM_RECIP_FRAC
+
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),{_Q51_EDGES},
+rc AS (
+  SELECT e.src, count(*) AS recip_out
+  FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+  GROUP BY e.src
+),
+od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+idg AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst)
+SELECT od.src AS doc_id,
+  od.out_deg,
+  coalesce(idg.in_deg, 0) AS in_deg,
+  coalesce(rc.recip_out, 0) AS recip_out,
+  round(CAST(coalesce(rc.recip_out, 0) AS DOUBLE)
+        / CAST(od.out_deg AS DOUBLE), 6) AS recip_frac,
+  (CAST(coalesce(rc.recip_out, 0) AS DOUBLE) / CAST(od.out_deg AS DOUBLE)
+     >= {FARM_RECIP_FRAC}
+   AND od.out_deg >= {FARM_MIN_OUT}) AS farm_flag
+FROM od LEFT JOIN rc ON rc.src = od.src
+        LEFT JOIN idg ON idg.dst = od.src
+"""
+
+
+def _spam_composite_sql() -> str:
+    from wikifrontier import filters as FL
+    from wikifrontier.linkgraph import FARM_RECIP_FRAC
+
+    banned = " OR ".join(f"u.url LIKE '%{w}%'" for w in FL.URLQ_BANNED_WORDS)
+    # trustrank chain reused verbatim (same constants as q127), plus the
+    # url-quality keep rule and the reciprocity fraction, joined on doc_id
+    tr_chain = _trustrank_sql()
+    # strip the final SELECT of the trustrank oracle; keep its WITH body
+    tr_body = tr_chain[: tr_chain.rindex("SELECT id AS doc_id")]
+    tr_last = "it3"
+    return f"""{tr_body}
+, uq AS (
+  SELECT CAST(regexp_extract(u.url, 'Doc_([0-9]+)', 1) AS BIGINT) AS doc_id,
+    CASE WHEN NOT (
+      length(u.url) <= {FL.URLQ_MAX_LEN}
+      AND length(regexp_extract(u.url, '^[a-z]+://([^/?#]+)', 1))
+          - length(replace(regexp_extract(u.url, '^[a-z]+://([^/?#]+)', 1), '.', ''))
+          <= {FL.URLQ_MAX_SUBDOMAIN_DEPTH}
+      AND CAST(length(regexp_extract(u.url, '^[a-z]+://[^/?#]+([^?#]*)', 1))
+               - length(regexp_replace(regexp_extract(u.url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+                                       '[0-9]', '', 'g')) AS DOUBLE)
+          / CAST(greatest(length(regexp_extract(u.url, '^[a-z]+://[^/?#]+([^?#]*)', 1)), 1) AS DOUBLE)
+          <= {FL.URLQ_MAX_DIGIT_FRAC}
+      AND (CASE WHEN regexp_extract(u.url, '\\?([^#]*)', 1) = '' THEN 0
+                ELSE length(regexp_extract(u.url, '\\?([^#]*)', 1))
+                     - length(replace(regexp_extract(u.url, '\\?([^#]*)', 1), '&', '')) + 1 END)
+          <= {FL.URLQ_MAX_PARAMS}
+      AND NOT ({banned})
+    ) THEN 1 ELSE 0 END AS url_bad
+  FROM (
+    SELECT 'https://'
+      || (CASE WHEN doc_id % 4 = 0 THEN 'a.b.c.en.wikipedia.org'
+               ELSE 'en.wikipedia.org' END)
+      || (CASE WHEN doc_id % 7 = 0 THEN '/casino' ELSE '' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN '/wiki/12345/67890/Doc_'
+               ELSE '/wiki/Doc_' END)
+      || doc_id
+      || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&sess=1&ref=2&id=3&p=4'
+               WHEN doc_id % 3 = 1 THEN '?q=1' ELSE '' END) AS url
+    FROM documents
+  ) u
+),
+rc2 AS (
+  SELECT e.src, count(*) AS recip_out
+  FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+  GROUP BY e.src
+),
+od2 AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+recipf AS (
+  SELECT od2.src AS doc_id,
+    CASE WHEN round(CAST(coalesce(rc2.recip_out, 0) AS DOUBLE)
+                    / CAST(od2.out_deg AS DOUBLE), 6) >= {FARM_RECIP_FRAC}
+         THEN 1 ELSE 0 END AS high_recip
+  FROM od2 LEFT JOIN rc2 ON rc2.src = od2.src
+),
+trf AS (
+  SELECT {tr_last}.id AS doc_id,
+    CASE WHEN tr < CAST(0.5 AS DOUBLE) / nn.n THEN 1 ELSE 0 END AS low_trust
+  FROM {tr_last} CROSS JOIN nn
+)
+SELECT trf.doc_id, uq.url_bad, trf.low_trust, recipf.high_recip,
+  uq.url_bad + trf.low_trust + recipf.high_recip AS spam_score,
+  (uq.url_bad + trf.low_trust + recipf.high_recip) >= 2 AS is_spam
+FROM trf JOIN uq ON uq.doc_id = trf.doc_id
+         JOIN recipf ON recipf.doc_id = trf.doc_id
 """

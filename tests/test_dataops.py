@@ -2169,3 +2169,51 @@ def test_pagerank_warm_start_equals_cold_continuation(spark):
     partial = cold3.filter(F.col("id") < 60)
     warm_partial = pagerank(edges, iterations=1, init=partial)
     assert warm_partial.count() == 120  # every node still scored
+
+
+def test_bfs_layers_hand_graph(spark):
+    from wikifrontier.linkgraph import bfs_layers
+
+    # path 0→1→2→3→4→5 plus island 9→10; seed = 0
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (9, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["dist"] for r in bfs_layers(edges, seeds, max_depth=4).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: -1, 9: -1, 10: -1}
+
+
+def test_reciprocity_flags_farm(spark):
+    from wikifrontier.linkgraph import reciprocity
+
+    # {1,2,3} is a full mutual clique (farm); 4 links organically into it
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2), (4, 1)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r.asDict() for r in reciprocity(edges).collect()}
+    for n in (1, 2, 3):
+        assert got[n]["recip_frac"] == 1.0 and got[n]["farm_flag"] is True
+    assert got[4]["recip_frac"] == 0.0 and got[4]["farm_flag"] is False
+    assert got[1]["out_deg"] == 2 and got[1]["in_deg"] == 3  # 2,3,4 → 1
+
+
+def test_spam_composite_requires_two_signals(spark):
+    docs_q = __import__("wikifrontier.queries", fromlist=["queries"])
+    df = docs_q.ALL_QUERIES["q138_spam_composite"](
+        spark.builder.getOrCreate() if False else spark, "/root/testdata/sf0.001"
+    )
+    rows = df.collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["spam_score"] == r["url_bad"] + r["low_trust"] + r["high_recip"]
+        assert r["is_spam"] == (r["spam_score"] >= 2)
+    # at least one page trips each signal, and conjunction is rarer than
+    # any single signal
+    import collections
+    c = collections.Counter()
+    for r in rows:
+        c["url_bad"] += r["url_bad"]; c["low_trust"] += r["low_trust"]
+        c["high_recip"] += r["high_recip"]; c["spam"] += int(r["is_spam"])
+    assert c["url_bad"] > 0 and c["low_trust"] > 0
+    assert c["spam"] <= min(c["url_bad"] + c["low_trust"] + c["high_recip"], 500)

@@ -1125,3 +1125,107 @@ def opic(
             "importance"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-source BFS reachability (seed-distance layers): for every node,
+# the hop distance from the nearest crawl seed, capped at `max_depth` —
+# the planning twin of the crawl itself. Where q10 *runs* the crawl
+# (fetch, parse, politeness), this answers the scheduler's question
+# "what WOULD depth-K reach, and what stays dark" from the link graph
+# alone: layer sizes calibrate per-round budgets, the unreached set is
+# the seed-list gap. Same loop contract as pagerank: one edge⋈dist
+# equi-join + keyed min-fold per hop, zero in-loop actions.
+# --------------------------------------------------------------------------
+BFS_MAX_DEPTH = 4
+
+
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = BFS_MAX_DEPTH,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """→ (id, dist) for every graph node; dist = hops from the nearest
+    seed, or -1 when unreached within max_depth. Dense-frontier form
+    (whole dist vector re-minimized per hop) — the right shape when
+    layers grow geometrically, as web frontiers do."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=False)
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("id"), F.lit(0).alias("dist")
+    ).distinct()
+    for _ in range(max_depth):
+        hop = (
+            e.join(dist, e.src == dist.id)
+            .select(F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint:
+            dist = dist.localCheckpoint(eager=False)
+    return nodes.join(dist, "id", "left").select(
+        "id", F.coalesce(F.col("dist"), F.lit(-1)).alias("dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# Link-farm reciprocity audit: the fraction of a page's out-links that
+# link straight back. Organic web linking is overwhelmingly asymmetric;
+# mutual-link cliques are the classic link-exchange/spam-farm signature
+# (the structural complement to TrustRank's reachability signal — a farm
+# can inflate in-degree but cannot fake asymmetry). One self-join of the
+# edge list on the reversed key — same shuffle class as one PageRank
+# iteration — then two keyed degree folds.
+# --------------------------------------------------------------------------
+FARM_MIN_OUT = 2
+FARM_RECIP_FRAC = 0.5
+
+
+def reciprocity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """→ (id, out_deg, in_deg, recip_out, recip_frac, farm_flag) per
+    node with at least one out-edge."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    rev = e.select(F.col("dst").alias("r_src"), F.col("src").alias("r_dst"))
+    recip = (
+        e.join(rev, (e.src == F.col("r_src")) & (e.dst == F.col("r_dst")), "left_semi")
+        .groupBy("src")
+        .agg(F.count("*").alias("recip_out"))
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    indeg = e.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    base = (
+        outdeg.join(recip, "src", "left")
+        .join(indeg, outdeg.src == indeg.dst, "left")
+    )
+    recip_frac = (
+        F.coalesce(F.col("recip_out"), F.lit(0)).cast("double")
+        / F.col("out_deg").cast("double")
+    )
+    return base.select(
+        F.col("src").alias("id"),
+        "out_deg",
+        F.coalesce(F.col("in_deg"), F.lit(0)).alias("in_deg"),
+        F.coalesce(F.col("recip_out"), F.lit(0)).alias("recip_out"),
+        F.round(recip_frac, 6).alias("recip_frac"),
+        (
+            (recip_frac >= FARM_RECIP_FRAC) & (F.col("out_deg") >= FARM_MIN_OUT)
+        ).alias("farm_flag"),
+    )

@@ -2932,6 +2932,86 @@ def q135_pagerank_warm(spark, sf_dir):
     )
 
 
+def _q51_edges(docs: DataFrame, n: int) -> DataFrame:
+    """The shared derived link graph (q51/q127/q129/q134/q135…)."""
+    src = F.col("doc_id").alias("src")
+    return (
+        docs.select(src, ((F.col("doc_id") + 1) % n).alias("dst"))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 31 + 7) % n).alias("dst")))
+        .unionByName(docs.select(src, ((F.col("doc_id") * 17 + 3) % n).alias("dst")))
+    )
+
+
+def q136_seed_distance(spark, sf_dir):
+    """Multi-source BFS seed-distance layers (linkgraph.bfs_layers):
+    hop distance from the nearest q129 seed for every node, capped at
+    4, -1 for unreached — the scheduler's "what WOULD depth-K reach"
+    answered from the link graph alone (q10 runs the crawl; this plans
+    it). One edge⋈dist join + keyed min-fold per hop; oracle unrolls
+    the same four min-folds."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = _q51_edges(docs, n)
+    seeds = docs.filter(F.col("doc_id") % WALK_SEED_MOD == 0).select("doc_id")
+    return linkgraph.bfs_layers(edges, seeds).select(
+        F.col("id").alias("doc_id"), "dist"
+    )
+
+
+def q137_reciprocity(spark, sf_dir):
+    """Link-farm reciprocity audit (linkgraph.reciprocity): per node,
+    the fraction of out-links that link straight back — the structural
+    spam signature TrustRank's reachability signal can't see. One
+    reversed-key self-join of the edge list (the shuffle class of a
+    PageRank iteration) + two keyed degree folds."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    return linkgraph.reciprocity(_q51_edges(docs, n)).select(
+        F.col("id").alias("doc_id"),
+        "out_deg",
+        "in_deg",
+        "recip_out",
+        "recip_frac",
+        "farm_flag",
+    )
+
+
+def q138_spam_composite(spark, sf_dir):
+    """Spam triage composition — the three independent signals joined
+    per page: URL-quality fail (q131), low TrustRank (q127: below half
+    the uniform prior — spam islands and barely-reached pages), high
+    reciprocity (q137: ≥50% mutual out-links). spam_score = signal sum;
+    is_spam at ≥2 — no single signal convicts, which is the whole
+    design (each has benign false positives; their conjunction doesn't).
+    Three keyed joins on doc_id, nothing quadratic."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = _q51_edges(docs, n)
+    seeds = docs.filter(F.col("doc_id") % TRUST_SEED_MOD == 0).select("doc_id")
+    tr = linkgraph.trustrank(edges, seeds).select(
+        F.col("id").alias("doc_id"), "tr"
+    )
+    uq = filters.url_quality(urlq_urls(docs)).select(
+        F.regexp_extract(F.col("url"), "Doc_([0-9]+)", 1).cast("long").alias("doc_id"),
+        (~F.col("keep")).cast("int").alias("url_bad"),
+    )
+    rc = linkgraph.reciprocity(edges).select(
+        F.col("id").alias("doc_id"),
+        (F.col("recip_frac") >= 0.5).cast("int").alias("high_recip"),
+    )
+    low_trust = (F.col("tr") < F.lit(0.5 / n)).cast("int")
+    j = tr.join(uq, "doc_id").join(rc, "doc_id")
+    score = F.col("url_bad") + low_trust + F.col("high_recip")
+    return j.select(
+        "doc_id",
+        "url_bad",
+        low_trust.alias("low_trust"),
+        "high_recip",
+        score.alias("spam_score"),
+        (score >= 2).alias("is_spam"),
+    )
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
