@@ -1500,6 +1500,55 @@ def main() -> int:
         summary_of(w_df),
     ))
 
+    # 86. seed-distance BFS layers (q136)
+    from wikifrontier.linkgraph import bfs_layers
+
+    b_edges = spark.range(200).select(
+        F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 200).alias("dst")
+    )
+    b_seeds = spark.range(0, 200, 29).select(F.col("id"))
+    b_df = bfs_layers(b_edges, b_seeds, max_depth=2, checkpoint=False)
+    b_plan = plan_of(b_df)
+    assert "CartesianProduct" not in b_plan, "bfs layers grew a cartesian"
+    sections.append((
+        "Seed-distance BFS layers (q136)",
+        "Per hop: one edge⋈dist equi-join + one keyed min-fold "
+        "(partial-aggregatable), zero in-loop actions — the same loop "
+        "contract as PageRank. Dense-frontier form (whole dist vector "
+        "re-minimized per hop) is the right shape when layers grow "
+        "geometrically, as web frontiers do; at 10^10 edges each hop is "
+        "one O(edges) shuffle folded to O(nodes). Explained with "
+        "checkpoint=False to expose two unrolled hops.",
+        summary_of(b_df),
+    ))
+
+    # 87. reciprocity audit (q137)
+    q137_plan_df = queries.q137_reciprocity(spark, sf_dir)
+    q137_plan = plan_of(q137_plan_df)
+    assert "CartesianProduct" not in q137_plan
+    sections.append((
+        "Link-farm reciprocity audit (q137)",
+        "The reversed-key self-join is a LEFT SEMI on (src,dst)=(dst,src) "
+        "— hash-partitioned equi-join, the shuffle class of one PageRank "
+        "iteration, never pair generation; degree rollups are keyed "
+        "partial-agg folds. At 10^10 edges the semi-join is the only "
+        "edge-scale exchange and its output is bounded by the edge count.",
+        summary_of(q137_plan_df),
+    ))
+
+    # 88. spam composite (q138)
+    q138_plan_df = queries.q138_spam_composite(spark, sf_dir)
+    q138_plan = plan_of(q138_plan_df)
+    assert "CartesianProduct" not in q138_plan
+    sections.append((
+        "Spam triage composite (q138)",
+        "Three independent signal frames (URL rules, TrustRank, "
+        "reciprocity) meet in two keyed equi-joins on doc_id — signal "
+        "composition costs joins on the page key, not recomputation; "
+        "each signal's own plan was audited separately (q131/q127/q137).",
+        summary_of(q138_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "
