@@ -383,3 +383,57 @@ def test_lpa_loop_is_fold_not_window(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2 or plan.count("Aggregate") >= 2
+
+
+def test_gopher_rules_exchange_free(spark):
+    """q125's claim: the whole Gopher rule suite is one codegen
+    projection — a direct call on an in-memory frame must plan with NO
+    exchange, join, window, or Python UDF anywhere."""
+    from wikifrontier.textops import gopher_rules
+
+    df = spark.createDataFrame(
+        [(1, "line one here.\n- line two ...")], "doc_id long, text string"
+    )
+    plan = plan_of(gopher_rules(df))
+    for bad in ("Exchange", "PythonUDF", "Window", "Join"):
+        assert bad not in plan, f"gopher rules grew a {bad}"
+
+
+def test_kmv_bottom_k_is_take_ordered(spark):
+    """q128's claim: the sketch cut is per-partition bottom-k
+    (TakeOrderedAndProject), never a global Sort of the hash column."""
+    from wikifrontier.sketch import kmv_sketch
+
+    df = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    plan = plan_of(kmv_sketch(df, "v"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_focused_pop_is_take_ordered(spark):
+    """q132's budget cut must be TakeOrdered, not a frontier sort."""
+    from wikifrontier.politeness import focused_pop
+
+    df = spark.createDataFrame(
+        [("u1", "h1", 1, "spark data")], "url string, host string, depth int, anchor_text string"
+    )
+    plan = plan_of(focused_pop(df))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_url_quality_exchange_free(spark):
+    """q131's claim: the URL gate composes into a projection — zero
+    exchanges on a direct call."""
+    from wikifrontier.filters import url_quality
+
+    df = spark.createDataFrame([("https://a.org/x",)], "url string")
+    plan = plan_of(url_quality(df))
+    assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
+def test_reciprocity_no_cartesian(spark):
+    """q137: the reversed-key self-join must be an equi-join."""
+    from wikifrontier.linkgraph import reciprocity
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    plan = plan_of(reciprocity(edges))
+    assert "CartesianProduct" not in plan
