@@ -3824,6 +3824,7 @@ WHERE round(CASE WHEN coalesce(c.total_grams, 0) > 0
         "q136_seed_distance": _seed_distance_sql(),
         "q137_reciprocity": _reciprocity_sql(),
         "q138_spam_composite": _spam_composite_sql(),
+        "q139_host_trust": _host_trust_sql(),
     }
 
 
@@ -4446,4 +4447,33 @@ SELECT trf.doc_id, uq.url_bad, trf.low_trust, recipf.high_recip,
   (uq.url_bad + trf.low_trust + recipf.high_recip) >= 2 AS is_spam
 FROM trf JOIN uq ON uq.doc_id = trf.doc_id
          JOIN recipf ON recipf.doc_id = trf.doc_id
+"""
+
+
+def _host_trust_sql() -> str:
+    """q139 oracle: the q127 trustrank chain + host assignment + an
+    id-ordered list_reduce fold (the same left-fold arithmetic as the
+    Spark side — never SUM over an unordered set)."""
+    tr_chain = _trustrank_sql()
+    tr_body = tr_chain[: tr_chain.rindex("SELECT id AS doc_id")]
+    return f"""{tr_body}
+, ha AS (
+  SELECT it3.id, it3.tr,
+         'h' || CAST(it3.id % {Q.TRUST_HOST_MOD} AS VARCHAR) || '.org' AS host
+  FROM it3
+),
+per AS (
+  SELECT host,
+    count(*) AS n_pages,
+    list(tr ORDER BY id) AS ls,
+    CAST(sum(CASE WHEN tr < CAST(0.5 AS DOUBLE) / nn.n THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_low_trust
+  FROM ha CROSS JOIN nn GROUP BY host, nn.n
+)
+SELECT host, n_pages,
+  round(list_reduce(ls, (a, b) -> a + b) / CAST(n_pages AS DOUBLE), 8) AS mean_trust,
+  n_low_trust,
+  (list_reduce(ls, (a, b) -> a + b) / CAST(n_pages AS DOUBLE)
+     < (SELECT CAST(0.5 AS DOUBLE) / n FROM nn)) AS spam_host
+FROM per
 """

@@ -2217,3 +2217,27 @@ def test_spam_composite_requires_two_signals(spark):
         c["high_recip"] += r["high_recip"]; c["spam"] += int(r["is_spam"])
     assert c["url_bad"] > 0 and c["low_trust"] > 0
     assert c["spam"] <= min(c["url_bad"] + c["low_trust"] + c["high_recip"], 500)
+
+
+def test_trust_rollup_deterministic_fold_and_blocklist(spark):
+    from pyspark.sql import functions as F
+    from wikifrontier.linkgraph import trust_rollup
+
+    tr = spark.createDataFrame(
+        [(1, 0.4), (2, 0.1), (10, 0.0), (11, 0.0)], "id long, tr double"
+    )
+    hosts = spark.createDataFrame(
+        [(1, "good.org"), (2, "good.org"), (10, "farm.biz"), (11, "farm.biz")],
+        "id long, host string",
+    )
+    out = {r["host"]: r.asDict() for r in trust_rollup(tr, hosts, 4).collect()}
+    assert out["good.org"]["mean_trust"] == 0.25
+    assert out["good.org"]["spam_host"] is False
+    assert out["farm.biz"]["mean_trust"] == 0.0
+    assert out["farm.biz"]["spam_host"] is True  # below 0.5/4
+    assert out["farm.biz"]["n_low_trust"] == 2
+    # repartition noise must not change the fold result (ordered fold)
+    tr32 = tr.repartition(32)
+    again = {r["host"]: r["mean_trust"]
+             for r in trust_rollup(tr32, hosts, 4).collect()}
+    assert again == {h: v["mean_trust"] for h, v in out.items()}

@@ -1549,6 +1549,21 @@ def main() -> int:
         summary_of(q138_plan_df),
     ))
 
+    # 89. host trust rollup (q139)
+    q139_plan_df = queries.q139_host_trust(spark, sf_dir)
+    q139_plan = plan_of(q139_plan_df)
+    assert "CartesianProduct" not in q139_plan
+    sections.append((
+        "Host-level trust rollup (q139)",
+        "One equi-join of the TrustRank vector onto the host map, one "
+        "keyed fold per host. The mean is a left fold over an "
+        "id-ordered array (the host_ewma determinism contract) — never "
+        "SUM over a shuffled partition — so the blocklist verdict is "
+        "bit-identical at any parallelism. At 10^10 pages the rollup "
+        "shuffles O(pages) score rows once and outputs O(hosts).",
+        summary_of(q139_plan_df),
+    ))
+
     out = ["# PLANS — physical-plan audit (generated by tools/plan_audit.py)",
            "",
            "Machine-checked twins of these properties live in "

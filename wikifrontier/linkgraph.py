@@ -1229,3 +1229,50 @@ def reciprocity(
             (recip_frac >= FARM_RECIP_FRAC) & (F.col("out_deg") >= FARM_MIN_OUT)
         ).alias("farm_flag"),
     )
+
+
+# --------------------------------------------------------------------------
+# Host-level trust rollup: pages carry TrustRank, but a crawler ACTS at
+# host granularity — politeness budgets, blocklists, and breaker
+# verdicts are all per-host. This lifts the page scores to the policy
+# level: per host, the page count, the trust mass, the deterministic
+# mean, and the count of sub-uniform pages; hosts whose MEAN trust sits
+# below half the uniform prior are the blocklist candidates. The mean
+# is a LEFT FOLD over an id-ordered array (not SUM over a shuffled
+# partition) so the double is bit-identical at any parallelism — the
+# same determinism contract as politeness.host_ewma.
+# --------------------------------------------------------------------------
+def trust_rollup(
+    tr: DataFrame,
+    hosts: DataFrame,
+    n_total: int,
+    id_col: str = "id",
+    score: str = "tr",
+    host: str = "host",
+) -> DataFrame:
+    """tr=(id, tr) ⋈ hosts=(id, host) → (host, n_pages, mean_trust,
+    n_low_trust, spam_host). One equi-join + one keyed fold."""
+    thr = 0.5 / n_total
+    j = tr.join(hosts, tr[id_col] == hosts[id_col]).select(
+        hosts[host].alias("host"),
+        tr[id_col].alias("pid"),
+        tr[score].alias("s"),
+    )
+    per = j.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.array_sort(F.collect_list(F.struct("pid", "s"))).alias("arr"),
+        F.sum((F.col("s") < thr).cast("long")).alias("n_low_trust"),
+    )
+    tsum = F.aggregate(
+        F.transform(F.col("arr"), lambda x: x.getField("s")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mean = tsum / F.col("n_pages").cast("double")
+    return per.select(
+        "host",
+        "n_pages",
+        F.round(mean, 8).alias("mean_trust"),
+        "n_low_trust",
+        (mean < thr).alias("spam_host"),
+    )

@@ -3012,6 +3012,30 @@ def q138_spam_composite(spark, sf_dir):
     )
 
 
+TRUST_HOST_MOD = 23  # doc_id % MOD → host id (q139)
+
+
+def q139_host_trust(spark, sf_dir):
+    """Host-level trust rollup (linkgraph.trust_rollup): q127's page
+    TrustRank lifted to the granularity a crawler acts at — per host,
+    page count, deterministic ordered-fold mean trust, sub-uniform page
+    count, and the blocklist verdict (mean below half the uniform
+    prior). The mean is a left fold over an id-ordered array, never
+    SUM over a shuffled partition — bit-exact at any parallelism."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = _q51_edges(docs, n)
+    seeds = docs.filter(F.col("doc_id") % TRUST_SEED_MOD == 0).select("doc_id")
+    tr = linkgraph.trustrank(edges, seeds)
+    hosts = docs.select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % TRUST_HOST_MOD).cast("string"), F.lit(".org")
+        ).alias("host"),
+    )
+    return linkgraph.trust_rollup(tr, hosts, n)
+
+
 ALL_QUERIES = {
     name: fn
     for name, fn in sorted(globals().items())
